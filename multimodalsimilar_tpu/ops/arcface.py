@@ -1,0 +1,245 @@
+"""ArcFace (additive angular margin) logits — pure-JAX and fused Pallas.
+
+Semantics match the reference head ``ArcMarginProduct``
+(/root/reference/arcface.py:45-67):
+
+    cosine = normalize(x) @ normalize(W).T          # W is [out, in]
+    sine   = sqrt(1 - cosine^2)                     # clamped here (the torch
+                                                    # code relies on fp luck)
+    phi    = cosine*cos(m) - sine*sin(m)            # = cos(theta + m)
+    easy_margin:  phi where cosine > 0       else cosine
+    otherwise:    phi where cosine > cos(pi-m) else cosine - sin(pi-m)*m
+    logits = s * (one_hot*phi + (1-one_hot)*cosine)
+
+and margin-free eval logits (``forward_test``, arcface.py:65-67) are the plain
+normalized cosine.
+
+The margin ``m`` is a *traced scalar* so the reference's per-epoch margin
+curriculum ``update_m(delta)`` (arcface.py:35-42, used at
+cv_classifier_train_daodian.py:292) changes the margin without recompiling.
+
+Two implementations:
+
+* ``arcface_logits`` — pure jnp. XLA already fuses the normalize + margin
+  elementwise chain into the [B,C] matmul epilogue; this is the autodiff
+  ground truth.
+* ``arcface_logits_fused`` — Pallas TPU kernel tiling (batch x class) so the
+  normalization of x / W, the MXU matmul, and the margin arithmetic all happen
+  in VMEM without materializing intermediate [B,C] tensors in HBM. Forward
+  only; wrapped in ``jax.custom_vjp`` whose backward differentiates the pure
+  version (same math, so gradients are exact).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-12
+
+
+@dataclasses.dataclass(frozen=True)
+class ArcFaceParams:
+    """Static hyper-parameters of an ArcFace head (margin m stays dynamic)."""
+
+    s: float = 64.0
+    m: float = 0.40
+    easy_margin: bool = False
+
+    def update_m(self, delta: float) -> "ArcFaceParams":
+        """Margin curriculum step — mirrors ArcMarginProduct.update_m
+        (arcface.py:35-42): the new margin only takes effect inside
+        (1e-6, 1.0]."""
+        new_m = self.m + delta
+        if 1e-6 <= new_m <= 1.0:
+            return dataclasses.replace(self, m=new_m)
+        return self
+
+
+def _l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    # Matches torch F.normalize(p=2, eps=1e-12): divide by max(norm, eps).
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, _EPS)
+
+
+def cosine_logits(x: jnp.ndarray, weight: jnp.ndarray,
+                  compute_dtype=None) -> jnp.ndarray:
+    """Margin-free logits = normalized cosine (forward_test, arcface.py:65-67).
+
+    ``weight`` is [num_classes, dim] (torch nn.Linear layout kept so imported
+    reference checkpoints drop in without a transpose).
+    """
+    xn = _l2_normalize(x.astype(jnp.float32))
+    wn = _l2_normalize(weight.astype(jnp.float32))
+    if compute_dtype is not None:
+        xn = xn.astype(compute_dtype)
+        wn = wn.astype(compute_dtype)
+    return jnp.dot(xn, wn.T, preferred_element_type=jnp.float32)
+
+
+def _apply_margin(cosine: jnp.ndarray, label: jnp.ndarray, m: jnp.ndarray,
+                  s: float, easy_margin: bool) -> jnp.ndarray:
+    cos_m = jnp.cos(m)
+    sin_m = jnp.sin(m)
+    sine = jnp.sqrt(jnp.clip(1.0 - jnp.square(cosine), 0.0, 1.0))
+    phi = cosine * cos_m - sine * sin_m
+    if easy_margin:
+        phi = jnp.where(cosine > 0, phi, cosine)
+    else:
+        th = jnp.cos(jnp.pi - m)           # = -cos(m)
+        mm = jnp.sin(jnp.pi - m) * m       # = sin(m)*m
+        phi = jnp.where(cosine - th > 0, phi, cosine - mm)
+    one_hot = jax.nn.one_hot(label, cosine.shape[-1], dtype=cosine.dtype)
+    return s * (one_hot * phi + (1.0 - one_hot) * cosine)
+
+
+def arcface_logits(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    label: jnp.ndarray,
+    m,
+    s: float = 64.0,
+    easy_margin: bool = False,
+) -> jnp.ndarray:
+    """Training logits with the additive angular margin (arcface.py:45-63).
+
+    Args:
+      x: [B, D] embeddings (any float dtype; math runs in float32).
+      weight: [C, D] class weights.
+      label: [B] int class ids.
+      m: margin — python float or traced scalar (curriculum-friendly).
+      s: logit scale.
+    Returns [B, C] float32 logits.
+    """
+    cosine = cosine_logits(x, weight)
+    m = jnp.asarray(m, jnp.float32)
+    return _apply_margin(cosine, label, m, s, easy_margin)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _arcface_kernel(x_ref, w_ref, label_ref, scal_ref, out_ref, *,
+                    easy_margin: bool, tile_c: int):
+    """One (TILE_B x TILE_C) tile of s*(onehot*phi + (1-onehot)*cos).
+
+    x_ref: [TILE_B, D] raw embeddings; w_ref: [TILE_C, D] raw class weights;
+    label_ref: [TILE_B, 1] int32; scal_ref: [1, 2] (m, s) in SMEM.
+    Row/col L2 norms are recomputed per tile — O((B+C)*D) extra VPU flops vs
+    the O(B*C*D) MXU matmul, a vanishing cost that buys us never touching a
+    [B, C] intermediate in HBM.
+    """
+    j = pl.program_id(1)
+    m = scal_ref[0, 0]
+    s = scal_ref[0, 1]
+
+    x = x_ref[:].astype(jnp.float32)
+    w = w_ref[:].astype(jnp.float32)
+    x = x * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(x * x, axis=1, keepdims=True), _EPS * _EPS))
+    w = w * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(w * w, axis=1, keepdims=True), _EPS * _EPS))
+    cosine = jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    cos_m = jnp.cos(m)
+    sin_m = jnp.sin(m)
+    sine = jnp.sqrt(jnp.clip(1.0 - cosine * cosine, 0.0, 1.0))
+    phi = cosine * cos_m - sine * sin_m
+    if easy_margin:
+        phi = jnp.where(cosine > 0, phi, cosine)
+    else:
+        phi = jnp.where(cosine + cos_m > 0, phi, cosine - sin_m * m)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, cosine.shape, 1) + j * tile_c
+    is_target = col == label_ref[:]  # [TILE_B,1] broadcasts over columns
+    out_ref[:] = s * jnp.where(is_target, phi, cosine)
+
+
+def _fused_forward(x, weight, label, m, s, easy_margin,
+                   tile_b: int, tile_c: int, interpret: bool):
+    bsz, dim = x.shape
+    n_cls = weight.shape[0]
+
+    pad_b = (-bsz) % tile_b
+    pad_c = (-n_cls) % tile_c
+    xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
+    # Pad classes with a harmless unit vector so rsqrt stays finite.
+    if pad_c:
+        pad_rows = jnp.zeros((pad_c, dim), weight.dtype).at[:, 0].set(1.0)
+        wp = jnp.concatenate([weight, pad_rows], axis=0)
+    else:
+        wp = weight
+    lp = jnp.pad(label.astype(jnp.int32), (0, pad_b), constant_values=-1)
+    scal = jnp.stack([jnp.asarray(m, jnp.float32),
+                      jnp.asarray(s, jnp.float32)]).reshape(1, 2)
+
+    grid = (xp.shape[0] // tile_b, wp.shape[0] // tile_c)
+    out = pl.pallas_call(
+        functools.partial(_arcface_kernel, easy_margin=easy_margin,
+                          tile_c=tile_c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, dim), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, tile_c), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], wp.shape[0]),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * xp.shape[0] * wp.shape[0] * dim,
+            bytes_accessed=4 * (xp.shape[0] * dim + wp.shape[0] * dim
+                                + xp.shape[0] * wp.shape[0]),
+            transcendentals=xp.shape[0] * wp.shape[0]),
+        interpret=interpret,
+    )(xp, wp, lp.reshape(-1, 1), scal)
+    return out[:bsz, :n_cls]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def arcface_logits_fused(x, weight, label, m, s=64.0, easy_margin=False,
+                         tile_b: int = 256, tile_c: int = 512,
+                         interpret: bool = False):
+    """Fused-Pallas ArcFace training logits; same contract as
+    ``arcface_logits``. Gradients are taken through the pure-JAX math (exact —
+    both implementations compute the same function).
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    """
+    return _fused_forward(x, weight, label, m, s, easy_margin,
+                          tile_b, tile_c, interpret)
+
+
+def _fused_fwd(x, weight, label, m, s, easy_margin, tile_b, tile_c, interpret):
+    out = _fused_forward(x, weight, label, m, s, easy_margin,
+                         tile_b, tile_c, interpret)
+    return out, (x, weight, label, jnp.asarray(m, jnp.float32))
+
+
+def _fused_bwd(s, easy_margin, tile_b, tile_c, interpret, res, g):
+    x, weight, label, m = res
+    _, vjp = jax.vjp(
+        lambda x_, w_, m_: arcface_logits(x_, w_, label, m_, s, easy_margin),
+        x, weight, m)
+    dx, dw, dm = vjp(g)
+    return dx, dw, None, dm
+
+
+arcface_logits_fused.defvjp(_fused_fwd, _fused_bwd)

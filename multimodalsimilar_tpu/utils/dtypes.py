@@ -1,0 +1,31 @@
+"""Mixed-precision dtype policy for TPU.
+
+The reference trains everything in float32 (PyTorch default). On TPU the MXU
+natively multiplies bfloat16 at 2x the fp32 rate with fp32 accumulation, so the
+framework default is: params in float32, compute (activations/matmuls) in
+bfloat16, reductions and loss in float32. The policy threads through every
+Flax module as the `dtype` / `param_dtype` pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DTypePolicy:
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    # Softmax / layernorm / loss accumulate in this dtype.
+    reduce_dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def full_precision(cls) -> "DTypePolicy":
+        return cls(param_dtype=jnp.float32, compute_dtype=jnp.float32,
+                   reduce_dtype=jnp.float32)
+
+
+def default_policy() -> DTypePolicy:
+    return DTypePolicy()
