@@ -1,0 +1,166 @@
+"""BERT/RoBERTa encoder in Flax — the text tower backbone.
+
+The reference wraps a HF torch ``BertModel`` ('hfl/chinese-roberta-wwm-ext',
+a BERT-architecture model despite the RoBERTa name) and consumes either its
+``pooler_output`` (transformer_emb.py:15-30) or a masked mean over
+``last_hidden_state`` (transformer_seq_emb.py:15-32). This module provides the
+same contract as a native Flax implementation designed for TPU:
+
+* bfloat16 compute / float32 params & softmax (MXU-friendly),
+* static [B, S] shapes (S <= 128 in every reference job) so XLA tiles all
+  matmuls onto the systolic array,
+* one fused attention einsum chain per layer — at S=128 a flash-attention
+  kernel buys nothing; the FLOPs live in the 4 dense projections + MLP, which
+  XLA already maps to the MXU back-to-back.
+
+Weights import 1:1 from a HF torch state_dict via
+``multimodalsimilar_tpu.models.hf_import.bert_params_from_torch``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 21128              # bert-base-chinese / roberta-wwm vocab
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+
+    @classmethod
+    def tiny(cls, **kw) -> "BertConfig":
+        """Small config for tests."""
+        base = dict(vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+                    intermediate_size=128, max_position_embeddings=64)
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def roberta_wwm_ext(cls) -> "BertConfig":
+        """hfl/chinese-roberta-wwm-ext (base, 768-d)."""
+        return cls()
+
+    @classmethod
+    def roberta_wwm_ext_large(cls) -> "BertConfig":
+        """hfl/chinese-roberta-wwm-ext-large (readme.md:20)."""
+        return cls(hidden_size=1024, num_layers=24, num_heads=16,
+                   intermediate_size=4096)
+
+
+class BertSelfAttention(nn.Module):
+    config: BertConfig
+    policy: DTypePolicy
+
+    @nn.compact
+    def __call__(self, hidden, mask_bias, deterministic: bool):
+        cfg, pol = self.config, self.policy
+        head_dim = cfg.hidden_size // cfg.num_heads
+        dense = lambda name: nn.DenseGeneral(
+            (cfg.num_heads, head_dim), dtype=pol.compute_dtype,
+            param_dtype=pol.param_dtype, name=name)
+        q = dense("query")(hidden)
+        k = dense("key")(hidden)
+        v = dense("value")(hidden)
+        # [B, H, S, S] scores, accumulated and softmaxed in float32.
+        scores = jnp.einsum("bshd,bthd->bhst", q, k,
+                            preferred_element_type=pol.reduce_dtype)
+        scores = scores / jnp.sqrt(jnp.asarray(head_dim, pol.reduce_dtype))
+        scores = scores + mask_bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(cfg.attention_dropout)(
+            probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhst,bthd->bshd", probs.astype(pol.compute_dtype), v,
+                         preferred_element_type=pol.reduce_dtype)
+        out = nn.DenseGeneral(cfg.hidden_size, axis=(-2, -1),
+                              dtype=pol.compute_dtype,
+                              param_dtype=pol.param_dtype, name="out")(
+            ctx.astype(pol.compute_dtype))
+        return out
+
+
+class BertLayer(nn.Module):
+    config: BertConfig
+    policy: DTypePolicy
+
+    @nn.compact
+    def __call__(self, hidden, mask_bias, deterministic: bool):
+        cfg, pol = self.config, self.policy
+        attn = BertSelfAttention(cfg, pol, name="attention")(
+            hidden, mask_bias, deterministic)
+        attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic)
+        hidden = nn.LayerNorm(cfg.layer_norm_eps, dtype=pol.reduce_dtype,
+                              param_dtype=pol.param_dtype,
+                              name="attention_norm")(hidden + attn)
+        hidden = hidden.astype(pol.compute_dtype)
+
+        mlp = nn.Dense(cfg.intermediate_size, dtype=pol.compute_dtype,
+                       param_dtype=pol.param_dtype, name="intermediate")(hidden)
+        mlp = nn.gelu(mlp, approximate=False)  # HF 'gelu' is the erf form
+        mlp = nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype,
+                       param_dtype=pol.param_dtype, name="output")(mlp)
+        mlp = nn.Dropout(cfg.hidden_dropout)(mlp, deterministic)
+        hidden = nn.LayerNorm(cfg.layer_norm_eps, dtype=pol.reduce_dtype,
+                              param_dtype=pol.param_dtype,
+                              name="output_norm")(hidden + mlp)
+        return hidden.astype(pol.compute_dtype)
+
+
+class BertEncoderModel(nn.Module):
+    """Embeddings + transformer stack + tanh pooler (= HF BertModel)."""
+
+    config: BertConfig
+    policy: DTypePolicy = DTypePolicy()
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 position_ids=None, deterministic: bool = True):
+        cfg, pol = self.config, self.policy
+        B, S = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, S), jnp.int32)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros((B, S), jnp.int32)
+        if position_ids is None:
+            position_ids = jnp.arange(S, dtype=jnp.int32)[None, :]
+
+        embed = lambda n, v: nn.Embed(
+            v, cfg.hidden_size, param_dtype=pol.param_dtype, name=n)
+        h = (embed("word_embeddings", cfg.vocab_size)(input_ids)
+             + embed("position_embeddings",
+                     cfg.max_position_embeddings)(position_ids)
+             + embed("token_type_embeddings",
+                     cfg.type_vocab_size)(token_type_ids))
+        h = nn.LayerNorm(cfg.layer_norm_eps, dtype=pol.reduce_dtype,
+                         param_dtype=pol.param_dtype,
+                         name="embeddings_norm")(h)
+        h = nn.Dropout(cfg.hidden_dropout)(h, deterministic)
+        h = h.astype(pol.compute_dtype)
+
+        # Additive attention bias: 0 for attended, big-negative for padding.
+        mask_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0,
+                              jnp.finfo(pol.reduce_dtype).min)
+        mask_bias = mask_bias.astype(pol.reduce_dtype)
+
+        for i in range(cfg.num_layers):
+            h = BertLayer(cfg, pol, name=f"layer_{i}")(
+                h, mask_bias, deterministic)
+
+        pooled = nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype,
+                          param_dtype=pol.param_dtype, name="pooler")(h[:, 0])
+        pooled = jnp.tanh(pooled.astype(pol.reduce_dtype))
+        return {"last_hidden_state": h, "pooler_output": pooled}

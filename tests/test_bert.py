@@ -1,0 +1,84 @@
+"""Flax BERT encoder parity vs HF torch BertModel (random weights, no hub)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+from transformers import BertConfig as HFBertConfig, BertModel
+
+from multimodalsimilar_tpu.models.bert import BertConfig, BertEncoderModel
+from multimodalsimilar_tpu.models.hf_import import bert_params_from_torch
+from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+
+@pytest.fixture(scope="module")
+def pair():
+    cfg = BertConfig.tiny()
+    hf_cfg = HFBertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_act="gelu", attn_implementation="eager")
+    torch.manual_seed(0)
+    hf = BertModel(hf_cfg).eval()
+    model = BertEncoderModel(cfg, policy=DTypePolicy.full_precision())
+    params = bert_params_from_torch(hf.state_dict(), cfg)
+    return hf, model, params, cfg
+
+
+def _inputs(cfg, batch=4, seq=16, seed=1):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, cfg.vocab_size, size=(batch, seq))
+    mask = np.ones((batch, seq), np.int32)
+    # ragged padding on half the rows
+    mask[::2, seq // 2:] = 0
+    types = rng.integers(0, 2, size=(batch, seq))
+    return ids.astype(np.int32), mask, types.astype(np.int32)
+
+
+def test_matches_hf_outputs(pair):
+    hf, model, params, cfg = pair
+    ids, mask, types = _inputs(cfg)
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(ids).long(),
+                  attention_mask=torch.from_numpy(mask).long(),
+                  token_type_ids=torch.from_numpy(types).long())
+    got = model.apply({"params": params}, jnp.asarray(ids),
+                      jnp.asarray(mask), jnp.asarray(types))
+    np.testing.assert_allclose(
+        got["pooler_output"], want.pooler_output.numpy(),
+        rtol=1e-4, atol=1e-4)
+    # padded positions diverge (HF computes garbage there; we only assert
+    # attended positions, which is what both poolings consume)
+    m = mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got["last_hidden_state"])[m],
+        want.last_hidden_state.numpy()[m], rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_policy_close_to_fp32(pair):
+    hf, _, params, cfg = pair
+    ids, mask, types = _inputs(cfg)
+    bf16_model = BertEncoderModel(cfg)  # default policy: bf16 compute
+    got = bf16_model.apply({"params": params}, jnp.asarray(ids),
+                           jnp.asarray(mask), jnp.asarray(types))
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(ids).long(),
+                  attention_mask=torch.from_numpy(mask).long(),
+                  token_type_ids=torch.from_numpy(types).long())
+    # bf16 has ~3 decimal digits; embeddings must stay directionally exact.
+    a = np.asarray(got["pooler_output"], np.float32)
+    b = want.pooler_output.numpy()
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                             * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 1 - 1e-3
+
+
+def test_jit_static_shapes(pair):
+    _, model, params, cfg = pair
+    ids, mask, types = _inputs(cfg)
+    f = jax.jit(lambda p, i, m, t: model.apply({"params": p}, i, m, t))
+    out = f(params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types))
+    assert out["pooler_output"].shape == (4, cfg.hidden_size)
