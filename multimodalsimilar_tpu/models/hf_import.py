@@ -17,6 +17,8 @@ from typing import Dict, Mapping
 import numpy as np
 
 from multimodalsimilar_tpu.models.bert import BertConfig
+from multimodalsimilar_tpu.models.efficientnet import (
+    EfficientNetConfig, round_repeats)
 
 
 def _np(t) -> np.ndarray:
@@ -77,3 +79,74 @@ def bert_params_from_torch(state_dict: Mapping[str, "np.ndarray"],
             "output_norm": ln(f"{p}.output.LayerNorm"),
         }
     return params
+
+
+def efficientnet_params_from_timm(state_dict: Mapping[str, "np.ndarray"],
+                                  config: EfficientNetConfig):
+    """timm EfficientNet state_dict -> (params, batch_stats) for
+    ``models.efficientnet.EfficientNet``.
+
+    Layout changes: conv kernels OIHW -> HWIO; depthwise [C,1,k,k] ->
+    [k,k,1,C]. timm block naming — stage-0 DepthwiseSeparableConv uses
+    conv_dw/bn1/se/conv_pw/bn2; InvertedResidual uses
+    conv_pw/bn1/conv_dw/bn2/se/conv_pwl/bn3 — matches our module names 1:1.
+    The classifier (stripped by the reference via reset_classifier(0),
+    image_emb.py:20) is ignored if present.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def conv(prefix, depthwise=False):
+        w = sd[f"{prefix}.weight"]
+        if depthwise:  # [C,1,k,k] -> [k,k,1,C]
+            return {"kernel": w.transpose(2, 3, 1, 0)}
+        return {"kernel": w.transpose(2, 3, 1, 0)}
+
+    def conv_b(prefix):
+        return {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0),
+                "bias": sd[f"{prefix}.bias"]}
+
+    def bn(prefix):
+        return ({"scale": sd[f"{prefix}.weight"],
+                 "bias": sd[f"{prefix}.bias"]},
+                {"mean": sd[f"{prefix}.running_mean"],
+                 "var": sd[f"{prefix}.running_var"]})
+
+    params, stats = {}, {}
+
+    def put_bn(tree_p, tree_s, name, prefix):
+        p, s = bn(prefix)
+        tree_p[name] = p
+        tree_s[name] = s
+
+    params["conv_stem"] = conv("conv_stem")
+    put_bn(params, stats, "bn1", "bn1")
+
+    per_stage = [round_repeats(r, config.depth_mult)
+                 for (_, _, r, _, _) in config.stages]
+    for s_i, n_blocks in enumerate(per_stage):
+        expand = config.stages[s_i][0]
+        for b_i in range(n_blocks):
+            t = f"blocks.{s_i}.{b_i}"
+            bp, bs = {}, {}
+            if expand == 1:
+                bp["conv_dw"] = conv(f"{t}.conv_dw", depthwise=True)
+                put_bn(bp, bs, "bn1", f"{t}.bn1")
+                bp["se"] = {"conv_reduce": conv_b(f"{t}.se.conv_reduce"),
+                            "conv_expand": conv_b(f"{t}.se.conv_expand")}
+                bp["conv_pw"] = conv(f"{t}.conv_pw")
+                put_bn(bp, bs, "bn2", f"{t}.bn2")
+            else:
+                bp["conv_pw"] = conv(f"{t}.conv_pw")
+                put_bn(bp, bs, "bn1", f"{t}.bn1")
+                bp["conv_dw"] = conv(f"{t}.conv_dw", depthwise=True)
+                put_bn(bp, bs, "bn2", f"{t}.bn2")
+                bp["se"] = {"conv_reduce": conv_b(f"{t}.se.conv_reduce"),
+                            "conv_expand": conv_b(f"{t}.se.conv_expand")}
+                bp["conv_pwl"] = conv(f"{t}.conv_pwl")
+                put_bn(bp, bs, "bn3", f"{t}.bn3")
+            params[f"blocks_{s_i}_{b_i}"] = bp
+            stats[f"blocks_{s_i}_{b_i}"] = bs
+
+    params["conv_head"] = conv("conv_head")
+    put_bn(params, stats, "bn2", "bn2")
+    return params, stats
