@@ -1,0 +1,225 @@
+"""Batched dataset sources producing fixed-shape numpy batches.
+
+The reference pipes HF datasets -> torch DataLoader per script; here each
+source materializes static-shape batches directly (TPU programs are compiled
+per shape — every batch of a job must look identical), and
+``data.prefetch.prefetch_to_device`` overlaps host work with device steps.
+
+Sources:
+* TextClassificationSource  <- the load_dataset("csv"/"parquet") + tokenize
+  pipelines (nlp_classifier_train.py:70-87, .._v2.py:85-105)
+* ImageClassificationSource <- CvDataset + None-filtering collate
+  (cv_dataset.py:13-43, cv_classifier_train_daodian.py:178-180); failed
+  decodes are skipped and the batch topped up from the sampler, so batches
+  stay full and static
+* MultimodalSource          <- MultimodalDataset (multimodal_dataset.py:34-65)
+* PairTextSource            <- NlpSTDataset pair batches (nlp_st_datasets.py)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+
+from multimodalsimilar_tpu.data import images as I
+from multimodalsimilar_tpu.data.sampling import PairSampler, WeightedSampler
+from multimodalsimilar_tpu.data.text import preprocess_for_infer
+from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
+
+Batch = Dict[str, np.ndarray]
+
+
+def read_table(path: str) -> pd.DataFrame:
+    """CSV or parquet by extension (the reference's two input formats)."""
+    if path.endswith(".parquet"):
+        return pd.read_parquet(path)
+    return pd.read_csv(path)
+
+
+def _epoch_order(n: int, shuffle: bool, seed: int, epoch: int,
+                 sampler: Optional[WeightedSampler]) -> np.ndarray:
+    if sampler is not None:
+        return np.fromiter(iter(sampler), np.int64, len(sampler))
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(order)
+    return order
+
+
+class TextClassificationSource:
+    """(title, label...) rows -> tokenized batches.
+
+    label_cols may be one column (single-head ArcFace) or several (the
+    3-level multilabel job, nlp_classifier_train_daodian_v3_dist.py).
+    """
+
+    def __init__(self, df: pd.DataFrame, tokenizer: TextTokenizer,
+                 text_col: str = "spu_name",
+                 label_cols: Union[str, Sequence[str]] = "labels",
+                 max_length: int = 128, clean: bool = True):
+        self.df = df.reset_index(drop=True)
+        self.tokenizer = tokenizer
+        self.text_col = text_col
+        self.label_cols = ([label_cols] if isinstance(label_cols, str)
+                           else list(label_cols))
+        self.max_length = max_length
+        texts = self.df[text_col].astype(str).tolist()
+        self.texts = preprocess_for_infer(texts) if clean else texts
+
+    def __len__(self):
+        return len(self.df)
+
+    def materialize(self, idx: np.ndarray) -> Batch:
+        batch = dict(self.tokenizer([self.texts[i] for i in idx],
+                                    self.max_length))
+        for col in self.label_cols:
+            key = "labels" if len(self.label_cols) == 1 else col
+            batch[key] = self.df[col].values[idx].astype(np.int32)
+        return batch
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                epoch: int = 0, sampler: Optional[WeightedSampler] = None,
+                drop_remainder: bool = True) -> Iterator[Batch]:
+        order = _epoch_order(len(self), shuffle, seed, epoch, sampler)
+        stop = (len(order) - batch_size + 1) if drop_remainder \
+            else len(order)
+        for s in range(0, max(stop, 0), batch_size):
+            yield self.materialize(order[s: s + batch_size])
+
+
+class ImageClassificationSource:
+    """{img_root}/{key}.jpg images + integer labels -> NHWC batches.
+
+    Decode failures are *skipped and replaced* by the next sampler index
+    (vs the reference's shrinking batches) so every batch has the same
+    static shape.
+    """
+
+    def __init__(self, df: pd.DataFrame, img_root: str,
+                 key_col: str = "goods_sku", label_col: str = "tag_new_id",
+                 image_size: int = 512, train_aug: bool = False,
+                 path_fn: Optional[Callable[[pd.Series], str]] = None):
+        self.df = df.reset_index(drop=True)
+        self.img_root = img_root
+        self.key_col, self.label_col = key_col, label_col
+        self.image_size = image_size
+        self.train_aug = train_aug
+        self.path_fn = path_fn or (
+            lambda row: os.path.join(img_root, f"{row[key_col]}.jpg"))
+
+    def __len__(self):
+        return len(self.df)
+
+    def _load(self, i: int, rng: np.random.Generator
+              ) -> Optional[np.ndarray]:
+        path = self.path_fn(self.df.iloc[i])
+        if self.train_aug:
+            return I.load_train(path, self.image_size, rng)
+        return I.load_eval(path, self.image_size)
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                epoch: int = 0, sampler: Optional[WeightedSampler] = None,
+                drop_remainder: bool = True) -> Iterator[Batch]:
+        rng = np.random.default_rng(seed * 1000 + epoch)
+        order = list(_epoch_order(len(self), shuffle, seed, epoch, sampler))
+        imgs: List[np.ndarray] = []
+        labels: List[int] = []
+        pos = 0
+        while pos < len(order):
+            i = order[pos]
+            pos += 1
+            img = self._load(int(i), rng)
+            if img is None:
+                continue
+            imgs.append(img)
+            labels.append(int(self.df[self.label_col].iloc[int(i)]))
+            if len(imgs) == batch_size:
+                yield {"images": np.stack(imgs),
+                       "labels": np.asarray(labels, np.int32)}
+                imgs, labels = [], []
+        if imgs and not drop_remainder:
+            yield {"images": np.stack(imgs),
+                   "labels": np.asarray(labels, np.int32)}
+
+
+class MultimodalSource:
+    """Tokenized titles + images + labels (multimodal_dataset.py semantics:
+    clean title, tokenize at max_len 128; image at {img_root}/{spu_sn}.jpg)."""
+
+    def __init__(self, df: pd.DataFrame, tokenizer: TextTokenizer,
+                 img_root: str, text_col: str = "spu_name",
+                 key_col: str = "spu_sn", label_col: str = "cateid",
+                 max_length: int = 128, image_size: int = 380,
+                 train_aug: bool = False):
+        self.text = TextClassificationSource(df, tokenizer, text_col,
+                                             label_col, max_length)
+        self.image = ImageClassificationSource(
+            df, img_root, key_col, label_col, image_size, train_aug)
+        self.df = self.text.df
+
+    def __len__(self):
+        return len(self.df)
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                epoch: int = 0, drop_remainder: bool = True
+                ) -> Iterator[Batch]:
+        rng = np.random.default_rng(seed * 1000 + epoch)
+        order = list(_epoch_order(len(self), shuffle, seed, epoch, None))
+        keep: List[int] = []
+        imgs: List[np.ndarray] = []
+        pos = 0
+        while pos < len(order):
+            i = int(order[pos])
+            pos += 1
+            img = self.image._load(i, rng)
+            if img is None:
+                continue
+            keep.append(i)
+            imgs.append(img)
+            if len(keep) == batch_size:
+                batch = self.text.materialize(np.asarray(keep))
+                batch["images"] = np.stack(imgs)
+                yield batch
+                keep, imgs = [], []
+        if keep and not drop_remainder:
+            batch = self.text.materialize(np.asarray(keep))
+            batch["images"] = np.stack(imgs)
+            yield batch
+
+
+class PairTextSource:
+    """Siamese pair batches via PairSampler (NlpSTDataset capability)."""
+
+    def __init__(self, df: pd.DataFrame, tokenizer: TextTokenizer,
+                 max_length: int = 128, seed: int = 0):
+        self.sampler = PairSampler(df, seed=seed)
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.df = self.sampler.df
+
+    def __len__(self):
+        return len(self.df)
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                epoch: int = 0, sampler: Optional[WeightedSampler] = None,
+                drop_remainder: bool = True) -> Iterator[Batch]:
+        order = _epoch_order(len(self), shuffle, seed, epoch, sampler)
+        stop = (len(order) - batch_size + 1) if drop_remainder \
+            else len(order)
+        for s in range(0, max(stop, 0), batch_size):
+            idx = order[s: s + batch_size]
+            pairs = [self.sampler.sample_pair(int(i)) for i in idx]
+            q = self.tokenizer([p[0] for p in pairs], self.max_length)
+            t = self.tokenizer([p[1] for p in pairs], self.max_length)
+            yield {
+                "query_input_ids": q["input_ids"],
+                "query_attention_mask": q["attention_mask"],
+                "query_token_type_ids": q["token_type_ids"],
+                "title_input_ids": t["input_ids"],
+                "title_attention_mask": t["attention_mask"],
+                "title_token_type_ids": t["token_type_ids"],
+                "labels": np.asarray([p[2] for p in pairs], np.int32),
+            }

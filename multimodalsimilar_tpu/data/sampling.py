@@ -1,0 +1,128 @@
+"""Sampling strategies: class-balanced weights, weighted sampling, pair
+sampling for the Siamese model.
+
+* ``class_balance_weights`` <- get_class_weights
+  (nlp_classifier_train_daodian_v2.py:58-72): per-row weight = 1 / freq(label)
+  — the inverse-frequency weights fed to WeightedRandomSampler (:96-97).
+* ``WeightedSampler`` — replacement sampling by those weights (epoch-sized).
+* ``PairSampler`` <- NlpSTDataset (nlp_st_datasets.py:13-100): coin-flip
+  positive/negative pair construction over the tag/lv2/lv1 hierarchy. The
+  reference's ``sample(random_state=42)`` makes every lookup return the *same*
+  row each epoch (a latent bug per SURVEY.md §7) — here sampling uses a real
+  RNG. Bucket indices are precomputed once (the reference re-scans the whole
+  DataFrame per item per epoch).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+
+def class_balance_weights(labels: np.ndarray) -> np.ndarray:
+    """weight[i] = 1 / count(labels == labels[i]) (inverse frequency)."""
+    labels = np.asarray(labels)
+    _, inverse, counts = np.unique(labels, return_inverse=True,
+                                   return_counts=True)
+    return (1.0 / counts)[inverse]
+
+
+class WeightedSampler:
+    """Sample indices with replacement, P(i) proportional to weights[i] (the
+    torch WeightedRandomSampler contract)."""
+
+    def __init__(self, weights: np.ndarray, num_samples: Optional[int] = None,
+                 seed: int = 0):
+        self.p = np.asarray(weights, np.float64)
+        self.p = self.p / self.p.sum()
+        self.num_samples = num_samples or len(self.p)
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self) -> Iterator[int]:
+        yield from self.rng.choice(len(self.p), size=self.num_samples,
+                                   replace=True, p=self.p)
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+
+class PairSampler:
+    """Online positive/negative pair construction for Siamese training.
+
+    Thresholds follow nlp_st_datasets.py:17-19 — tag 0.7 / lv2 0.2 / lv1 0.1.
+    For an anchor row:
+      P(positive) = 0.5; positive drawn from same-lv1 (r<0.1), same-lv2
+      (r<0.2, or tag missing), else same-tag bucket; negative drawn from
+      same-lv2-diff-tag (r<0.1), same-lv1-diff-lv2 (r<0.2), else diff-lv1.
+      Any failed lookup falls back to a (self, self, positive) pair
+      (nlp_st_datasets.py:89-91).
+    """
+
+    def __init__(self, df: pd.DataFrame, seed: int = 0,
+                 tag_th: float = 0.7, lv2_th: float = 0.2, lv1_th: float = 0.1):
+        self.df = df.reset_index(drop=True)
+        self.rng = np.random.default_rng(seed)
+        self.tag_th, self.lv2_th, self.lv1_th = tag_th, lv2_th, lv1_th
+        self._by_tag = self._index(df, "tag_id")
+        self._by_lv2 = self._index(df, "lv2_category_id")
+        self._by_lv1 = self._index(df, "lv1_category_id")
+
+    @staticmethod
+    def _index(df: pd.DataFrame, col: str) -> Dict:
+        return {k: np.asarray(v) for k, v in
+                df.groupby(col).indices.items()}
+
+    def _pick(self, candidates: np.ndarray, exclude_idx: int) -> Optional[int]:
+        if candidates is None or len(candidates) == 0:
+            return None
+        for _ in range(4):
+            j = int(self.rng.choice(candidates))
+            if j != exclude_idx:
+                return j
+        return None
+
+    def sample_pair(self, idx: int) -> Tuple[str, str, int]:
+        """Return (query_title, pair_title, label) for anchor row idx."""
+        row = self.df.iloc[idx]
+        query = row["title"]
+        tag, lv2, lv1 = row["tag_id"], row["lv2_category_id"], \
+            row["lv1_category_id"]
+        title = None
+        if self.rng.uniform() > 0.5:           # positive
+            r = self.rng.uniform()
+            if r < self.lv1_th:
+                j = self._pick(self._by_lv1.get(lv1), idx)
+            elif r < self.lv2_th or tag == -1:
+                j = self._pick(self._by_lv2.get(lv2), idx)
+            elif r < self.tag_th:
+                j = self._pick(self._by_tag.get(tag), idx)
+            else:
+                j = None
+            label = 1
+            if j is not None:
+                title = self.df.iloc[j]["title"]
+        else:                                   # negative
+            r = self.rng.uniform()
+            j = None
+            if r < self.lv1_th and tag != -1:
+                cands = self._by_lv2.get(lv2)
+                if cands is not None:
+                    mask = self.df["tag_id"].values[cands] != tag
+                    j = self._pick(cands[mask], idx)
+            elif r < self.lv2_th:
+                cands = self._by_lv1.get(lv1)
+                if cands is not None:
+                    mask = self.df["lv2_category_id"].values[cands] != lv2
+                    j = self._pick(cands[mask], idx)
+            elif r < self.tag_th:
+                all_idx = np.arange(len(self.df))
+                mask = self.df["lv1_category_id"].values != lv1
+                j = self._pick(all_idx[mask], idx)
+            label = 0
+            if j is not None:
+                title = self.df.iloc[j]["title"]
+        if title is None:
+            title, label = query, 1            # fallback self-pair positive
+        return query, title, label

@@ -1,0 +1,116 @@
+"""Data layer: text cleaning parity, tokenizer shapes, samplers, batching."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodalsimilar_tpu.data.datasets import (
+    PairTextSource, TextClassificationSource)
+from multimodalsimilar_tpu.data.sampling import (
+    PairSampler, WeightedSampler, class_balance_weights)
+from multimodalsimilar_tpu.data.text import gen_title, preprocess_for_infer
+from multimodalsimilar_tpu.data.tokenizer import TextTokenizer, build_char_vocab
+
+
+def test_preprocess_for_infer_reference_semantics():
+    # replace marketing tokens then strip [..] groups (reference order)
+    got = preprocess_for_infer([
+        "【福利秒杀】苹果[2斤装]新鲜",
+        "源本 香蕉【每日福利】",
+        "无修改商品",
+    ])
+    assert got == ["苹果新鲜", " 香蕉", "无修改商品"]
+
+
+def test_gen_title_reference_semantics():
+    item = {
+        "product_name": "可乐330ml",
+        "first_level_category_name": "饮料1类",
+        "second_level_category_name": "碳酸2饮料",
+        "product_title": "冰爽  可乐 2022款",
+    }
+    # digits stripped from categories+title, kept in product name; ws collapsed
+    assert gen_title(item) == "饮料类 碳酸饮料 可乐330ml 冰爽 可乐 款"
+    item["product_title"] = float("nan")
+    assert gen_title(item) == "饮料类 碳酸饮料 可乐330ml"
+
+
+def test_char_tokenizer_round_trip():
+    corpus = ["苹果汁", "香蕉牛奶", "abc"]
+    tok = TextTokenizer.from_corpus(corpus)
+    out = tok(["苹果", "香蕉x"], max_length=8)
+    assert out["input_ids"].shape == (2, 8)
+    assert out["attention_mask"].sum(1).tolist() == [4, 5]  # CLS+chars+SEP
+    # unknown char maps to [UNK]=1
+    assert 1 in out["input_ids"][1]
+
+
+def test_class_balance_weights():
+    labels = np.array([0, 0, 0, 1, 2, 2])
+    w = class_balance_weights(labels)
+    np.testing.assert_allclose(w, [1/3, 1/3, 1/3, 1.0, 1/2, 1/2])
+
+
+def test_weighted_sampler_distribution():
+    w = np.array([0.0, 1.0, 3.0])
+    s = WeightedSampler(w, num_samples=20000, seed=0)
+    idx = np.fromiter(iter(s), np.int64, 20000)
+    assert (idx == 0).sum() == 0
+    assert abs((idx == 2).mean() - 0.75) < 0.02
+
+
+def _pair_df():
+    rng = np.random.default_rng(0)
+    n = 200
+    lv1 = rng.integers(0, 3, n)
+    lv2 = lv1 * 10 + rng.integers(0, 3, n)
+    tag = lv2 * 10 + rng.integers(0, 3, n)
+    return pd.DataFrame({
+        "title": [f"t{i}" for i in range(n)],
+        "sku_sn_name": [f"s{i}" for i in range(n)],
+        "tag_id": tag, "lv2_category_id": lv2, "lv1_category_id": lv1})
+
+
+def test_pair_sampler_labels_respect_hierarchy():
+    df = _pair_df()
+    ps = PairSampler(df, seed=1)
+    title_to_row = {r["title"]: r for _, r in df.iterrows()}
+    pos = neg = 0
+    for i in range(150):
+        q, t, label = ps.sample_pair(i)
+        rq, rt = title_to_row[q], title_to_row[t]
+        if label == 0:
+            neg += 1
+            # negatives never share the finest bucket that was required
+            assert not (rq["tag_id"] == rt["tag_id"]
+                        and rq["lv2_category_id"] == rt["lv2_category_id"]
+                        and q == t)
+        else:
+            pos += 1
+    assert pos > 30 and neg > 30
+
+
+def test_text_source_static_shapes():
+    df = pd.DataFrame({"spu_name": [f"商品{i}号" for i in range(37)],
+                       "labels": np.arange(37) % 5})
+    tok = TextTokenizer.from_corpus(df["spu_name"])
+    src = TextClassificationSource(df, tok, max_length=16)
+    batches = list(src.batches(batch_size=8, seed=0))
+    assert len(batches) == 4  # drop_remainder
+    for b in batches:
+        assert b["input_ids"].shape == (8, 16)
+        assert b["labels"].shape == (8,)
+    # weighted sampling plugs in
+    w = class_balance_weights(df["labels"].values)
+    bs = list(src.batches(8, sampler=WeightedSampler(w, seed=0)))
+    assert len(bs) == 4
+
+
+def test_pair_source_batch_keys():
+    df = _pair_df()
+    tok = TextTokenizer.from_corpus(df["title"])
+    src = PairTextSource(df, tok, max_length=8)
+    b = next(src.batches(16))
+    assert b["query_input_ids"].shape == (16, 8)
+    assert b["title_input_ids"].shape == (16, 8)
+    assert set(np.unique(b["labels"])) <= {0, 1}
