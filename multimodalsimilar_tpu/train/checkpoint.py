@@ -1,0 +1,46 @@
+"""Checkpointing via Orbax.
+
+Replaces the reference's whole-module pickles (torch.save(model) every 1000
+steps, nlp_classifier_train.py:158-159) and its single proper resume dict
+(cv_classifier_train_daodian.py:299-306) with structured orbax checkpoints of
+the full TrainState (params, batch_stats, opt_state, step, margin) — so every
+job is resumable, and inference loads {params, batch_stats} without unpickling
+arbitrary code.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+        self._last_saved = -1
+
+    def save(self, step: int, state: Any, force: bool = False):
+        if step == self._last_saved and not force:
+            return
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+        self._last_saved = step
+
+    def restore(self, step: Optional[int] = None, template: Any = None):
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        if template is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        return self._mgr.restore(step)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()

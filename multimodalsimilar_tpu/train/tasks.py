@@ -1,0 +1,190 @@
+"""Task adapters: bind each model family to loss/eval logic for the Trainer.
+
+One Trainer covers every reference training loop (SURVEY.md §2.3); the
+variation between loops — which tensors feed the model, which labels feed
+which head, how the loss is weighted — is captured here as a ``Task``:
+
+* text_arcface_task       <- nlp_classifier_train*.py  (CE over margin logits)
+* multilabel_arcface_task <- nlp_classifier_train_daodian_v3_dist.py
+  (weighted 3-head CE, default 10/5/1 per --lv*_weight flags :79-87; accuracy
+  tracked on the tag head :168-169)
+* cv_arcface_task         <- cv_classifier_train*.py (batch_stats + dropout,
+  margin curriculum driven by Trainer)
+* multimodal_arcface_task <- multimodal_classifier_train.py
+* pair_task               <- nlp_st_train_daodian.py (2-class CE)
+
+Each Task exposes ``init(rng, batch)``, ``train_loss(params, batch_stats,
+batch, rng, margin)`` and ``eval_metrics(params, batch_stats, batch)`` — all
+pure functions, jitted by the Trainer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Batch = Dict[str, jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class Task:
+    model: Any
+    init: Callable
+    train_loss: Callable
+    eval_metrics: Callable
+    has_batch_stats: bool = False
+
+
+def _ce(logits, labels):
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits, labels).mean()
+
+
+def _acc(logits, labels):
+    return jnp.mean(jnp.argmax(logits, -1) == labels)
+
+
+def _text_inputs(batch: Batch):
+    return dict(input_ids=batch["input_ids"],
+                attention_mask=batch.get("attention_mask"),
+                token_type_ids=batch.get("token_type_ids"))
+
+
+def text_arcface_task(model) -> Task:
+    def init(rng, batch):
+        return model.init({"params": rng}, **_text_inputs(batch),
+                          label=batch["labels"])
+
+    def train_loss(params, batch_stats, batch, rng, margin):
+        logits = model.apply({"params": params}, **_text_inputs(batch),
+                             label=batch["labels"], m=margin,
+                             deterministic=False, rngs={"dropout": rng})
+        loss = _ce(logits, batch["labels"])
+        return loss, ({"loss": loss, "acc": _acc(logits, batch["labels"])},
+                      batch_stats)
+
+    def eval_metrics(params, batch_stats, batch):
+        logits = model.apply({"params": params}, **_text_inputs(batch),
+                             is_test=True)
+        return {"acc": _acc(logits, batch["labels"]),
+                "loss": _ce(64.0 * logits, batch["labels"])}
+
+    return Task(model, init, train_loss, eval_metrics)
+
+
+def multilabel_arcface_task(model, weights=(10.0, 5.0, 1.0)) -> Task:
+    """Weighted multi-head loss, v3_dist.py:164-166 semantics."""
+
+    def labels(batch):
+        return dict(lv1_label=batch["lv1_label"],
+                    lv2_label=batch["lv2_label"],
+                    tag_label=batch["tag_label"])
+
+    def init(rng, batch):
+        return model.init({"params": rng}, **_text_inputs(batch),
+                          **labels(batch))
+
+    def train_loss(params, batch_stats, batch, rng, margin):
+        l1, l2, lt = model.apply({"params": params}, **_text_inputs(batch),
+                                 **labels(batch), deterministic=False,
+                                 rngs={"dropout": rng})
+        loss = (weights[0] * _ce(l1, batch["lv1_label"])
+                + weights[1] * _ce(l2, batch["lv2_label"])
+                + weights[2] * _ce(lt, batch["tag_label"]))
+        return loss, ({"loss": loss, "acc": _acc(lt, batch["tag_label"])},
+                      batch_stats)
+
+    def eval_metrics(params, batch_stats, batch):
+        l1, l2, lt = model.apply({"params": params}, **_text_inputs(batch),
+                                 is_test=True)
+        return {"acc": _acc(lt, batch["tag_label"]),
+                "lv1_acc": _acc(l1, batch["lv1_label"]),
+                "lv2_acc": _acc(l2, batch["lv2_label"])}
+
+    return Task(model, init, train_loss, eval_metrics)
+
+
+def cv_arcface_task(model) -> Task:
+    def init(rng, batch):
+        return model.init({"params": rng}, batch["images"],
+                          label=batch["labels"])
+
+    def train_loss(params, batch_stats, batch, rng, margin):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"], label=batch["labels"], m=margin, train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        loss = _ce(logits, batch["labels"])
+        return loss, ({"loss": loss, "acc": _acc(logits, batch["labels"])},
+                      mutated["batch_stats"])
+
+    def eval_metrics(params, batch_stats, batch):
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             batch["images"], is_test=True)
+        # micro-F1 == accuracy for single-label multiclass
+        # (cv_classifier_train_daodian.py:173 tracks micro-F1)
+        return {"acc": _acc(logits, batch["labels"])}
+
+    return Task(model, init, train_loss, eval_metrics,
+                has_batch_stats=True)
+
+
+def multimodal_arcface_task(model) -> Task:
+    def inputs(batch):
+        return (batch["images"],), _text_inputs(batch)
+
+    def init(rng, batch):
+        args, kw = inputs(batch)
+        return model.init({"params": rng}, *args, **kw,
+                          label=batch["labels"])
+
+    def train_loss(params, batch_stats, batch, rng, margin):
+        args, kw = inputs(batch)
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, *args, **kw,
+            label=batch["labels"], m=margin, train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        loss = _ce(logits, batch["labels"])
+        return loss, ({"loss": loss, "acc": _acc(logits, batch["labels"])},
+                      mutated["batch_stats"])
+
+    def eval_metrics(params, batch_stats, batch):
+        args, kw = inputs(batch)
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             *args, **kw, is_test=True)
+        return {"acc": _acc(logits, batch["labels"])}
+
+    return Task(model, init, train_loss, eval_metrics,
+                has_batch_stats=True)
+
+
+def pair_task(model) -> Task:
+    def inputs(batch):
+        return dict(
+            query_input_ids=batch["query_input_ids"],
+            title_input_ids=batch["title_input_ids"],
+            query_attention_mask=batch.get("query_attention_mask"),
+            query_token_type_ids=batch.get("query_token_type_ids"),
+            title_attention_mask=batch.get("title_attention_mask"),
+            title_token_type_ids=batch.get("title_token_type_ids"))
+
+    def init(rng, batch):
+        return model.init({"params": rng}, **inputs(batch))
+
+    def train_loss(params, batch_stats, batch, rng, margin):
+        logits = model.apply({"params": params}, **inputs(batch),
+                             deterministic=False, rngs={"dropout": rng})
+        loss = _ce(logits, batch["labels"])
+        return loss, ({"loss": loss, "acc": _acc(logits, batch["labels"])},
+                      batch_stats)
+
+    def eval_metrics(params, batch_stats, batch):
+        logits = model.apply({"params": params}, **inputs(batch))
+        return {"acc": _acc(logits, batch["labels"]),
+                "loss": _ce(logits, batch["labels"])}
+
+    return Task(model, init, train_loss, eval_metrics)

@@ -1,0 +1,183 @@
+"""The Trainer: one loop for every reference training recipe.
+
+Replaces the 10 hand-rolled script loops (SURVEY.md §2.3) with a single
+sharded-jit program:
+
+* params/opt-state replicated, batch sharded over the mesh's ``data`` axis —
+  XLA's partitioner inserts the gradient all-reduce (the TPU-native form of
+  the reference's nn.DataParallel scatter/gather);
+* dual-LR param groups, margin curriculum (update_m per epoch,
+  cv_classifier_train_daodian.py:292), periodic margin-free eval
+  (is_test=True, nlp_classifier_train.py:142-156) and periodic checkpoints
+  (torch.save every N steps -> orbax);
+* the dynamic ArcFace margin lives in TrainState so curriculum steps never
+  retrace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multimodalsimilar_tpu.data.prefetch import prefetch_to_device
+from multimodalsimilar_tpu.parallel.mesh import (
+    batch_sharding, replicated, shard_batch)
+from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
+from multimodalsimilar_tpu.train.metrics import MeanAccumulator, MetricLogger
+from multimodalsimilar_tpu.train.tasks import Task
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any          # {} for models without BatchNorm
+    opt_state: Any
+    margin: jnp.ndarray       # dynamic ArcFace margin (curriculum)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    eval_every: int = 100          # nlp_classifier_train.py:142
+    save_every: int = 1000         # :158
+    log_every: int = 20
+    margin_delta_per_epoch: float = 0.0   # 0.04 for the cv recipe (:292)
+    margin_init: float = 0.40
+    margin_max: float = 1.0
+    checkpoint_dir: Optional[str] = None
+    metrics_path: Optional[str] = None
+    seed: int = 0
+
+
+class Trainer:
+    def __init__(self, task: Task, optimizer: optax.GradientTransformation,
+                 mesh, config: TrainerConfig = TrainerConfig()):
+        self.task = task
+        self.tx = optimizer
+        self.mesh = mesh
+        self.config = config
+        self.logger = MetricLogger(config.metrics_path)
+        self.ckpt = (CheckpointManager(config.checkpoint_dir)
+                     if config.checkpoint_dir else None)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # -- state ----------------------------------------------------------
+
+    def init_state(self, sample_batch: Dict[str, np.ndarray],
+                   rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.key(self.config.seed)
+        variables = self.task.init(rng, shard_batch(self.mesh, sample_batch))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            margin=jnp.asarray(self.config.margin_init, jnp.float32))
+        return jax.device_put(state, replicated(self.mesh))
+
+    # -- steps ------------------------------------------------------------
+
+    def _train_step_impl(self, state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            return self.task.train_loss(params, state.batch_stats, batch,
+                                        step_rng, state.margin)
+
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        return new_state, metrics
+
+    def _eval_step_impl(self, state: TrainState, batch):
+        return self.task.eval_metrics(state.params, state.batch_stats, batch)
+
+    # -- curriculum ------------------------------------------------------
+
+    def update_margin(self, state: TrainState, delta: float) -> TrainState:
+        """ArcMarginProduct.update_m semantics (arcface.py:35-42): apply only
+        if the result stays within (1e-6, margin_max]."""
+        new_m = float(state.margin) + delta
+        if 1e-6 <= new_m <= self.config.margin_max:
+            return state.replace(margin=jnp.asarray(new_m, jnp.float32))
+        return state
+
+    # -- evaluation -------------------------------------------------------
+
+    def evaluate(self, state: TrainState, batches: Iterator) -> Dict[str, float]:
+        accs: Dict[str, MeanAccumulator] = {}
+        for batch in prefetch_to_device(batches, self.mesh):
+            metrics = self._eval_step(state, batch)
+            n = int(jax.tree_util.tree_leaves(batch)[0].shape[0])
+            for k, v in metrics.items():
+                accs.setdefault(k, MeanAccumulator()).update(float(v), n)
+        return {k: a.compute() for k, a in accs.items()}
+
+    # -- main loop ---------------------------------------------------------
+
+    def fit(self, train_source, num_epochs: int, batch_size: int,
+            eval_source=None, eval_batch_size: Optional[int] = None,
+            sampler_fn=None, shuffle: bool = True) -> TrainState:
+        """Run the full training recipe.
+
+        ``sampler_fn(epoch) -> WeightedSampler | None`` plugs in the
+        class-balanced sampling of the _v2/_daodian recipes.
+        """
+        cfg = self.config
+        rng = jax.random.key(cfg.seed + 1)
+        state = None
+        t0 = time.time()
+        examples = 0
+        for epoch in range(num_epochs):
+            sampler = sampler_fn(epoch) if sampler_fn else None
+            it = train_source.batches(batch_size, shuffle=shuffle,
+                                      seed=cfg.seed, epoch=epoch,
+                                      sampler=sampler)
+            for batch in prefetch_to_device(it, self.mesh):
+                if state is None:
+                    state = self.init_state_from_device_batch(batch)
+                state, metrics = self._train_step(state, batch, rng)
+                examples += batch_size
+                step = int(state.step)
+                if step % cfg.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["examples_per_sec"] = examples / (time.time() - t0)
+                    m["margin"] = float(state.margin)
+                    self.logger.log(step, m, prefix="train/")
+                if eval_source is not None and step % cfg.eval_every == 0:
+                    ev = self.evaluate(state, eval_source.batches(
+                        eval_batch_size or batch_size, shuffle=False))
+                    self.logger.log(step, ev, prefix="eval/")
+                if self.ckpt and step % cfg.save_every == 0:
+                    self.ckpt.save(step, state)
+            if cfg.margin_delta_per_epoch:
+                state = self.update_margin(state,
+                                           cfg.margin_delta_per_epoch)
+        if self.ckpt and state is not None:
+            self.ckpt.save(int(state.step), state, force=True)
+        return state
+
+    def init_state_from_device_batch(self, batch) -> TrainState:
+        rng = jax.random.key(self.config.seed)
+        variables = self.task.init(rng, batch)
+        params = variables["params"]
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(params),
+            margin=jnp.asarray(self.config.margin_init, jnp.float32))
+        return jax.device_put(state, replicated(self.mesh))

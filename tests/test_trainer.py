@@ -1,0 +1,129 @@
+"""Trainer end-to-end on the 8-device CPU mesh: loss decreases, dual-LR
+groups apply, schedules match torch/HF semantics, checkpoints round-trip."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodalsimilar_tpu.data.datasets import TextClassificationSource
+from multimodalsimilar_tpu.data.sampling import (
+    WeightedSampler, class_balance_weights)
+from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
+from multimodalsimilar_tpu.models.bert import BertConfig
+from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
+from multimodalsimilar_tpu.parallel.mesh import create_mesh
+from multimodalsimilar_tpu.train.optim import (
+    cosine_warm_restarts, dual_group_adamw, linear_schedule_with_warmup)
+from multimodalsimilar_tpu.train.tasks import text_arcface_task
+from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig
+from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+
+def _toy_text_problem(n=128, n_cls=4):
+    """Label-correlated synthetic titles (class k repeats marker char k)."""
+    rng = np.random.default_rng(0)
+    markers = "甲乙丙丁"
+    rows = []
+    for i in range(n):
+        k = i % n_cls
+        noise = "".join(rng.choice(list("水果蔬菜饮料零食")) for _ in range(3))
+        rows.append({"spu_name": markers[k] * 4 + noise, "labels": k})
+    return pd.DataFrame(rows)
+
+
+def test_linear_schedule_matches_hf():
+    sched = linear_schedule_with_warmup(1e-2, warmup_steps=10,
+                                        total_steps=100)
+    # HF linear: ramp to peak at warmup, linear to 0 at total
+    assert float(sched(0)) == 0.0
+    assert float(sched(5)) == pytest.approx(5e-3)
+    assert float(sched(10)) == pytest.approx(1e-2)
+    assert float(sched(55)) == pytest.approx(1e-2 * 45 / 90)
+    assert float(sched(100)) == pytest.approx(0.0)
+
+
+def test_cosine_warm_restarts_matches_torch():
+    import torch
+    model = torch.nn.Linear(1, 1)
+    opt = torch.optim.SGD(model.parameters(), lr=0.5)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(opt, T_0=7)
+    ours = cosine_warm_restarts(0.5, t0_epochs=7, steps_per_epoch=1)
+    for epoch in range(20):
+        want = opt.param_groups[0]["lr"]
+        assert float(ours(epoch)) == pytest.approx(want, abs=1e-6)
+        opt.step()
+        tsched.step()
+
+
+def test_dual_group_lrs_differ():
+    df = _toy_text_problem(32)
+    tok = TextTokenizer.from_corpus(df["spu_name"])
+    model = NlpTextClassifier(BertConfig.tiny(), num_labels=4,
+                              policy=DTypePolicy.full_precision())
+    src = TextClassificationSource(df, tok, max_length=12)
+    batch = next(src.batches(16, shuffle=False))
+    mesh = create_mesh()
+    tx = dual_group_adamw(lambda s: 0.0, lambda s: 1e-2)  # tower frozen
+    trainer = Trainer(text_arcface_task(model), tx, mesh,
+                      TrainerConfig(log_every=10**9))
+    state = trainer.init_state(batch)
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    from multimodalsimilar_tpu.parallel.mesh import shard_batch
+    state, _ = trainer._train_step(state, shard_batch(mesh, batch),
+                                   jax.random.key(0))
+    after = state.params
+    # head moved, tower identical
+    head_delta = np.abs(np.asarray(after["head"]["weight"])
+                        - before["head"]["weight"]).max()
+    tower_delta = max(
+        float(np.abs(np.asarray(a) - b).max()) for a, b in zip(
+            jax.tree_util.tree_leaves(after["tower"]),
+            jax.tree_util.tree_leaves(before["tower"])))
+    assert head_delta > 1e-5
+    assert tower_delta == 0.0
+
+
+def test_fit_loss_decreases_and_checkpoints(tmp_path):
+    df = _toy_text_problem(128)
+    tok = TextTokenizer.from_corpus(df["spu_name"])
+    model = NlpTextClassifier(BertConfig.tiny(), num_labels=4,
+                              policy=DTypePolicy.full_precision())
+    src = TextClassificationSource(df, tok, max_length=12)
+    mesh = create_mesh()
+    tx = dual_group_adamw(
+        linear_schedule_with_warmup(5e-4, 0, 200),
+        linear_schedule_with_warmup(5e-2, 10, 200))
+    cfg = TrainerConfig(eval_every=10**9, save_every=8, log_every=10**9,
+                        checkpoint_dir=str(tmp_path / "ckpt"),
+                        metrics_path=str(tmp_path / "metrics.jsonl"),
+                        margin_init=0.2, margin_delta_per_epoch=0.04)
+    task = text_arcface_task(model)
+    trainer = Trainer(task, tx, mesh, cfg)
+
+    # measure loss before/after via evaluate()
+    state = trainer.fit(src, num_epochs=4, batch_size=32)
+    assert state is not None
+    final_eval = trainer.evaluate(
+        state, src.batches(32, shuffle=False))
+    assert final_eval["acc"] > 0.5  # toy problem is separable
+    # margin curriculum advanced 4 epochs
+    assert float(state.margin) == pytest.approx(0.2 + 4 * 0.04)
+    # checkpoint written and restorable
+    assert trainer.ckpt.latest_step() == int(state.step)
+    restored = trainer.ckpt.restore(template=state)
+    np.testing.assert_allclose(
+        np.asarray(restored.params["head"]["weight"]),
+        np.asarray(state.params["head"]["weight"]))
+
+
+def test_weighted_sampler_integration():
+    df = _toy_text_problem(64)
+    tok = TextTokenizer.from_corpus(df["spu_name"])
+    src = TextClassificationSource(df, tok, max_length=12)
+    w = class_balance_weights(df["labels"].values)
+    batches = list(src.batches(16, sampler=WeightedSampler(w, seed=1)))
+    assert len(batches) == 4
