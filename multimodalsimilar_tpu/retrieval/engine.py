@@ -1,0 +1,80 @@
+"""SimilarityEngine: embeddings + metadata -> filtered neighbor maps.
+
+The device side (normalize, exact k-NN) runs as one jitted program — single
+chip via the blockwise scan or corpus-sharded over the mesh — and only the
+[Q, k] candidate lists come back to the host for the business-rule pass,
+mirroring (but batching) the reference's per-job FAISS usage:
+
+  nlp:      normalize_L2 + IndexFlat(d, INNER_PRODUCT), k=13, th=0.9
+            (nlp_infer.py:143-163)
+  fastText: same index, k<=100, th=-0.6, same-lv1 filter
+            (daodian_infer.py:224-246)
+  cv:       k=26, th=0.15, same-lv2 filter (daodian_infer.py:294-315)
+  fused:    IndexFlatL2(2560) unnormalized, k=13, no threshold
+            (multimodal_infer.py:140-159)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from multimodalsimilar_tpu.parallel.mesh import DATA_AXIS
+from multimodalsimilar_tpu.retrieval.filters import (
+    FilterRules, filter_neighbors, merge_neighbor_maps)
+from multimodalsimilar_tpu.retrieval.knn import (
+    knn_search, l2_normalize_rows, pad_corpus, sharded_knn_search)
+
+
+class SimilarityEngine:
+    def __init__(self, embeddings: np.ndarray, keys: Sequence,
+                 categories: Optional[Sequence] = None,
+                 dts: Optional[Sequence] = None,
+                 metric: str = "ip", normalize: bool = True,
+                 mesh=None):
+        """``normalize=True`` reproduces faiss.normalize_L2 before indexing
+        (cosine similarity); the fused-L2 job passes normalize=False,
+        metric='l2'."""
+        emb = np.asarray(embeddings, np.float32)
+        self.keys = list(keys)
+        self.categories = categories
+        self.dts = dts
+        self.metric = metric
+        self.mesh = mesh
+        self.n = emb.shape[0]
+        if normalize:
+            emb = np.asarray(jax.device_get(
+                l2_normalize_rows(jax.numpy.asarray(emb))))
+        self._emb = emb
+
+    # -- device search ----------------------------------------------------
+
+    def search(self, k: int, queries: Optional[np.ndarray] = None):
+        """(scores, indices) for queries (default: self-search over the
+        corpus, the reference's pattern). FAISS conventions preserved."""
+        q = self._emb if queries is None else np.asarray(queries, np.float32)
+        if self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1:
+            corpus, true_n = pad_corpus(self._emb,
+                                        self.mesh.shape[DATA_AXIS],
+                                        self.metric)
+            vals, idx = sharded_knn_search(
+                self.mesh, jax.numpy.asarray(corpus), jax.numpy.asarray(q),
+                k, self.metric, true_n=true_n)
+        else:
+            vals, idx = knn_search(jax.numpy.asarray(self._emb),
+                                   jax.numpy.asarray(q), k, self.metric)
+        return np.asarray(vals), np.asarray(idx)
+
+    # -- full jobs ---------------------------------------------------------
+
+    def similar_map(self, k: int, rules: FilterRules
+                    ) -> Dict[object, List[object]]:
+        scores, idx = self.search(k)
+        return filter_neighbors(scores, idx, self.keys, self.categories,
+                                rules, dts=self.dts)
+
+    @staticmethod
+    def merge(primary: Dict, secondary: Dict, cap: Optional[int] = None):
+        return merge_neighbor_maps(primary, secondary, cap)

@@ -1,0 +1,128 @@
+"""k-NN parity vs brute-force numpy (FAISS IndexFlat semantics) + filters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalsimilar_tpu.parallel.mesh import create_mesh
+from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+from multimodalsimilar_tpu.retrieval.filters import (
+    FilterRules, filter_neighbors, merge_neighbor_maps)
+from multimodalsimilar_tpu.retrieval.knn import (
+    knn_search, l2_normalize_rows, pad_corpus, sharded_knn_search)
+
+
+def _brute(corpus, queries, k, metric):
+    """Numpy ground truth with FAISS ordering (ties -> lower index)."""
+    if metric == "ip":
+        s = queries @ corpus.T
+        order = np.lexsort((np.broadcast_to(np.arange(corpus.shape[0]),
+                                            s.shape), -s), axis=-1)[:, :k]
+        return np.take_along_axis(s, order, -1), order
+    d = ((queries[:, None, :] - corpus[None, :, :]) ** 2).sum(-1)
+    order = np.lexsort((np.broadcast_to(np.arange(corpus.shape[0]),
+                                        d.shape), d), axis=-1)[:, :k]
+    return np.take_along_axis(d, order, -1), order
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+@pytest.mark.parametrize("n,block", [(100, 32), (257, 64), (64, 64)])
+def test_knn_matches_bruteforce(metric, n, block):
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(n, 24)).astype(np.float32)
+    queries = rng.normal(size=(13, 24)).astype(np.float32)
+    want_s, want_i = _brute(corpus, queries, 7, metric)
+    got_s, got_i = knn_search(jnp.asarray(corpus), jnp.asarray(queries), 7,
+                              metric=metric, block_rows=block)
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_s), want_s,
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_sharded_knn_matches_bruteforce(metric):
+    mesh = create_mesh()
+    rng = np.random.default_rng(1)
+    corpus = rng.normal(size=(103, 16)).astype(np.float32)  # needs padding
+    queries = rng.normal(size=(9, 16)).astype(np.float32)
+    padded, true_n = pad_corpus(corpus, 8, metric)
+    got_s, got_i = sharded_knn_search(mesh, jnp.asarray(padded),
+                                      jnp.asarray(queries), 5, metric,
+                                      true_n=true_n)
+    want_s, want_i = _brute(corpus, queries, 5, metric)
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_s), want_s,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_self_search_first_hit_is_self():
+    """FAISS self-search convention the reference relies on (skipping
+    I[i][0], daodian_infer.py:237): with normalized vectors and IP, the top
+    hit of each row is itself."""
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(50, 8)).astype(np.float32)
+    emb = np.asarray(l2_normalize_rows(jnp.asarray(emb)))
+    s, i = knn_search(jnp.asarray(emb), jnp.asarray(emb), 3)
+    np.testing.assert_array_equal(np.asarray(i)[:, 0], np.arange(50))
+    np.testing.assert_allclose(np.asarray(s)[:, 0], 1.0, atol=1e-5)
+
+
+def test_filter_rules():
+    # 4 items, 2 categories; craft scores so filtering is observable
+    keys = ["a", "b", "c", "d"]
+    cats = [1, 1, 2, 1]
+    scores = np.array([
+        [1.0, 0.95, 0.8, 0.5],   # query a: self, b, c, d
+        [1.0, 0.9, 0.2, 0.1],    # query b: self, a, d, c
+    ])
+    indices = np.array([
+        [0, 1, 2, 3],
+        [1, 0, 3, 2],
+    ])
+    rules = FilterRules(score_threshold=0.3, same_category=True,
+                        max_neighbors=2)
+    got = filter_neighbors(scores, indices, keys, cats, rules,
+                           query_rows=np.array([0, 1]))
+    # a: b passes (same cat, 0.95>0.3); c dropped (cat); d passes (0.5)
+    assert got["a"] == ["b", "d"]
+    # b: a passes; d dropped (0.2<0.3 -> fails threshold)? 0.2 < 0.3 yes
+    assert got["b"] == ["a"]
+
+
+def test_merge_cv_first_then_nlp():
+    cv = {"a": ["x", "y"], "b": []}
+    nlp = {"a": ["y", "z"], "b": ["w"]}
+    got = merge_neighbor_maps(cv, nlp, cap=3)
+    assert got["a"] == ["x", "y", "z"]
+    assert got["b"] == ["w"]
+
+
+def test_engine_end_to_end_nlp_job():
+    """nlp_infer.py capability: normalize + IP search + th/category filter."""
+    rng = np.random.default_rng(3)
+    # two tight clusters = two categories
+    base = rng.normal(size=(2, 16))
+    emb = np.concatenate([
+        base[0] + 0.01 * rng.normal(size=(5, 16)),
+        base[1] + 0.01 * rng.normal(size=(5, 16))]).astype(np.float32)
+    keys = [f"sku{i}" for i in range(10)]
+    cats = [0] * 5 + [1] * 5
+    eng = SimilarityEngine(emb, keys, cats, metric="ip", normalize=True)
+    out = eng.similar_map(k=10, rules=FilterRules(
+        score_threshold=0.9, same_category=True, max_neighbors=13))
+    for i, key in enumerate(keys):
+        want = {f"sku{j}" for j in range(10)
+                if cats[j] == cats[i] and j != i}
+        assert set(out[key]) == want
+
+
+def test_engine_sharded_matches_single():
+    mesh = create_mesh()
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(37, 12)).astype(np.float32)
+    keys = list(range(37))
+    single = SimilarityEngine(emb, keys).search(k=5)
+    sharded = SimilarityEngine(emb, keys, mesh=mesh).search(k=5)
+    np.testing.assert_array_equal(single[1], sharded[1])
+    np.testing.assert_allclose(single[0], sharded[0], rtol=1e-5, atol=1e-5)
