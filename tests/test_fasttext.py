@@ -1,0 +1,64 @@
+"""fastText-equivalent: vocab/hashing, training convergence, sentence vecs."""
+
+import numpy as np
+
+from multimodalsimilar_tpu.models.fasttext import (
+    EOS, FastTextVocab, _fnv1a, sentence_vector, train_supervised)
+
+
+def test_fnv1a_known_values():
+    # FNV-1a 32-bit reference values
+    assert _fnv1a("") == 2166136261
+    assert _fnv1a("a") == 0xE40C292C
+    assert _fnv1a("foobar") == 0xBF9CF968
+
+
+def test_vocab_and_bigrams():
+    v = FastTextVocab.build(["红 苹果", "青 苹果"], bucket=1000)
+    assert EOS in v.words
+    ids = v.line_ids("红 苹果")
+    # words: 红, 苹果, EOS + 2 bigrams (红_苹果, 苹果_EOS)
+    assert len(ids) == 5
+    assert sum(i >= v.nwords for i in ids) == 2  # bigram bucket ids
+    # deterministic
+    assert ids == v.line_ids("红 苹果")
+
+
+def test_train_supervised_learns_toy_problem():
+    rng = np.random.default_rng(0)
+    fruit = ["苹果", "香蕉", "梨子", "葡萄"]
+    drink = ["可乐", "雪碧", "果汁", "牛奶"]
+    texts, labels = [], []
+    for _ in range(200):
+        f = rng.choice(fruit, 2)
+        texts.append(" ".join(f) + " 新鲜")
+        labels.append("__label__fruit")
+        d = rng.choice(drink, 2)
+        texts.append(" ".join(d) + " 冰镇")
+        labels.append("__label__drink")
+    model = train_supervised(texts, labels, dim=16, epochs=10,
+                             bucket=2000, batch_size=64)
+    n, p, r = model.test(texts[:100], labels[:100])
+    assert n == 100 and p > 0.95
+    # embedding geometry: class centroids separate in sentence-vector space
+    fr_vecs = model.get_sentence_vector(
+        [t for t, l in zip(texts, labels) if l.endswith("fruit")][:50])
+    dr_vecs = model.get_sentence_vector(
+        [t for t, l in zip(texts, labels) if l.endswith("drink")][:50])
+    fc, dc = fr_vecs.mean(0), dr_vecs.mean(0)
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    probe = model.get_sentence_vector(["苹果 梨子"])[0]
+    assert cos(probe, fc) > cos(probe, dc)
+
+
+def test_sentence_vector_unit_token_mean():
+    import jax.numpy as jnp
+    params = {"input": jnp.asarray([[3.0, 0.0], [0.0, 4.0], [0.0, 0.0]]),
+              "output": jnp.zeros((2, 2))}
+    ids = jnp.asarray([[0, 1, 2]])
+    mask = jnp.asarray([[1.0, 1.0, 1.0]])
+    out = np.asarray(sentence_vector(params, ids, mask))[0]
+    # tokens normalized to unit then averaged over 3 (zero vec contributes 0)
+    np.testing.assert_allclose(out, [1 / 3, 1 / 3], rtol=1e-6)
