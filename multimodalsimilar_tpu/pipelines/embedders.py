@@ -1,0 +1,190 @@
+"""Batched embedders — the fix for the reference's per-row inference.
+
+Every reference pipeline embeds one row at a time (nlp_infer.py:127-140,
+daodian_infer.py:256-285, goodssku_emb_bert_di.py:73-91 — "batch size 1" is
+the single biggest perf sin per SURVEY.md §6). Here each embedder jits one
+fixed-[B, ...] program, streams the workload through it in full batches (last
+batch padded, never re-traced), and overlaps host prep with device compute.
+
+* TextEmbedder    — tokenizer + any model with predict_emb (NlpTextClassifier
+  / NlpMultilabelClassifier / SiamesePairModel share the signature)
+* ImageEmbedder   — decode/resize/normalize + CvImageClassifier.predict_emb,
+  with the reference's per-SKU embedding disk cache (emb.txt,
+  daodian_infer.py:259-285) and multi-image averaging — implemented
+  *correctly* (the reference re-reads image 0 for every extra image,
+  daodian_infer.py:270-272; known bug, not reproduced)
+* MultimodalEmbedder — fused tower predict_emb
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalsimilar_tpu.data import images as I
+from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
+
+
+def _pad_rows(arrs: Dict[str, np.ndarray], batch: int) -> Dict[str, np.ndarray]:
+    n = next(iter(arrs.values())).shape[0]
+    if n == batch:
+        return arrs
+    return {k: np.concatenate(
+        [v, np.repeat(v[-1:], batch - n, axis=0)]) for k, v in arrs.items()}
+
+
+class TextEmbedder:
+    def __init__(self, model, variables, tokenizer: TextTokenizer,
+                 max_length: int = 128, batch_size: int = 256):
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.batch_size = batch_size
+
+        @jax.jit
+        def run(input_ids, attention_mask, token_type_ids):
+            return model.apply(variables, input_ids, attention_mask,
+                               token_type_ids, method=model.predict_emb)
+
+        self._run = run
+
+    def __call__(self, texts: Sequence[str]) -> np.ndarray:
+        out: List[np.ndarray] = []
+        B = self.batch_size
+        for s in range(0, len(texts), B):
+            chunk = list(texts[s: s + B])
+            n = len(chunk)
+            toks = self.tokenizer(chunk, self.max_length)
+            toks = _pad_rows(toks, B)
+            emb = self._run(jnp.asarray(toks["input_ids"]),
+                            jnp.asarray(toks["attention_mask"]),
+                            jnp.asarray(toks["token_type_ids"]))
+            out.append(np.asarray(emb[:n], np.float32))
+        return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
+
+
+class ImageEmbedder:
+    """Batched image embedding with optional per-key disk cache and
+    multi-image mean.
+
+    ``paths_for_key(key) -> [path, ...]`` lists candidate images (the
+    reference reads {sku}/0.jpg..7.jpg, daodian_infer.py:266-281); their
+    embeddings are averaged. Cache layout matches the reference: one
+    ``emb.txt`` (np.savetxt) next to the images.
+    """
+
+    def __init__(self, model, variables, image_size: int = 512,
+                 batch_size: int = 64,
+                 cache_path_for_key: Optional[Callable[[str], str]] = None):
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.cache_path_for_key = cache_path_for_key
+
+        @jax.jit
+        def run(images):
+            return model.apply(variables, images, method=model.predict_emb)
+
+        self._run = run
+
+    def embed_batch(self, images: np.ndarray) -> np.ndarray:
+        out: List[np.ndarray] = []
+        B = self.batch_size
+        for s in range(0, len(images), B):
+            chunk = images[s: s + B]
+            n = len(chunk)
+            if n < B:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
+            out.append(np.asarray(self._run(jnp.asarray(chunk))[:n],
+                                  np.float32))
+        return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
+
+    def embed_paths(self, paths: Sequence[str]) -> Dict[str, np.ndarray]:
+        """Embed single images; failed decodes are skipped (absent keys)."""
+        loaded, keys = [], []
+        for p in paths:
+            img = I.load_eval(p, self.image_size)
+            if img is not None:
+                loaded.append(img)
+                keys.append(p)
+        if not loaded:
+            return {}
+        embs = self.embed_batch(np.stack(loaded))
+        return dict(zip(keys, embs))
+
+    def embed_keys(self, keys: Sequence[str],
+                   paths_for_key: Callable[[str], Sequence[str]]
+                   ) -> Dict[str, np.ndarray]:
+        """Multi-image mean embedding per key, with emb.txt caching."""
+        result: Dict[str, np.ndarray] = {}
+        pending: List[str] = []
+        imgs: List[np.ndarray] = []
+        owners: List[str] = []
+        for key in keys:
+            cache = (self.cache_path_for_key(key)
+                     if self.cache_path_for_key else None)
+            if cache and os.path.exists(cache):
+                result[key] = np.loadtxt(cache).astype(np.float32)
+                continue
+            found = False
+            for p in paths_for_key(key):
+                img = I.load_eval(p, self.image_size)
+                if img is not None:
+                    imgs.append(img)
+                    owners.append(key)
+                    found = True
+            if found:
+                pending.append(key)
+        if imgs:
+            embs = self.embed_batch(np.stack(imgs))
+            sums: Dict[str, np.ndarray] = {}
+            counts: Dict[str, int] = {}
+            for key, e in zip(owners, embs):
+                sums[key] = sums.get(key, 0.0) + e
+                counts[key] = counts.get(key, 0) + 1
+            for key in pending:
+                emb = (sums[key] / counts[key]).astype(np.float32)
+                result[key] = emb
+                cache = (self.cache_path_for_key(key)
+                         if self.cache_path_for_key else None)
+                if cache:
+                    os.makedirs(os.path.dirname(cache), exist_ok=True)
+                    np.savetxt(cache, emb)
+        return result
+
+
+class MultimodalEmbedder:
+    def __init__(self, model, variables, tokenizer: TextTokenizer,
+                 max_length: int = 128, image_size: int = 380,
+                 batch_size: int = 48):
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.image_size = image_size
+        self.batch_size = batch_size
+
+        @jax.jit
+        def run(images, input_ids, attention_mask, token_type_ids):
+            return model.apply(variables, images, input_ids, attention_mask,
+                               token_type_ids, method=model.predict_emb)
+
+        self._run = run
+
+    def __call__(self, images: np.ndarray, texts: Sequence[str]
+                 ) -> np.ndarray:
+        out: List[np.ndarray] = []
+        B = self.batch_size
+        for s in range(0, len(texts), B):
+            chunk_t = list(texts[s: s + B])
+            chunk_i = images[s: s + B]
+            n = len(chunk_t)
+            toks = self.tokenizer(chunk_t, self.max_length)
+            arrs = _pad_rows({**toks, "images": chunk_i}, B)
+            emb = self._run(jnp.asarray(arrs["images"]),
+                            jnp.asarray(arrs["input_ids"]),
+                            jnp.asarray(arrs["attention_mask"]),
+                            jnp.asarray(arrs["token_type_ids"]))
+            out.append(np.asarray(emb[:n], np.float32))
+        return np.concatenate(out) if out else np.zeros((0, 0), np.float32)

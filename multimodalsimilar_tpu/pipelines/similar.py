@@ -1,0 +1,130 @@
+"""Similar-SKU serving jobs — batched TPU retrieval + KV writes.
+
+Reproduces the three reference serving pipelines (SURVEY.md §2.4) on top of
+the SimilarityEngine:
+
+* ``nlp_similar_job``        <- nlp_infer.py:105-172 — text embeddings,
+  normalize+IP, k=13, th=0.9, no category filter; write
+  ``dj_similar:{spu_sn}`` = comma-joined neighbor spu_sns, TTL (default 7d).
+* ``multimodal_similar_job`` <- multimodal_infer.py:103-159 — fused 2560-d
+  embeddings, **un-normalized L2** search, top-13, no threshold.
+* ``daodian_similar_job``    <- daodian_infer.py:329-392 (+ the _v2 variants)
+  — per-area: fastText text side (th=-0.6, same-lv1, cap 100) + CV image
+  side (k=26, th=0.15, same-lv2), merged cv-first; keys either
+  ``{spu_sn}`` (v1) or ``{yyyymmdd}:{spu_sn}`` (v2 date-keyed, TTL 1.5d);
+  the v2 "recent days" history window keeps only neighbors whose dt equals
+  the target date.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+from multimodalsimilar_tpu.retrieval.filters import FilterRules
+from multimodalsimilar_tpu.pipelines.sinks import KVSink
+
+WEEK = 7 * 24 * 3600
+DAY_AND_HALF = int(1.5 * 24 * 3600)
+
+
+def write_neighbor_map(sink: KVSink, neighbor_map: Dict[str, List[str]],
+                       ttl_seconds: int, key_fn: Callable[[str], str]
+                       ) -> int:
+    """CSV-string values, empty lists skipped (nlp_infer.py:159-171)."""
+    items = {key_fn(k): ",".join(v) for k, v in neighbor_map.items() if v}
+    sink.set_many(items, ttl_seconds)
+    return len(items)
+
+
+def nlp_similar_job(df: pd.DataFrame, embed_texts, sink: KVSink,
+                    text_col: str = "spu_name", key_col: str = "spu_sn",
+                    k: int = 13, score_th: float = 0.9,
+                    ttl_seconds: int = WEEK, mesh=None) -> int:
+    emb = embed_texts(df[text_col].astype(str).tolist())
+    engine = SimilarityEngine(emb, df[key_col].tolist(), metric="ip",
+                              normalize=True, mesh=mesh)
+    nmap = engine.similar_map(k, FilterRules(score_threshold=score_th,
+                                             same_category=False))
+    return write_neighbor_map(sink, nmap, ttl_seconds,
+                              lambda s: f"dj_similar:{s}")
+
+
+def multimodal_similar_job(df: pd.DataFrame, embeddings: np.ndarray,
+                           sink: KVSink, key_col: str = "spu_sn",
+                           k: int = 13, ttl_seconds: int = WEEK,
+                           mesh=None) -> int:
+    """L2 metric on raw (un-normalized) fused embeddings, no threshold
+    (multimodal_infer.py:140-159)."""
+    engine = SimilarityEngine(embeddings, df[key_col].tolist(), metric="l2",
+                              normalize=False, mesh=mesh)
+    nmap = engine.similar_map(k, FilterRules(same_category=False))
+    return write_neighbor_map(sink, nmap, ttl_seconds,
+                              lambda s: f"dj_similar:{s}")
+
+
+def daodian_similar_job(
+    df: pd.DataFrame,
+    embed_titles: Callable[[Sequence[str]], np.ndarray],   # fastText side
+    embed_skus: Callable[[pd.DataFrame], Dict[str, np.ndarray]],  # CV side
+    sink: KVSink,
+    area_col: str = "area_id",
+    key_col: str = "spu_sn",
+    title_col: str = "title",
+    lv1_col: str = "first_level_category_id",
+    lv2_col: str = "second_level_category_id",
+    nlp_score_th: float = -0.6,       # daodian_infer.py:79-82
+    cv_score_th: float = 0.15,
+    ann_cnt_nlp: int = 100,
+    ann_cnt_cv: int = 26,
+    ttl_seconds: int = WEEK,
+    date_key: Optional[str] = None,   # 'yyyymmdd' -> v2 date-keyed writes
+    dt_col: Optional[str] = None,     # with date_key: v2 history filtering
+    mesh=None,
+) -> Dict[str, List[str]]:
+    """Per-area fastText + CV retrieval, cv-first merge, KV write.
+
+    Returns the merged neighbor map (all areas) for inspection/testing.
+    """
+    merged_all: Dict[str, List[str]] = {}
+    key_fn = ((lambda s: f"{date_key}:{s}") if date_key
+              else (lambda s: s))
+    for area_id in df[area_col].unique():
+        area = df[df[area_col] == area_id].reset_index(drop=True)
+        # text side: sentence vectors over gen_title'd rows
+        text_emb = embed_titles(area[title_col].astype(str).tolist())
+        rules_kw = {}
+        if date_key and dt_col:
+            rules_kw = dict(require_dt=date_key)
+        text_engine = SimilarityEngine(
+            text_emb, area[key_col].tolist(), area[lv1_col].tolist(),
+            dts=area[dt_col].tolist() if dt_col else None,
+            metric="ip", normalize=True, mesh=mesh)
+        nlp_map = text_engine.similar_map(
+            min(len(area), max(ann_cnt_nlp * 2, 64)),
+            FilterRules(score_threshold=nlp_score_th, same_category=True,
+                        max_neighbors=ann_cnt_nlp, **rules_kw))
+        # image side: cached multi-image mean embeddings
+        sku_embs = embed_skus(area)
+        have = [k in sku_embs for k in area[key_col]]
+        cv_rows = area[have].reset_index(drop=True)
+        if len(cv_rows):
+            cv_emb = np.stack([sku_embs[k] for k in cv_rows[key_col]])
+            cv_engine = SimilarityEngine(
+                cv_emb, cv_rows[key_col].tolist(),
+                cv_rows[lv2_col].tolist(),
+                dts=cv_rows[dt_col].tolist() if dt_col else None,
+                metric="ip", normalize=True, mesh=mesh)
+            cv_map = cv_engine.similar_map(
+                min(ann_cnt_cv, len(cv_rows)),
+                FilterRules(score_threshold=cv_score_th,
+                            same_category=True, **rules_kw))
+        else:
+            cv_map = {}
+        merged = SimilarityEngine.merge(cv_map, nlp_map)
+        merged_all.update(merged)
+        write_neighbor_map(sink, merged, ttl_seconds, key_fn)
+    return merged_all

@@ -1,0 +1,213 @@
+"""Pipelines: sinks, batched embedders, export jobs, similar jobs, ops."""
+
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
+from multimodalsimilar_tpu.models.bert import BertConfig
+from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
+from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+from multimodalsimilar_tpu.models.vision import CvImageClassifier
+from multimodalsimilar_tpu.pipelines.download import copy_kv, download_images
+from multimodalsimilar_tpu.pipelines.embed import (
+    bulk_export, format_embedding, incremental_export, parse_embedding)
+from multimodalsimilar_tpu.pipelines.embedders import (
+    ImageEmbedder, TextEmbedder)
+from multimodalsimilar_tpu.pipelines.similar import (
+    daodian_similar_job, nlp_similar_job)
+from multimodalsimilar_tpu.pipelines.sinks import (
+    InMemoryKVSink, InMemoryTableSink, ParquetTableSink)
+from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+FP32 = DTypePolicy.full_precision()
+
+
+def test_kv_sink_ttl():
+    kv = InMemoryKVSink()
+    kv.set_many({"a": "1"}, ttl_seconds=100)
+    kv.set_many({"b": "2"})
+    assert kv.get("a") == "1" and kv.get("b") == "2"
+    assert 0 < kv.ttl("a") <= 100 and kv.ttl("b") is None
+
+
+def test_parquet_table_sink(tmp_path):
+    sink = ParquetTableSink(str(tmp_path / "t.parquet"))
+    sink.append(pd.DataFrame({"goods_sku": ["1", "2"], "embedding": ["a", "b"]}))
+    assert sink.existing_keys("goods_sku") == {"1", "2"}
+    sink.append(pd.DataFrame({"goods_sku": ["3"], "embedding": ["c"]}))
+    assert len(sink.read()) == 3
+    sink.overwrite(pd.DataFrame({"goods_sku": ["9"], "embedding": ["z"]}))
+    assert sink.existing_keys("goods_sku") == {"9"}
+
+
+def test_embedding_string_round_trip():
+    v = np.array([3.0, 4.0], np.float32)
+    s = format_embedding(v)  # normalized
+    np.testing.assert_allclose(parse_embedding(s), [0.6, 0.8], rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def text_embedder():
+    df_texts = [f"商品{i}" for i in range(10)] + ["苹果", "牛奶"]
+    tok = TextTokenizer.from_corpus(df_texts)
+    model = NlpTextClassifier(BertConfig.tiny(), num_labels=3, policy=FP32)
+    ids = tok(["x"], 8)
+    variables = model.init({"params": jax.random.key(0)},
+                           jax.numpy.asarray(ids["input_ids"]),
+                           label=jax.numpy.zeros(1, jax.numpy.int32))
+    return TextEmbedder(model, variables, tok, max_length=8, batch_size=4)
+
+
+def test_text_embedder_batches_consistent(text_embedder):
+    texts = [f"商品{i}" for i in range(7)]  # not a multiple of batch 4
+    emb = text_embedder(texts)
+    assert emb.shape == (7, BertConfig.tiny().hidden_size)
+    # same text -> same embedding regardless of batch position
+    single = text_embedder([texts[5]])
+    np.testing.assert_allclose(emb[5], single[0], rtol=1e-5, atol=1e-6)
+
+
+def test_incremental_export_skips_existing(text_embedder):
+    sink = InMemoryTableSink()
+    df = pd.DataFrame({"goods_sku": ["1", "2", "3"],
+                       "spu_name": ["商品1", "商品2", "商品3"]})
+
+    def embed_fn(sub):
+        em = text_embedder(sub["spu_name"].tolist())
+        return dict(zip(sub["goods_sku"], em))
+
+    n1 = incremental_export(df, embed_fn, sink, dt="2026-08-16")
+    assert n1 == 3
+    # second run: nothing new
+    assert incremental_export(df, embed_fn, sink) == 0
+    df2 = pd.concat([df, pd.DataFrame({"goods_sku": ["4"],
+                                       "spu_name": ["商品4"]})])
+    assert incremental_export(df2, embed_fn, sink) == 1
+    table = sink.read()
+    assert set(table["goods_sku"]) == {"1", "2", "3", "4"}
+    # values are normalized '[...]' strings
+    v = parse_embedding(table["embedding"].iloc[0])
+    np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-5)
+
+
+def test_bulk_export_outer_merge(text_embedder):
+    sink = InMemoryTableSink()
+    df = pd.DataFrame({"goods_sku": ["1", "2"],
+                       "spu_name": ["商品1", "商品2"]})
+
+    def t_fn(sub):
+        return dict(zip(sub["goods_sku"],
+                        text_embedder(sub["spu_name"].tolist())))
+
+    def partial_fn(sub):  # embedder that only covers sku 1
+        sub = sub[sub["goods_sku"] == "1"]
+        return dict(zip(sub["goods_sku"],
+                        text_embedder(sub["spu_name"].tolist())))
+
+    merged = bulk_export(df, {"bert": t_fn, "cv": partial_fn}, sink)
+    assert set(merged.columns) == {"goods_sku", "bert_emb", "cv_emb"}
+    assert merged["cv_emb"].isna().sum() == 1  # outer merge keeps sku 2
+
+
+def test_nlp_similar_job(text_embedder):
+    kv = InMemoryKVSink()
+    df = pd.DataFrame({
+        "spu_sn": [f"s{i}" for i in range(6)],
+        "spu_name": ["苹果", "苹果", "苹果", "牛奶", "牛奶", "牛奶"]})
+    # random-init towers map different titles to high-cosine embeddings, so
+    # the threshold is set to isolate exact-duplicate titles (cosine == 1)
+    written = nlp_similar_job(df, text_embedder, kv, k=6, score_th=0.99999)
+    assert written == 6
+    # identical titles are mutual neighbors with cosine 1
+    val = kv.get("dj_similar:s0")
+    assert set(val.split(",")) == {"s1", "s2"}
+
+
+def _write_img(path, color):
+    import cv2
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    img = np.full((20, 20, 3), color, np.uint8)
+    cv2.imwrite(path, img)
+
+
+def test_image_embedder_cache_and_multi_image(tmp_path):
+    model = CvImageClassifier(EfficientNetConfig.tiny(), num_labels=3,
+                              fc_dim=8, policy=FP32)
+    x = jax.numpy.zeros((1, 16, 16, 3))
+    variables = model.init({"params": jax.random.key(0)}, x,
+                           label=jax.numpy.zeros(1, jax.numpy.int32))
+    root = str(tmp_path)
+    _write_img(f"{root}/100/0.jpg", 200)
+    _write_img(f"{root}/100/1.jpg", 50)   # second image differs
+    _write_img(f"{root}/200/0.jpg", 90)
+
+    emb = ImageEmbedder(model, variables, image_size=16, batch_size=4,
+                        cache_path_for_key=lambda k: f"{root}/{k}/emb.txt")
+
+    def paths(key):
+        return [f"{root}/{key}/{i}.jpg" for i in range(8)]
+
+    out = emb.embed_keys(["100", "200", "404"], paths)
+    assert set(out) == {"100", "200"}           # missing sku skipped
+    assert os.path.exists(f"{root}/100/emb.txt")  # cache written
+    # multi-image mean: equals mean of the two single-image embeddings
+    singles = emb.embed_paths([f"{root}/100/0.jpg", f"{root}/100/1.jpg"])
+    want = np.mean(list(singles.values()), axis=0)
+    np.testing.assert_allclose(out["100"], want, rtol=1e-4, atol=1e-5)
+    # cache hit path: second call must load from emb.txt (delete images)
+    os.remove(f"{root}/100/0.jpg")
+    os.remove(f"{root}/100/1.jpg")
+    again = emb.embed_keys(["100"], paths)
+    np.testing.assert_allclose(again["100"], out["100"], rtol=1e-4)
+
+
+def test_daodian_similar_job(tmp_path, text_embedder):
+    kv = InMemoryKVSink()
+    # 2 areas x 4 skus; identical titles within category
+    df = pd.DataFrame({
+        "area_id": [1, 1, 1, 1, 2, 2],
+        "spu_sn": ["a1", "a2", "a3", "a4", "b1", "b2"],
+        "sku": ["1", "2", "3", "4", "5", "6"],
+        "title": ["苹果", "苹果", "牛奶", "牛奶", "苹果", "苹果"],
+        "first_level_category_id": [10, 10, 20, 20, 10, 10],
+        "second_level_category_id": [11, 11, 21, 21, 11, 11]})
+
+    def embed_skus(area_df):
+        # deterministic fake CV embeddings: same lv2 -> same vector
+        rng = {}
+        out = {}
+        for _, r in area_df.iterrows():
+            v = np.zeros(4, np.float32)
+            v[r["second_level_category_id"] % 4] = 1.0
+            out[r["spu_sn"]] = v
+        return out
+
+    merged = daodian_similar_job(df, text_embedder, embed_skus, kv,
+                                 nlp_score_th=0.5, cv_score_th=0.5)
+    # a1's neighbors: a2 (same lv1+lv2, identical title & cv vector)
+    assert "a2" in merged["a1"]
+    assert "b1" not in merged["a1"]  # other area never mixes
+    assert kv.get("a1") is not None
+
+
+def test_download_and_copy_kv(tmp_path):
+    fetched = []
+
+    def fake_fetch(url):
+        fetched.append(url)
+        return b"JPEGDATA"
+
+    items = [("1", "0", "http://x/1.jpg"), ("2", "0", "http://x/2.jpg")]
+    ok, failed = download_images(items, str(tmp_path), fake_fetch, threads=2)
+    assert ok == 2 and failed == 0
+    # skip-if-exists
+    ok2, _ = download_images(items, str(tmp_path), fake_fetch)
+    assert ok2 == 0
+    src, dst = InMemoryKVSink(), InMemoryKVSink()
+    src.set_many({"k1": "v1", "k2": "v2"})
+    assert copy_kv(src, dst, ["k1", "k2", "missing"]) == 2
+    assert dst.get("k1") == "v1" and dst.ttl("k1") > 0
