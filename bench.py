@@ -1,0 +1,115 @@
+"""Benchmark: embeddings/sec/chip for the two production towers.
+
+Measures the framework's batched, bf16, jitted embedding throughput on the
+attached TPU chip for the two headline workloads from BASELINE.md:
+
+  * text tower  — RoBERTa-wwm-ext-base predict_emb at seq 80 (the daily
+    incremental export config, goodssku_emb_bert_di.py:56)
+  * image tower — EfficientNet-B4 + 512-d neck at 380x380 (B4's native
+    resolution; the similar job embeds at 512, cv train at 512)
+
+``vs_baseline`` is the speedup over the *reference's inference pattern
+measured on the same chip*: batch-size-1, one device round-trip per row
+(nlp_infer.py:127-140, daodian_infer.py:256-285 — the "batch size 1 per row"
+operating point BASELINE.md calls the bottleneck to beat). The reference
+publishes no absolute numbers (BASELINE.md), so the batching speedup on
+identical hardware is the honest comparable.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _time_fn(fn, args, iters, warmup=2):
+    import jax
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_text(batch=256, seq=80, iters=10, baseline_iters=8):
+    import jax
+    import jax.numpy as jnp
+    from multimodalsimilar_tpu.models.bert import BertConfig
+    from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
+
+    cfg = BertConfig.roberta_wwm_ext()
+    model = NlpTextClassifier(cfg, num_labels=10205)
+    rng = np.random.default_rng(0)
+
+    def make(bs):
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size,
+                                       size=(bs, seq)).astype(np.int32))
+        mask = jnp.ones((bs, seq), jnp.int32)
+        return ids, mask
+
+    ids, mask = make(batch)
+    variables = jax.jit(lambda i, m: model.init(
+        {"params": jax.random.key(0)}, i, m,
+        label=jnp.zeros(i.shape[0], jnp.int32)))(ids, mask)
+
+    run = jax.jit(lambda i, m: model.apply(variables, i, m,
+                                           method=model.predict_emb))
+    dt = _time_fn(run, (ids, mask), iters)
+    eps = batch / dt
+
+    ids1, mask1 = make(1)
+    run1 = jax.jit(lambda i, m: model.apply(variables, i, m,
+                                            method=model.predict_emb))
+    dt1 = _time_fn(run1, (ids1, mask1), baseline_iters)
+    return eps, 1.0 / dt1
+
+
+def bench_image(batch=32, size=380, iters=5, baseline_iters=5):
+    import jax
+    import jax.numpy as jnp
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    from multimodalsimilar_tpu.models.vision import CvImageClassifier
+
+    model = CvImageClassifier(EfficientNetConfig.b4(), num_labels=4181,
+                              fc_dim=512)
+    rng = np.random.default_rng(0)
+
+    def make(bs):
+        return jnp.asarray(rng.normal(size=(bs, size, size, 3))
+                           .astype(np.float32))
+
+    x = make(batch)
+    variables = model.init({"params": jax.random.key(0)}, x[:1],
+                           label=jnp.zeros(1, jnp.int32))
+    run = jax.jit(lambda im: model.apply(variables, im,
+                                         method=model.predict_emb))
+    dt = _time_fn(run, (x,), iters)
+    eps = batch / dt
+
+    x1 = make(1)
+    dt1 = _time_fn(run, (x1,), baseline_iters)
+    return eps, 1.0 / dt1
+
+
+def main():
+    text_eps, text_base = bench_text()
+    img_eps, img_base = bench_image()
+    value = float(np.sqrt(text_eps * img_eps))
+    baseline = float(np.sqrt(text_base * img_base))
+    result = {
+        "metric": "embeddings/sec/chip (geomean: roberta-base seq80 batched,"
+                  " efficientnet_b4 380px batched)",
+        "value": round(value, 2),
+        "unit": "embeddings/sec",
+        "vs_baseline": round(value / baseline, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

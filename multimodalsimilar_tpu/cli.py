@@ -1,0 +1,447 @@
+"""Command-line interface — one entry point, subcommands per job family.
+
+Replaces the reference's 20+ per-job scripts with three ad-hoc config styles
+(module constants / CFG class / argparse — SURVEY.md §5) with:
+
+    python -m multimodalsimilar_tpu.cli train nlp --data train.csv ...
+    python -m multimodalsimilar_tpu.cli train multilabel ...
+    python -m multimodalsimilar_tpu.cli embed incremental --dt 2026-08-16 ...
+    python -m multimodalsimilar_tpu.cli similar nlp --redis_host ... --dt ...
+    python -m multimodalsimilar_tpu.cli download --manifest urls.csv ...
+
+Every flag the reference exposes (--dt, --redis_*, --lv*_weight,
+--data_input/--data_output, exp_seconds) has an equivalent here. YAML config
+files can preload any subcommand's flags (--config path.yaml).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+
+def _load_yaml_defaults(parser: argparse.ArgumentParser, argv):
+    """--config file.yaml preloads defaults; explicit flags still win."""
+    if "--config" in argv:
+        import yaml
+        i = argv.index("--config")
+        with open(argv[i + 1]) as f:
+            parser.set_defaults(**(yaml.safe_load(f) or {}))
+
+
+def _mesh():
+    from multimodalsimilar_tpu.parallel.mesh import create_mesh
+    return create_mesh()
+
+
+def _tokenizer(args):
+    from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
+    if args.tokenizer:
+        return TextTokenizer.from_hf(args.tokenizer)
+    # derive a char vocab from the training corpus (offline mode)
+    import pandas as pd
+    from multimodalsimilar_tpu.data.datasets import read_table
+    df = read_table(args.data)
+    return TextTokenizer.from_corpus(df[args.text_col].astype(str))
+
+
+def _add_common_train_flags(p):
+    p.add_argument("--config", help="YAML file preloading flags")
+    p.add_argument("--data", required=True, help="train csv/parquet")
+    p.add_argument("--eval_data", help="eval csv/parquet")
+    p.add_argument("--output", default="./output", help="checkpoint dir")
+    p.add_argument("--tokenizer", help="HF tokenizer name/path (offline ok)")
+    p.add_argument("--text_col", default="spu_name")
+    p.add_argument("--label_col", default="labels")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--max_length", type=int, default=128)
+    p.add_argument("--tower_lr", type=float, default=5e-5)
+    p.add_argument("--head_lr", type=float, default=1e-2)
+    p.add_argument("--head_warmup_frac", type=float, default=0.15)
+    p.add_argument("--eval_every", type=int, default=100)
+    p.add_argument("--save_every", type=int, default=1000)
+    p.add_argument("--weighted_sampling", action="store_true")
+    p.add_argument("--margin", type=float, default=0.4)
+    p.add_argument("--margin_delta_per_epoch", type=float, default=0.0)
+    p.add_argument("--bert_preset", default="tiny",
+                   choices=["tiny", "base", "large"])
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _bert_config(preset: str):
+    from multimodalsimilar_tpu.models.bert import BertConfig
+    return {"tiny": BertConfig.tiny(), "base": BertConfig.roberta_wwm_ext(),
+            "large": BertConfig.roberta_wwm_ext_large()}[preset]
+
+
+def _trainer(task, args, steps_per_epoch, mesh):
+    from multimodalsimilar_tpu.train.optim import (
+        dual_group_adamw, linear_schedule_with_warmup)
+    from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig
+    total = args.epochs * steps_per_epoch
+    tx = dual_group_adamw(
+        linear_schedule_with_warmup(args.tower_lr, 0, total),
+        linear_schedule_with_warmup(args.head_lr,
+                                    args.head_warmup_frac * total, total))
+    cfg = TrainerConfig(
+        eval_every=args.eval_every, save_every=args.save_every,
+        margin_init=args.margin,
+        margin_delta_per_epoch=args.margin_delta_per_epoch,
+        checkpoint_dir=os.path.join(args.output, "ckpt"),
+        metrics_path=os.path.join(args.output, "metrics.jsonl"),
+        seed=args.seed)
+    os.makedirs(args.output, exist_ok=True)
+    return Trainer(task, tx, mesh, cfg)
+
+
+def _sampler_fn(args, df, label_col):
+    if not args.weighted_sampling:
+        return None
+    from multimodalsimilar_tpu.data.sampling import (
+        WeightedSampler, class_balance_weights)
+    w = class_balance_weights(df[label_col].values)
+    return lambda epoch: WeightedSampler(w, seed=args.seed + epoch)
+
+
+def cmd_train_nlp(args):
+    import pandas as pd
+    from multimodalsimilar_tpu.data.datasets import (
+        TextClassificationSource, read_table)
+    from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
+    from multimodalsimilar_tpu.ops.arcface import ArcFaceParams
+    from multimodalsimilar_tpu.train.tasks import text_arcface_task
+
+    df = read_table(args.data)
+    tok = _tokenizer(args)
+    src = TextClassificationSource(df, tok, args.text_col, args.label_col,
+                                   args.max_length)
+    num_labels = int(df[args.label_col].max()) + 1
+    model = NlpTextClassifier(_bert_config(args.bert_preset), num_labels,
+                              arcface=ArcFaceParams(m=args.margin))
+    mesh = _mesh()
+    steps = max(len(df) // args.batch_size, 1)
+    trainer = _trainer(text_arcface_task(model), args, steps, mesh)
+    eval_src = None
+    if args.eval_data:
+        eval_src = TextClassificationSource(
+            read_table(args.eval_data), tok, args.text_col, args.label_col,
+            args.max_length)
+    trainer.fit(src, args.epochs, args.batch_size, eval_src,
+                sampler_fn=_sampler_fn(args, df, args.label_col))
+
+
+def cmd_train_multilabel(args):
+    from multimodalsimilar_tpu.data.datasets import (
+        TextClassificationSource, read_table)
+    from multimodalsimilar_tpu.models.classifiers import (
+        NlpMultilabelClassifier)
+    from multimodalsimilar_tpu.train.tasks import multilabel_arcface_task
+
+    df = read_table(args.data)
+    tok = _tokenizer(args)
+    cols = [args.lv1_col, args.lv2_col, args.tag_col]
+    src = TextClassificationSource(df, tok, args.text_col, cols,
+                                   args.max_length)
+    model = NlpMultilabelClassifier(
+        _bert_config(args.bert_preset),
+        lv1_labels=int(df[args.lv1_col].max()) + 1,
+        lv2_labels=int(df[args.lv2_col].max()) + 1,
+        tag_labels=int(df[args.tag_col].max()) + 1)
+    mesh = _mesh()
+    steps = max(len(df) // args.batch_size, 1)
+    task = multilabel_arcface_task(
+        model, weights=(args.lv1_weight, args.lv2_weight, args.tag_weight))
+
+    # label columns keep their own names in multi-label batches
+    class Renamed:
+        def batches(self, *a, **kw):
+            for b in src.batches(*a, **kw):
+                b["lv1_label"] = b.pop(args.lv1_col)
+                b["lv2_label"] = b.pop(args.lv2_col)
+                b["tag_label"] = b.pop(args.tag_col)
+                yield b
+
+    trainer = _trainer(task, args, steps, mesh)
+    trainer.fit(Renamed(), args.epochs, args.batch_size,
+                sampler_fn=_sampler_fn(args, df, args.lv2_col))
+
+
+def cmd_train_cv(args):
+    from multimodalsimilar_tpu.data.datasets import (
+        ImageClassificationSource, read_table)
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    from multimodalsimilar_tpu.models.vision import CvImageClassifier
+    from multimodalsimilar_tpu.ops.arcface import ArcFaceParams
+    from multimodalsimilar_tpu.train.tasks import cv_arcface_task
+
+    df = read_table(args.data)
+    src = ImageClassificationSource(df, args.img_root, args.key_col,
+                                    args.label_col, args.image_size,
+                                    train_aug=True)
+    model = CvImageClassifier(
+        EfficientNetConfig.variant(args.backbone),
+        num_labels=int(df[args.label_col].max()) + 1,
+        fc_dim=args.fc_dim, arcface=ArcFaceParams(m=args.margin))
+    mesh = _mesh()
+    steps = max(len(df) // args.batch_size, 1)
+    trainer = _trainer(cv_arcface_task(model), args, steps, mesh)
+    eval_src = None
+    if args.eval_data:
+        eval_src = ImageClassificationSource(
+            read_table(args.eval_data), args.img_root, args.key_col,
+            args.label_col, args.image_size)
+    trainer.fit(src, args.epochs, args.batch_size, eval_src,
+                sampler_fn=_sampler_fn(args, df, args.label_col))
+
+
+def cmd_train_pair(args):
+    from multimodalsimilar_tpu.data.datasets import (
+        PairTextSource, read_table)
+    from multimodalsimilar_tpu.models.classifiers import SiamesePairModel
+    from multimodalsimilar_tpu.train.tasks import pair_task
+
+    df = read_table(args.data)
+    tok = _tokenizer_pair(args, df)
+    src = PairTextSource(df, tok, args.max_length, seed=args.seed)
+    model = SiamesePairModel(_bert_config(args.bert_preset))
+    mesh = _mesh()
+    steps = max(len(df) // args.batch_size, 1)
+    trainer = _trainer(pair_task(model), args, steps, mesh)
+    trainer.fit(src, args.epochs, args.batch_size)
+
+
+def _tokenizer_pair(args, df):
+    from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
+    if args.tokenizer:
+        return TextTokenizer.from_hf(args.tokenizer)
+    return TextTokenizer.from_corpus(df["title"].astype(str))
+
+
+def cmd_train_fasttext(args):
+    import pandas as pd
+    from multimodalsimilar_tpu.data.datasets import read_table
+    from multimodalsimilar_tpu.models.fasttext import train_supervised
+    df = read_table(args.data)
+    model = train_supervised(df[args.text_col].astype(str).tolist(),
+                             df[args.label_col].tolist(), dim=args.dim,
+                             lr=args.lr, epochs=args.epochs,
+                             word_ngrams=2)
+    import pickle
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "fasttext.pkl"), "wb") as f:
+        pickle.dump(model, f)
+    if args.eval_data:
+        ev = read_table(args.eval_data)
+        n, p, r = model.test(ev[args.text_col].astype(str).tolist(),
+                             ev[args.label_col].tolist())
+        print(json.dumps({"n": n, "precision": p, "recall": r}))
+
+
+def cmd_embed_incremental(args):
+    """goodssku_emb_*_di capability: skip-existing daily export."""
+    from multimodalsimilar_tpu.data.datasets import read_table
+    from multimodalsimilar_tpu.pipelines.embed import incremental_export
+    from multimodalsimilar_tpu.pipelines.sinks import ParquetTableSink
+    df = read_table(args.data)
+    sink = ParquetTableSink(args.table)
+    embed_fn = _build_embed_fn(args)
+    n = incremental_export(df, embed_fn, sink, key_col=args.key_col,
+                           dt=args.dt)
+    print(json.dumps({"written": n, "table": args.table}))
+
+
+def _build_embed_fn(args):
+    """Text embedder from a checkpoint (or random init for smoke runs)."""
+    import jax
+    import jax.numpy as jnp
+    from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
+    from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
+    from multimodalsimilar_tpu.pipelines.embedders import TextEmbedder
+    from multimodalsimilar_tpu.data.datasets import read_table
+
+    df = read_table(args.data)
+    if args.tokenizer:
+        tok = TextTokenizer.from_hf(args.tokenizer)
+    else:
+        tok = TextTokenizer.from_corpus(df[args.text_col].astype(str))
+    model = NlpTextClassifier(_bert_config(args.bert_preset), args.num_labels)
+    sample = tok(["x"], args.max_length)
+    variables = model.init({"params": jax.random.key(0)},
+                           jnp.asarray(sample["input_ids"]),
+                           label=jnp.zeros(1, jnp.int32))
+    if args.checkpoint:
+        from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
+        state = CheckpointManager(args.checkpoint).restore()
+        variables = {"params": state["params"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+    embedder = TextEmbedder(model, variables, tok, args.max_length,
+                            args.batch_size)
+
+    def embed_fn(sub):
+        em = embedder(sub[args.text_col].astype(str).tolist())
+        return dict(zip(sub[args.key_col].astype(str), em))
+
+    return embed_fn
+
+
+def cmd_similar_nlp(args):
+    from multimodalsimilar_tpu.data.datasets import read_table
+    from multimodalsimilar_tpu.pipelines.similar import nlp_similar_job
+    df = read_table(args.data)
+    sink = _kv_sink(args)
+    embed_fn = _build_embed_fn_texts(args)
+    n = nlp_similar_job(df, embed_fn, sink, text_col=args.text_col,
+                        key_col=args.key_col, k=args.k,
+                        score_th=args.score_th,
+                        ttl_seconds=args.exp_seconds)
+    print(json.dumps({"written": n}))
+
+
+def _build_embed_fn_texts(args):
+    fn = _build_embed_fn(args)
+
+    def embed_texts(texts):
+        import pandas as pd
+        sub = pd.DataFrame({args.text_col: texts,
+                            args.key_col: range(len(texts))})
+        d = fn(sub)
+        import numpy as np
+        return np.stack([d[str(i)] for i in range(len(texts))])
+
+    return embed_texts
+
+
+def _kv_sink(args):
+    from multimodalsimilar_tpu.pipelines.sinks import (
+        InMemoryKVSink, RedisKVSink)
+    if args.redis_host:
+        return RedisKVSink(args.redis_host, args.redis_port, args.redis_db,
+                           args.redis_password)
+    print("no --redis_host: using in-memory sink (dry run)", file=sys.stderr)
+    return InMemoryKVSink()
+
+
+def cmd_download(args):
+    from multimodalsimilar_tpu.data.datasets import read_table
+    from multimodalsimilar_tpu.pipelines.download import download_images
+    df = read_table(args.manifest)
+    items = list(zip(df[args.key_col].astype(str),
+                     df[args.img_id_col].astype(str), df[args.url_col]))
+    ok, failed = download_images(items, args.out_root, threads=args.threads)
+    print(json.dumps({"downloaded": ok, "skipped_or_failed": failed}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("multimodalsimilar_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    train = sub.add_parser("train").add_subparsers(dest="model",
+                                                   required=True)
+    t_nlp = train.add_parser("nlp")
+    _add_common_train_flags(t_nlp)
+    t_nlp.set_defaults(fn=cmd_train_nlp)
+
+    t_ml = train.add_parser("multilabel")
+    _add_common_train_flags(t_ml)
+    t_ml.add_argument("--lv1_col", default="lv1_category_id")
+    t_ml.add_argument("--lv2_col", default="lv2_category_id")
+    t_ml.add_argument("--tag_col", default="tag_new_id")
+    t_ml.add_argument("--lv1_weight", type=float, default=10.0)
+    t_ml.add_argument("--lv2_weight", type=float, default=5.0)
+    t_ml.add_argument("--tag_weight", type=float, default=1.0)
+    t_ml.set_defaults(fn=cmd_train_multilabel)
+
+    t_cv = train.add_parser("cv")
+    _add_common_train_flags(t_cv)
+    t_cv.add_argument("--img_root", required=True)
+    t_cv.add_argument("--key_col", default="goods_sku")
+    t_cv.add_argument("--image_size", type=int, default=512)
+    t_cv.add_argument("--fc_dim", type=int, default=512)
+    t_cv.add_argument("--backbone", default="efficientnet_b4")
+    t_cv.set_defaults(fn=cmd_train_cv, margin=0.2,
+                      margin_delta_per_epoch=0.04)
+
+    t_pair = train.add_parser("pair")
+    _add_common_train_flags(t_pair)
+    t_pair.set_defaults(fn=cmd_train_pair)
+
+    t_ft = train.add_parser("fasttext")
+    t_ft.add_argument("--config")
+    t_ft.add_argument("--data", required=True)
+    t_ft.add_argument("--eval_data")
+    t_ft.add_argument("--output", default="./output")
+    t_ft.add_argument("--text_col", default="text")
+    t_ft.add_argument("--label_col", default="label")
+    t_ft.add_argument("--dim", type=int, default=100)
+    t_ft.add_argument("--lr", type=float, default=0.1)
+    t_ft.add_argument("--epochs", type=int, default=5)
+    t_ft.set_defaults(fn=cmd_train_fasttext)
+
+    emb = sub.add_parser("embed").add_subparsers(dest="mode", required=True)
+    e_inc = emb.add_parser("incremental")
+    e_inc.add_argument("--config")
+    e_inc.add_argument("--data", required=True)
+    e_inc.add_argument("--table", required=True, help="parquet table path")
+    e_inc.add_argument("--dt", default=None)
+    e_inc.add_argument("--key_col", default="goods_sku")
+    e_inc.add_argument("--text_col", default="spu_name")
+    e_inc.add_argument("--tokenizer")
+    e_inc.add_argument("--checkpoint")
+    e_inc.add_argument("--bert_preset", default="tiny")
+    e_inc.add_argument("--num_labels", type=int, default=2)
+    e_inc.add_argument("--max_length", type=int, default=80)
+    e_inc.add_argument("--batch_size", type=int, default=256)
+    e_inc.set_defaults(fn=cmd_embed_incremental)
+
+    sim = sub.add_parser("similar").add_subparsers(dest="mode",
+                                                   required=True)
+    s_nlp = sim.add_parser("nlp")
+    s_nlp.add_argument("--config")
+    s_nlp.add_argument("--data", required=True)
+    s_nlp.add_argument("--dt", default=None)
+    s_nlp.add_argument("--key_col", default="spu_sn")
+    s_nlp.add_argument("--text_col", default="spu_name")
+    s_nlp.add_argument("--tokenizer")
+    s_nlp.add_argument("--checkpoint")
+    s_nlp.add_argument("--bert_preset", default="tiny")
+    s_nlp.add_argument("--num_labels", type=int, default=2)
+    s_nlp.add_argument("--max_length", type=int, default=128)
+    s_nlp.add_argument("--batch_size", type=int, default=256)
+    s_nlp.add_argument("--k", type=int, default=13)
+    s_nlp.add_argument("--score_th", type=float, default=0.9)
+    s_nlp.add_argument("--redis_host", default=None)
+    s_nlp.add_argument("--redis_port", type=int, default=6379)
+    s_nlp.add_argument("--redis_db", type=int, default=15)
+    s_nlp.add_argument("--redis_password", default=None)
+    s_nlp.add_argument("--exp_seconds", type=int, default=7 * 24 * 3600)
+    s_nlp.set_defaults(fn=cmd_similar_nlp)
+
+    dl = sub.add_parser("download")
+    dl.add_argument("--config")
+    dl.add_argument("--manifest", required=True,
+                    help="csv with key/img_id/url columns")
+    dl.add_argument("--out_root", required=True)
+    dl.add_argument("--key_col", default="goods_sku")
+    dl.add_argument("--img_id_col", default="img_id")
+    dl.add_argument("--url_col", default="url")
+    dl.add_argument("--threads", type=int, default=20)
+    dl.set_defaults(fn=cmd_download)
+
+    return p
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    parser = build_parser()
+    _load_yaml_defaults(parser, argv)
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

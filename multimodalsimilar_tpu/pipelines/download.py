@@ -28,11 +28,13 @@ def _default_fetch(url: str) -> bytes:
 def download_images(
     items: Sequence[Tuple[str, str, str]],   # (sku, img_id, url)
     out_root: str,
-    fetch_fn: Callable[[str], bytes] = _default_fetch,
+    fetch_fn: Optional[Callable[[str], bytes]] = None,
     threads: int = 20,
     skip_existing: bool = True,
 ) -> Tuple[int, int]:
     """Returns (downloaded, skipped_or_failed)."""
+    if fetch_fn is None:
+        fetch_fn = _default_fetch
     ok = failed = 0
 
     def one(item):
