@@ -221,6 +221,30 @@ def _tokenizer_pair(args, df):
     return TextTokenizer.from_corpus(df["title"].astype(str))
 
 
+def cmd_train_multimodal(args):
+    from multimodalsimilar_tpu.data.datasets import (
+        MultimodalSource, read_table)
+    from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    from multimodalsimilar_tpu.models.multimodal import MultimodalClassifier
+    from multimodalsimilar_tpu.train.tasks import multimodal_arcface_task
+
+    df = read_table(args.data)
+    tok = (TextTokenizer.from_hf(args.tokenizer) if args.tokenizer
+           else TextTokenizer.from_corpus(df[args.text_col].astype(str)))
+    src = MultimodalSource(df, tok, args.img_root, args.text_col,
+                           args.key_col, args.label_col, args.max_length,
+                           args.image_size, train_aug=True)
+    model = MultimodalClassifier(
+        _bert_config(args.bert_preset),
+        EfficientNetConfig.variant(args.backbone),
+        num_labels=int(df[args.label_col].max()) + 1, fc_dim=args.fc_dim)
+    mesh = _mesh()
+    steps = max(len(df) // args.batch_size, 1)
+    trainer = _trainer(multimodal_arcface_task(model), args, steps, mesh)
+    trainer.fit(src, args.epochs, args.batch_size)
+
+
 def cmd_train_fasttext(args):
     import pandas as pd
     from multimodalsimilar_tpu.data.datasets import read_table
@@ -326,6 +350,90 @@ def _kv_sink(args):
     return InMemoryKVSink()
 
 
+def cmd_similar_daodian(args):
+    """daodian_infer capability: per-area fastText + CV merge, KV write."""
+    import pickle
+    import numpy as np
+    from multimodalsimilar_tpu.data.datasets import read_table
+    from multimodalsimilar_tpu.data.text import gen_title
+    from multimodalsimilar_tpu.pipelines.similar import daodian_similar_job
+
+    df = read_table(args.data)
+    if "title" not in df.columns:
+        df["title"] = df.apply(gen_title, axis=1)
+    with open(args.fasttext_model, "rb") as f:
+        ft = pickle.load(f)
+
+    def embed_titles(titles):
+        return ft.get_sentence_vector(list(titles))
+
+    if args.cv_checkpoint:
+        import jax
+        from multimodalsimilar_tpu.models.efficientnet import (
+            EfficientNetConfig)
+        from multimodalsimilar_tpu.models.vision import CvImageClassifier
+        from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
+        from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
+        state = CheckpointManager(args.cv_checkpoint).restore()
+        model = CvImageClassifier(
+            EfficientNetConfig.variant(args.backbone),
+            num_labels=args.cv_num_labels, fc_dim=args.fc_dim)
+        emb = ImageEmbedder(
+            model, {"params": state["params"],
+                    "batch_stats": state["batch_stats"]},
+            image_size=args.image_size,
+            cache_path_for_key=lambda k: os.path.join(
+                args.img_root, str(k), "emb.txt"))
+
+        def embed_skus(area_df):
+            return _sku_to_spusn(area_df, emb, args)
+    else:
+        def embed_skus(area_df):
+            return {}
+
+    sink = _kv_sink(args)
+    date_key = args.dt.replace("-", "") if (args.dt and args.date_keyed) \
+        else None
+    merged = daodian_similar_job(
+        df, embed_titles, embed_skus, sink, ttl_seconds=args.exp_seconds,
+        date_key=date_key)
+    print(json.dumps({"skus": len(merged)}))
+
+
+def _sku_to_spusn(area_df, emb, args):
+    """Embed by goods_sku (image folders) but key the result by spu_sn."""
+    sku_of = dict(zip(area_df[args.sku_col].astype(str),
+                      area_df[args.key_col]))
+    by_sku = emb.embed_keys(
+        list(sku_of), lambda kk: [os.path.join(args.img_root, kk, f"{j}.jpg")
+                                  for j in range(8)])
+    return {sku_of[k]: v for k, v in by_sku.items()}
+
+
+def cmd_embed_bulk(args):
+    from multimodalsimilar_tpu.data.datasets import read_table
+    from multimodalsimilar_tpu.pipelines.embed import bulk_export
+    from multimodalsimilar_tpu.pipelines.sinks import ParquetTableSink
+    df = read_table(args.data)
+    sink = ParquetTableSink(args.table)
+    merged = bulk_export(df, {"bert": _build_embed_fn(args)}, sink,
+                         key_col=args.key_col)
+    print(json.dumps({"rows": len(merged), "table": args.table}))
+
+
+def cmd_copy_kv(args):
+    from multimodalsimilar_tpu.pipelines.download import copy_kv
+    from multimodalsimilar_tpu.pipelines.sinks import RedisKVSink
+    src = RedisKVSink(args.src_host, args.src_port, args.src_db,
+                      args.redis_password)
+    dst = RedisKVSink(args.dst_host, args.dst_port, args.dst_db,
+                      args.redis_password)
+    keys = [k.decode() if isinstance(k, bytes) else k
+            for k in src.client.keys(args.pattern)]
+    n = copy_kv(src, dst, keys, args.exp_seconds)
+    print(json.dumps({"copied": n}))
+
+
 def cmd_download(args):
     from multimodalsimilar_tpu.data.datasets import read_table
     from multimodalsimilar_tpu.pipelines.download import download_images
@@ -370,6 +478,15 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common_train_flags(t_pair)
     t_pair.set_defaults(fn=cmd_train_pair)
 
+    t_mm = train.add_parser("multimodal")
+    _add_common_train_flags(t_mm)
+    t_mm.add_argument("--img_root", required=True)
+    t_mm.add_argument("--key_col", default="spu_sn")
+    t_mm.add_argument("--image_size", type=int, default=380)
+    t_mm.add_argument("--fc_dim", type=int, default=512)
+    t_mm.add_argument("--backbone", default="efficientnet_b4")
+    t_mm.set_defaults(fn=cmd_train_multimodal, batch_size=48, margin=0.5)
+
     t_ft = train.add_parser("fasttext")
     t_ft.add_argument("--config")
     t_ft.add_argument("--data", required=True)
@@ -398,6 +515,20 @@ def build_parser() -> argparse.ArgumentParser:
     e_inc.add_argument("--batch_size", type=int, default=256)
     e_inc.set_defaults(fn=cmd_embed_incremental)
 
+    e_bulk = emb.add_parser("bulk")
+    e_bulk.add_argument("--config")
+    e_bulk.add_argument("--data", required=True)
+    e_bulk.add_argument("--table", required=True)
+    e_bulk.add_argument("--key_col", default="goods_sku")
+    e_bulk.add_argument("--text_col", default="spu_name")
+    e_bulk.add_argument("--tokenizer")
+    e_bulk.add_argument("--checkpoint")
+    e_bulk.add_argument("--bert_preset", default="tiny")
+    e_bulk.add_argument("--num_labels", type=int, default=2)
+    e_bulk.add_argument("--max_length", type=int, default=80)
+    e_bulk.add_argument("--batch_size", type=int, default=256)
+    e_bulk.set_defaults(fn=cmd_embed_bulk)
+
     sim = sub.add_parser("similar").add_subparsers(dest="mode",
                                                    required=True)
     s_nlp = sim.add_parser("nlp")
@@ -420,6 +551,42 @@ def build_parser() -> argparse.ArgumentParser:
     s_nlp.add_argument("--redis_password", default=None)
     s_nlp.add_argument("--exp_seconds", type=int, default=7 * 24 * 3600)
     s_nlp.set_defaults(fn=cmd_similar_nlp)
+
+    s_dd = sim.add_parser("daodian")
+    s_dd.add_argument("--config")
+    s_dd.add_argument("--data", required=True)
+    s_dd.add_argument("--dt", default=None)
+    s_dd.add_argument("--date_keyed", action="store_true",
+                      help="v2 semantics: write {yyyymmdd}:{spu_sn} keys")
+    s_dd.add_argument("--fasttext_model", required=True,
+                      help="pickled FastTextClassifier")
+    s_dd.add_argument("--cv_checkpoint", default=None)
+    s_dd.add_argument("--cv_num_labels", type=int, default=4181)
+    s_dd.add_argument("--backbone", default="efficientnet_b4")
+    s_dd.add_argument("--fc_dim", type=int, default=512)
+    s_dd.add_argument("--image_size", type=int, default=512)
+    s_dd.add_argument("--img_root", default="./goodssku_image_2")
+    s_dd.add_argument("--key_col", default="spu_sn")
+    s_dd.add_argument("--sku_col", default="sku")
+    s_dd.add_argument("--redis_host", default=None)
+    s_dd.add_argument("--redis_port", type=int, default=6379)
+    s_dd.add_argument("--redis_db", type=int, default=15)
+    s_dd.add_argument("--redis_password", default=None)
+    s_dd.add_argument("--exp_seconds", type=int, default=7 * 24 * 3600)
+    s_dd.set_defaults(fn=cmd_similar_daodian)
+
+    ckv = sub.add_parser("copy-kv")
+    ckv.add_argument("--config")
+    ckv.add_argument("--src_host", required=True)
+    ckv.add_argument("--src_port", type=int, default=6379)
+    ckv.add_argument("--src_db", type=int, default=0)
+    ckv.add_argument("--dst_host", required=True)
+    ckv.add_argument("--dst_port", type=int, default=6379)
+    ckv.add_argument("--dst_db", type=int, default=0)
+    ckv.add_argument("--redis_password", default=None)
+    ckv.add_argument("--pattern", default="*")
+    ckv.add_argument("--exp_seconds", type=int, default=7 * 24 * 3600)
+    ckv.set_defaults(fn=cmd_copy_kv)
 
     dl = sub.add_parser("download")
     dl.add_argument("--config")

@@ -1,0 +1,50 @@
+"""CLI: daodian similar job + bulk embed end-to-end (tiny, hermetic)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+
+from multimodalsimilar_tpu.cli import main
+from multimodalsimilar_tpu.models.fasttext import train_supervised
+
+
+def test_cli_similar_daodian(tmp_path, capsys):
+    # train a tiny fasttext model on the titles we'll search
+    texts = ["苹果 水果", "苹果 水果", "牛奶 乳品", "牛奶 乳品"]
+    ft = train_supervised(texts * 10, ["a", "a", "b", "b"] * 10, dim=8,
+                          epochs=3, bucket=500)
+    ft_path = str(tmp_path / "ft.pkl")
+    with open(ft_path, "wb") as f:
+        pickle.dump(ft, f)
+
+    df = pd.DataFrame({
+        "area_id": [1, 1, 1, 1],
+        "spu_sn": ["a1", "a2", "b1", "b2"],
+        "sku": ["10", "11", "12", "13"],
+        "title": texts,
+        "first_level_category_id": [5, 5, 6, 6],
+        "second_level_category_id": [51, 51, 61, 61]})
+    data = str(tmp_path / "skus.csv")
+    df.to_csv(data, index=False)
+
+    main(["similar", "daodian", "--data", data, "--fasttext_model", ft_path,
+          "--dt", "2026-08-16", "--date_keyed"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["skus"] == 4
+
+
+def test_cli_embed_bulk(tmp_path, capsys):
+    df = pd.DataFrame({"goods_sku": ["1", "2", "3"],
+                       "spu_name": ["商品一", "商品二", "商品三"]})
+    data = str(tmp_path / "skus.csv")
+    df.to_csv(data, index=False)
+    table = str(tmp_path / "bulk.parquet")
+    main(["embed", "bulk", "--data", data, "--table", table,
+          "--max_length", "12", "--batch_size", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 3
+    t = pd.read_parquet(table)
+    assert set(t.columns) == {"goods_sku", "bert_emb"}
