@@ -84,8 +84,9 @@ def bench_image(batch=32, size=380, iters=5, baseline_iters=5):
                            .astype(np.float32))
 
     x = make(batch)
-    variables = model.init({"params": jax.random.key(0)}, x[:1],
-                           label=jnp.zeros(1, jnp.int32))
+    variables = jax.jit(lambda im: model.init(
+        {"params": jax.random.key(0)}, im,
+        label=jnp.zeros(im.shape[0], jnp.int32)))(x[:1])
     run = jax.jit(lambda im: model.apply(variables, im,
                                          method=model.predict_emb))
     dt = _time_fn(run, (x,), iters)

@@ -74,7 +74,10 @@ class Trainer:
     def init_state(self, sample_batch: Dict[str, np.ndarray],
                    rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.key(self.config.seed)
-        variables = self.task.init(rng, shard_batch(self.mesh, sample_batch))
+        # init under jit: eager flax init is one device roundtrip per op —
+        # catastrophic through a remote-TPU tunnel, slow everywhere.
+        variables = jax.jit(self.task.init)(
+            rng, shard_batch(self.mesh, sample_batch))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         state = TrainState(
@@ -173,7 +176,7 @@ class Trainer:
 
     def init_state_from_device_batch(self, batch) -> TrainState:
         rng = jax.random.key(self.config.seed)
-        variables = self.task.init(rng, batch)
+        variables = jax.jit(self.task.init)(rng, batch)
         params = variables["params"]
         state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
