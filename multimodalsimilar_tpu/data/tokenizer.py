@@ -70,10 +70,21 @@ class TextTokenizer:
         return cls(encode, tok.vocab_size, tok.pad_token_id or 0)
 
     @classmethod
-    def from_vocab(cls, tokens: Sequence[str]) -> "TextTokenizer":
+    def from_vocab(cls, tokens: Sequence[str],
+                   use_native: bool = True) -> "TextTokenizer":
         index = {t: i for i, t in enumerate(tokens)}
         pad, unk = index["[PAD]"], index["[UNK]"]
         cls_id, sep = index["[CLS]"], index["[SEP]"]
+
+        if use_native:
+            # C++ batch packer (native/fastpack.cpp) — same output, one call
+            # per batch instead of a Python loop per character.
+            try:
+                from multimodalsimilar_tpu.native import NativeCharEncoder
+                enc = NativeCharEncoder(list(tokens), pad, unk, cls_id, sep)
+                return cls(enc.encode_batch, len(tokens), pad)
+            except Exception:
+                pass
 
         def encode(texts: Sequence[str], max_length: int):
             B = len(texts)

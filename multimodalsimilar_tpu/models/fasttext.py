@@ -79,7 +79,22 @@ class FastTextVocab:
 
     def encode_batch(self, lines: Sequence[str], max_tokens: int = 64,
                      word_ngrams: int = 2) -> Tuple[np.ndarray, np.ndarray]:
-        """Static [B, max_tokens] id matrix + mask (pad id 0, masked out)."""
+        """Static [B, max_tokens] id matrix + mask (pad id 0, masked out).
+
+        Uses the native C++ packer (native/fastpack.cpp) when available;
+        identical output to the Python path below.
+        """
+        native = getattr(self, "_native", None)
+        if native is None and not getattr(self, "_native_failed", False):
+            try:
+                from multimodalsimilar_tpu.native import NativeFtEncoder
+                native = NativeFtEncoder(self.words, self.bucket,
+                                         self.nwords)
+                object.__setattr__(self, "_native", native)
+            except Exception:
+                object.__setattr__(self, "_native_failed", True)
+        if native is not None:
+            return native.encode_batch(lines, max_tokens, word_ngrams)
         B = len(lines)
         ids = np.zeros((B, max_tokens), np.int32)
         mask = np.zeros((B, max_tokens), np.float32)
