@@ -57,15 +57,16 @@ def bench_text(batch=256, seq=80, iters=10, baseline_iters=8):
         {"params": jax.random.key(0)}, i, m,
         label=jnp.zeros(i.shape[0], jnp.int32)))(ids, mask)
 
-    run = jax.jit(lambda i, m: model.apply(variables, i, m,
-                                           method=model.predict_emb))
-    dt = _time_fn(run, (ids, mask), iters)
+    # variables passed as an argument, not closure-captured: captured arrays
+    # are baked into the serialized HLO as constants (100M+ params blow the
+    # compile-request size limit and bloat every executable).
+    run = jax.jit(lambda v, i, m: model.apply(v, i, m,
+                                              method=model.predict_emb))
+    dt = _time_fn(run, (variables, ids, mask), iters)
     eps = batch / dt
 
     ids1, mask1 = make(1)
-    run1 = jax.jit(lambda i, m: model.apply(variables, i, m,
-                                            method=model.predict_emb))
-    dt1 = _time_fn(run1, (ids1, mask1), baseline_iters)
+    dt1 = _time_fn(run, (variables, ids1, mask1), baseline_iters)
     return eps, 1.0 / dt1
 
 
@@ -87,13 +88,13 @@ def bench_image(batch=32, size=380, iters=5, baseline_iters=5):
     variables = jax.jit(lambda im: model.init(
         {"params": jax.random.key(0)}, im,
         label=jnp.zeros(im.shape[0], jnp.int32)))(x[:1])
-    run = jax.jit(lambda im: model.apply(variables, im,
-                                         method=model.predict_emb))
-    dt = _time_fn(run, (x,), iters)
+    run = jax.jit(lambda v, im: model.apply(v, im,
+                                            method=model.predict_emb))
+    dt = _time_fn(run, (variables, x), iters)
     eps = batch / dt
 
     x1 = make(1)
-    dt1 = _time_fn(run, (x1,), baseline_iters)
+    dt1 = _time_fn(run, (variables, x1), baseline_iters)
     return eps, 1.0 / dt1
 
 

@@ -95,8 +95,26 @@ class ImageClassificationSource:
 
     Decode failures are *skipped and replaced* by the next sampler index
     (vs the reference's shrinking batches) so every batch has the same
-    static shape.
+    static shape. ``from_image_folder`` ingests the timm ImageFolder layout
+    used by cv_classifier_train.py:41-49 ({root}/{class_name}/{img}).
     """
+
+    @classmethod
+    def from_image_folder(cls, root: str, image_size: int = 224,
+                          train_aug: bool = False
+                          ) -> "ImageClassificationSource":
+        classes = sorted(d for d in os.listdir(root)
+                         if os.path.isdir(os.path.join(root, d)))
+        rows = []
+        for li, cname in enumerate(classes):
+            cdir = os.path.join(root, cname)
+            for fname in sorted(os.listdir(cdir)):
+                rows.append({"path": os.path.join(cdir, fname),
+                             "label": li, "class_name": cname})
+        df = pd.DataFrame(rows)
+        return cls(df, root, key_col="path", label_col="label",
+                   image_size=image_size, train_aug=train_aug,
+                   path_fn=lambda row: row["path"])
 
     def __init__(self, df: pd.DataFrame, img_root: str,
                  key_col: str = "goods_sku", label_col: str = "tag_new_id",

@@ -44,12 +44,16 @@ class TextEmbedder:
         self.max_length = max_length
         self.batch_size = batch_size
 
+        # variables flow as arguments — closure-captured params are baked
+        # into the serialized HLO as constants (huge executables, remote
+        # compile-size failures for large towers).
         @jax.jit
-        def run(input_ids, attention_mask, token_type_ids):
-            return model.apply(variables, input_ids, attention_mask,
+        def run(v, input_ids, attention_mask, token_type_ids):
+            return model.apply(v, input_ids, attention_mask,
                                token_type_ids, method=model.predict_emb)
 
-        self._run = run
+        self._variables = variables
+        self._run = lambda *a: run(self._variables, *a)
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
         out: List[np.ndarray] = []
@@ -84,10 +88,11 @@ class ImageEmbedder:
         self.cache_path_for_key = cache_path_for_key
 
         @jax.jit
-        def run(images):
-            return model.apply(variables, images, method=model.predict_emb)
+        def run(v, images):
+            return model.apply(v, images, method=model.predict_emb)
 
-        self._run = run
+        self._variables = variables
+        self._run = lambda *a: run(self._variables, *a)
 
     def embed_batch(self, images: np.ndarray) -> np.ndarray:
         out: List[np.ndarray] = []
@@ -166,11 +171,12 @@ class MultimodalEmbedder:
         self.batch_size = batch_size
 
         @jax.jit
-        def run(images, input_ids, attention_mask, token_type_ids):
-            return model.apply(variables, images, input_ids, attention_mask,
+        def run(v, images, input_ids, attention_mask, token_type_ids):
+            return model.apply(v, images, input_ids, attention_mask,
                                token_type_ids, method=model.predict_emb)
 
-        self._run = run
+        self._variables = variables
+        self._run = lambda *a: run(self._variables, *a)
 
     def __call__(self, images: np.ndarray, texts: Sequence[str]
                  ) -> np.ndarray:

@@ -29,12 +29,24 @@ class MeanAccumulator:
 
 
 class MetricLogger:
-    """JSONL metric stream + stdout — the framework's TensorBoard stand-in
-    (runs/ scalars in the reference). One line per logged step."""
+    """JSONL metric stream + stdout, with optional TensorBoard scalars.
 
-    def __init__(self, path=None):
+    The reference logs Loss/train, Acc/train, Acc/test via SummaryWriter
+    (nlp_classifier_train.py:61,136-137,156); passing ``tensorboard_dir``
+    reproduces that (scalars named '{prefix}{metric}'), while the JSONL file
+    is the machine-readable stream.
+    """
+
+    def __init__(self, path=None, tensorboard_dir=None):
         self.path = path
         self._fh = open(path, "a") if path else None
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(tensorboard_dir)
+            except Exception:
+                pass
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = ""):
         rec = {"step": step}
@@ -43,6 +55,10 @@ class MetricLogger:
             import json
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()
+        if self._tb:
+            for k, v in rec.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, step)
         pretty = " ".join(f"{k}={v:.5g}" for k, v in rec.items()
                           if k != "step")
         print(f"[step {step}] {pretty}", flush=True)
@@ -50,3 +66,5 @@ class MetricLogger:
     def close(self):
         if self._fh:
             self._fh.close()
+        if self._tb:
+            self._tb.close()

@@ -53,6 +53,7 @@ class TrainerConfig:
     margin_max: float = 1.0
     checkpoint_dir: Optional[str] = None
     metrics_path: Optional[str] = None
+    tensorboard_dir: Optional[str] = None
     seed: int = 0
 
 
@@ -63,7 +64,8 @@ class Trainer:
         self.tx = optimizer
         self.mesh = mesh
         self.config = config
-        self.logger = MetricLogger(config.metrics_path)
+        self.logger = MetricLogger(config.metrics_path,
+                                   config.tensorboard_dir)
         self.ckpt = (CheckpointManager(config.checkpoint_dir)
                      if config.checkpoint_dir else None)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
