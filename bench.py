@@ -25,18 +25,29 @@ import time
 import numpy as np
 
 
-def _time_fn(fn, args, iters, warmup=2):
-    import jax
+def _time_fn(fn, args, iters, warmup=2, sync_every_iter=False):
+    """Wall time per call with a forced device->host readback — through the
+    TPU relay, block_until_ready acknowledges dispatch, not completion, so
+    only a readback bounds the measurement honestly.
+
+    sync_every_iter=True mirrors the reference's synchronous per-row pattern
+    (.cpu().detach().numpy() after every forward, nlp_infer.py:135); False
+    pipelines the dispatches and reads back once (our batched pipelines).
+    """
+    import numpy as _np
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _np.asarray(fn(*args)).sum()
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        if sync_every_iter:
+            _np.asarray(out)
+    if not sync_every_iter:
+        _np.asarray(out)
     return (time.perf_counter() - t0) / iters
 
 
-def bench_text(batch=256, seq=80, iters=10, baseline_iters=8):
+def bench_text(batch=256, seq=80, iters=16, baseline_iters=16):
     import jax
     import jax.numpy as jnp
     from multimodalsimilar_tpu.models.bert import BertConfig
@@ -66,11 +77,12 @@ def bench_text(batch=256, seq=80, iters=10, baseline_iters=8):
     eps = batch / dt
 
     ids1, mask1 = make(1)
-    dt1 = _time_fn(run, (variables, ids1, mask1), baseline_iters)
+    dt1 = _time_fn(run, (variables, ids1, mask1), baseline_iters,
+                   sync_every_iter=True)
     return eps, 1.0 / dt1
 
 
-def bench_image(batch=32, size=380, iters=5, baseline_iters=5):
+def bench_image(batch=32, size=380, iters=10, baseline_iters=10):
     import jax
     import jax.numpy as jnp
     from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
@@ -94,7 +106,8 @@ def bench_image(batch=32, size=380, iters=5, baseline_iters=5):
     eps = batch / dt
 
     x1 = make(1)
-    dt1 = _time_fn(run, (variables, x1), baseline_iters)
+    dt1 = _time_fn(run, (variables, x1), baseline_iters,
+                   sync_every_iter=True)
     return eps, 1.0 / dt1
 
 
