@@ -434,6 +434,44 @@ def cmd_copy_kv(args):
     print(json.dumps({"copied": n}))
 
 
+def cmd_import_checkpoint(args):
+    """Migrate a reference torch checkpoint (state_dict .pt) into an orbax
+    checkpoint usable by every pipeline here.
+
+    For whole-module pickles (torch.save(model)), first extract the
+    state_dict with the reference code importable:
+        torch.save(torch.load('model.pt').state_dict(), 'sd.pt')
+    """
+    import torch
+    from multimodalsimilar_tpu.models import reference_import as ri
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
+
+    sd = torch.load(args.state_dict, map_location="cpu",
+                    weights_only=True)
+    bert_cfg = _bert_config(args.bert_preset)
+    if args.kind == "nlp":
+        params = ri.nlp_classifier_from_reference(sd, bert_cfg)
+        stats = {}
+    elif args.kind == "multilabel":
+        params = ri.multilabel_classifier_from_reference(sd, bert_cfg)
+        stats = {}
+    elif args.kind == "siamese":
+        params = ri.siamese_from_reference(sd, bert_cfg)
+        stats = {}
+    elif args.kind == "cv":
+        params, stats = ri.cv_classifier_from_reference(
+            sd, EfficientNetConfig.variant(args.backbone))
+    elif args.kind == "multimodal":
+        params, stats = ri.multimodal_from_reference(
+            sd, bert_cfg, EfficientNetConfig.variant(args.backbone))
+    else:
+        raise SystemExit(f"unknown kind {args.kind}")
+    ckpt = CheckpointManager(args.out)
+    ckpt.save(0, {"params": params, "batch_stats": stats}, force=True)
+    print(json.dumps({"imported": args.kind, "out": args.out}))
+
+
 def cmd_download(args):
     from multimodalsimilar_tpu.data.datasets import read_table
     from multimodalsimilar_tpu.pipelines.download import download_images
@@ -587,6 +625,18 @@ def build_parser() -> argparse.ArgumentParser:
     ckv.add_argument("--pattern", default="*")
     ckv.add_argument("--exp_seconds", type=int, default=7 * 24 * 3600)
     ckv.set_defaults(fn=cmd_copy_kv)
+
+    imp = sub.add_parser("import-checkpoint")
+    imp.add_argument("--config")
+    imp.add_argument("--kind", required=True,
+                     choices=["nlp", "multilabel", "siamese", "cv",
+                              "multimodal"])
+    imp.add_argument("--state_dict", required=True,
+                     help="torch state_dict .pt file")
+    imp.add_argument("--out", required=True, help="orbax checkpoint dir")
+    imp.add_argument("--bert_preset", default="base")
+    imp.add_argument("--backbone", default="efficientnet_b4")
+    imp.set_defaults(fn=cmd_import_checkpoint)
 
     dl = sub.add_parser("download")
     dl.add_argument("--config")
