@@ -82,7 +82,7 @@ def bench_text(batch=256, seq=80, iters=16, baseline_iters=16):
     return eps, 1.0 / dt1
 
 
-def bench_image(batch=32, size=380, iters=10, baseline_iters=10):
+def bench_image(batch=128, size=380, iters=6, baseline_iters=10):
     import jax
     import jax.numpy as jnp
     from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig

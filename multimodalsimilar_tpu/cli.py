@@ -350,6 +350,26 @@ def _kv_sink(args):
     return InMemoryKVSink()
 
 
+def cmd_similar_multimodal(args):
+    """multimodal_infer capability: fused embeddings, un-normalized L2
+    top-k, dj_similar:{spu_sn} writes."""
+    import numpy as np
+    from multimodalsimilar_tpu.data.datasets import read_table
+    from multimodalsimilar_tpu.pipelines.embed import parse_embedding
+    from multimodalsimilar_tpu.pipelines.similar import multimodal_similar_job
+    df = read_table(args.data)
+    if args.embedding_col in df.columns:
+        emb = np.stack([parse_embedding(s) for s in df[args.embedding_col]])
+    else:
+        raise SystemExit(
+            f"--embedding_col {args.embedding_col!r} not in table; run the "
+            "embed job first or point at a table with fused embeddings")
+    sink = _kv_sink(args)
+    n = multimodal_similar_job(df, emb, sink, key_col=args.key_col,
+                               k=args.k, ttl_seconds=args.exp_seconds)
+    print(json.dumps({"written": n}))
+
+
 def cmd_similar_daodian(args):
     """daodian_infer capability: per-area fastText + CV merge, KV write."""
     import pickle
@@ -589,6 +609,20 @@ def build_parser() -> argparse.ArgumentParser:
     s_nlp.add_argument("--redis_password", default=None)
     s_nlp.add_argument("--exp_seconds", type=int, default=7 * 24 * 3600)
     s_nlp.set_defaults(fn=cmd_similar_nlp)
+
+    s_mm = sim.add_parser("multimodal")
+    s_mm.add_argument("--config")
+    s_mm.add_argument("--data", required=True,
+                      help="table with spu_sn + fused embedding strings")
+    s_mm.add_argument("--embedding_col", default="multimodal_emb")
+    s_mm.add_argument("--key_col", default="spu_sn")
+    s_mm.add_argument("--k", type=int, default=13)
+    s_mm.add_argument("--redis_host", default=None)
+    s_mm.add_argument("--redis_port", type=int, default=6379)
+    s_mm.add_argument("--redis_db", type=int, default=15)
+    s_mm.add_argument("--redis_password", default=None)
+    s_mm.add_argument("--exp_seconds", type=int, default=7 * 24 * 3600)
+    s_mm.set_defaults(fn=cmd_similar_multimodal)
 
     s_dd = sim.add_parser("daodian")
     s_dd.add_argument("--config")

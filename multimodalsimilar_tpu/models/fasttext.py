@@ -45,6 +45,16 @@ class FastTextVocab:
     bucket: int
     min_count: int = 1
 
+    def __getstate__(self):
+        # the native encoder holds ctypes handles — rebuilt lazily on load
+        state = dict(self.__dict__)
+        state.pop("_native", None)
+        state.pop("_native_failed", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
     @classmethod
     def build(cls, corpus: Iterable[str], bucket: int = 200_000,
               min_count: int = 1) -> "FastTextVocab":
