@@ -69,6 +69,8 @@ def _add_common_train_flags(p):
     p.add_argument("--margin_delta_per_epoch", type=float, default=0.0)
     p.add_argument("--bert_preset", default="tiny",
                    choices=["tiny", "base", "large"])
+    p.add_argument("--fused_loss", action="store_true",
+                   help="stream ArcFace+CE over class tiles (wide heads)")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -124,7 +126,7 @@ def cmd_train_nlp(args):
                               arcface=ArcFaceParams(m=args.margin))
     mesh = _mesh()
     steps = max(len(df) // args.batch_size, 1)
-    trainer = _trainer(text_arcface_task(model), args, steps, mesh)
+    trainer = _trainer(text_arcface_task(model, fused_loss=args.fused_loss), args, steps, mesh)
     eval_src = None
     if args.eval_data:
         eval_src = TextClassificationSource(

@@ -54,12 +54,31 @@ def _text_inputs(batch: Batch):
                 token_type_ids=batch.get("token_type_ids"))
 
 
-def text_arcface_task(model) -> Task:
+def text_arcface_task(model, fused_loss: bool = False,
+                      loss_tile_c: int = 1024) -> Task:
+    """``fused_loss=True`` streams ArcFace+CE over class tiles
+    (ops/arcface_loss.py) — the [B, C] logits never hit HBM; use for wide
+    heads (the 10205-class daodian job and beyond)."""
+
     def init(rng, batch):
         return model.init({"params": rng}, **_text_inputs(batch),
                           label=batch["labels"])
 
     def train_loss(params, batch_stats, batch, rng, margin):
+        if fused_loss:
+            from multimodalsimilar_tpu.ops.arcface_loss import (
+                arcface_ce_loss, cosine_argmax)
+            emb = model.apply({"params": params}, **_text_inputs(batch),
+                              deterministic=False, rngs={"dropout": rng},
+                              method=model.predict_emb)
+            w = params["head"]["weight"]
+            af = model.arcface
+            loss = jnp.mean(arcface_ce_loss(emb, w, batch["labels"],
+                                            margin, af.s, af.easy_margin,
+                                            loss_tile_c))
+            pred = cosine_argmax(emb, w, loss_tile_c)
+            acc = jnp.mean(pred == batch["labels"])
+            return loss, ({"loss": loss, "acc": acc}, batch_stats)
         logits = model.apply({"params": params}, **_text_inputs(batch),
                              label=batch["labels"], m=margin,
                              deterministic=False, rngs={"dropout": rng})
