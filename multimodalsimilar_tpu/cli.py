@@ -71,6 +71,8 @@ def _add_common_train_flags(p):
                    choices=["tiny", "base", "large"])
     p.add_argument("--fused_loss", action="store_true",
                    help="stream ArcFace+CE over class tiles (wide heads)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in --output")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -133,7 +135,8 @@ def cmd_train_nlp(args):
             read_table(args.eval_data), tok, args.text_col, args.label_col,
             args.max_length)
     trainer.fit(src, args.epochs, args.batch_size, eval_src,
-                sampler_fn=_sampler_fn(args, df, args.label_col))
+                sampler_fn=_sampler_fn(args, df, args.label_col),
+                resume=args.resume)
 
 
 def cmd_train_multilabel(args):
@@ -169,7 +172,8 @@ def cmd_train_multilabel(args):
 
     trainer = _trainer(task, args, steps, mesh)
     trainer.fit(Renamed(), args.epochs, args.batch_size,
-                sampler_fn=_sampler_fn(args, df, args.lv2_col))
+                sampler_fn=_sampler_fn(args, df, args.lv2_col),
+                resume=args.resume)
 
 
 def cmd_train_cv(args):
@@ -197,7 +201,8 @@ def cmd_train_cv(args):
             read_table(args.eval_data), args.img_root, args.key_col,
             args.label_col, args.image_size)
     trainer.fit(src, args.epochs, args.batch_size, eval_src,
-                sampler_fn=_sampler_fn(args, df, args.label_col))
+                sampler_fn=_sampler_fn(args, df, args.label_col),
+                resume=args.resume)
 
 
 def cmd_train_pair(args):
@@ -213,7 +218,7 @@ def cmd_train_pair(args):
     mesh = _mesh()
     steps = max(len(df) // args.batch_size, 1)
     trainer = _trainer(pair_task(model), args, steps, mesh)
-    trainer.fit(src, args.epochs, args.batch_size)
+    trainer.fit(src, args.epochs, args.batch_size, resume=args.resume)
 
 
 def _tokenizer_pair(args, df):
@@ -244,7 +249,7 @@ def cmd_train_multimodal(args):
     mesh = _mesh()
     steps = max(len(df) // args.batch_size, 1)
     trainer = _trainer(multimodal_arcface_task(model), args, steps, mesh)
-    trainer.fit(src, args.epochs, args.batch_size)
+    trainer.fit(src, args.epochs, args.batch_size, resume=args.resume)
 
 
 def cmd_train_fasttext(args):

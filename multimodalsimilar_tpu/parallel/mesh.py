@@ -24,6 +24,25 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: call once per host before creating the mesh.
+
+    After ``jax.distributed.initialize``, ``jax.devices()`` spans every host
+    and the same ``create_mesh()`` + sharded-jit programs scale across DCN —
+    the multi-host story the reference lacks entirely (its only scaling was
+    single-process DataParallel). No-ops gracefully when env vars already
+    configure the cluster (GKE/TPU-VM) or when single-process.
+    """
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+    except (ValueError, RuntimeError) as e:  # single-process / already init
+        print(f"jax.distributed not initialized ({e}); single-process mode",
+              flush=True)
+
+
 def create_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     data: Optional[int] = None,

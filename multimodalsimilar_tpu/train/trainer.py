@@ -136,15 +136,21 @@ class Trainer:
 
     def fit(self, train_source, num_epochs: int, batch_size: int,
             eval_source=None, eval_batch_size: Optional[int] = None,
-            sampler_fn=None, shuffle: bool = True) -> TrainState:
+            sampler_fn=None, shuffle: bool = True,
+            resume: bool = False) -> TrainState:
         """Run the full training recipe.
 
         ``sampler_fn(epoch) -> WeightedSampler | None`` plugs in the
         class-balanced sampling of the _v2/_daodian recipes.
+        ``resume=True`` restores the latest checkpoint from
+        ``checkpoint_dir`` and continues (the reference resumes by editing
+        torch.load calls into the script, cv_classifier_train.py:33).
         """
         cfg = self.config
         rng = jax.random.key(cfg.seed + 1)
         state = None
+        resume_requested = resume and self.ckpt is not None \
+            and self.ckpt.latest_step() is not None
         t0 = time.time()
         examples = 0
         for epoch in range(num_epochs):
@@ -155,6 +161,13 @@ class Trainer:
             for batch in prefetch_to_device(it, self.mesh):
                 if state is None:
                     state = self.init_state_from_device_batch(batch)
+                    if resume_requested:
+                        restored = self.ckpt.restore(template=state)
+                        if restored is not None:
+                            state = jax.device_put(
+                                restored, replicated(self.mesh))
+                            self.logger.log(int(state.step),
+                                            {"resumed": 1.0})
                 state, metrics = self._train_step(state, batch, rng)
                 examples += batch_size
                 step = int(state.step)
