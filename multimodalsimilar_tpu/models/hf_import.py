@@ -48,6 +48,13 @@ def bert_params_from_torch(state_dict: Mapping[str, "np.ndarray"],
         return {"kernel": sd[f"{prefix}.weight"].T.reshape(H, nh, hd),
                 "bias": sd[f"{prefix}.bias"].reshape(nh, hd)}
 
+    def fused_qkv(p):
+        ks = np.stack([sd[f"{p}.attention.self.{n}.weight"].T.reshape(
+            H, nh, hd) for n in ("query", "key", "value")], axis=1)
+        bs = np.stack([sd[f"{p}.attention.self.{n}.bias"].reshape(nh, hd)
+                       for n in ("query", "key", "value")], axis=0)
+        return {"kernel": ks, "bias": bs}
+
     def ln(prefix):
         return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
 
@@ -66,13 +73,17 @@ def bert_params_from_torch(state_dict: Mapping[str, "np.ndarray"],
         attn_out = lin(f"{p}.attention.output.dense")
         # DenseGeneral with axis=(-2,-1): kernel [heads, head_dim, out].
         attn_out["kernel"] = attn_out["kernel"].reshape(nh, hd, H)
-        params[f"layer_{i}"] = {
-            "attention": {
+        if config.fused_qkv:
+            attention = {"qkv": fused_qkv(p), "out": attn_out}
+        else:
+            attention = {
                 "query": qkv(f"{p}.attention.self.query"),
                 "key": qkv(f"{p}.attention.self.key"),
                 "value": qkv(f"{p}.attention.self.value"),
                 "out": attn_out,
-            },
+            }
+        params[f"layer_{i}"] = {
+            "attention": attention,
             "attention_norm": ln(f"{p}.attention.output.LayerNorm"),
             "intermediate": lin(f"{p}.intermediate.dense"),
             "output": lin(f"{p}.output.dense"),

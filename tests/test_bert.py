@@ -82,3 +82,24 @@ def test_jit_static_shapes(pair):
     f = jax.jit(lambda p, i, m, t: model.apply({"params": p}, i, m, t))
     out = f(params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types))
     assert out["pooler_output"].shape == (4, cfg.hidden_size)
+
+
+def test_fused_qkv_matches_unfused(pair):
+    """fused_qkv packs the same weights into one projection — outputs must
+    be identical to the 3-matmul path."""
+    import dataclasses
+    hf, _, _, cfg = pair
+    unfused_cfg = dataclasses.replace(cfg, fused_qkv=False)
+    fused_params = bert_params_from_torch(hf.state_dict(), cfg)
+    unfused_params = bert_params_from_torch(hf.state_dict(), unfused_cfg)
+    ids, mask, types = _inputs(cfg)
+    out_f = BertEncoderModel(cfg, DTypePolicy.full_precision()).apply(
+        {"params": fused_params}, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(types))
+    out_u = BertEncoderModel(unfused_cfg,
+                             DTypePolicy.full_precision()).apply(
+        {"params": unfused_params}, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(types))
+    np.testing.assert_allclose(np.asarray(out_f["pooler_output"]),
+                               np.asarray(out_u["pooler_output"]),
+                               rtol=1e-5, atol=1e-6)
