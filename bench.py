@@ -53,8 +53,10 @@ def bench_text(batch=256, seq=80, iters=16, baseline_iters=16):
     from multimodalsimilar_tpu.models.bert import BertConfig
     from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
 
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
     cfg = BertConfig.roberta_wwm_ext()
-    model = NlpTextClassifier(cfg, num_labels=10205)
+    model = NlpTextClassifier(cfg, num_labels=10205,
+                              policy=DTypePolicy.inference())
     rng = np.random.default_rng(0)
 
     def make(bs):
@@ -88,8 +90,9 @@ def bench_image(batch=128, size=380, iters=6, baseline_iters=10):
     from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
     from multimodalsimilar_tpu.models.vision import CvImageClassifier
 
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
     model = CvImageClassifier(EfficientNetConfig.b4(), num_labels=4181,
-                              fc_dim=512)
+                              fc_dim=512, policy=DTypePolicy.inference())
     rng = np.random.default_rng(0)
 
     def make(bs):

@@ -299,7 +299,9 @@ def _build_embed_fn(args):
         tok = TextTokenizer.from_hf(args.tokenizer)
     else:
         tok = TextTokenizer.from_corpus(df[args.text_col].astype(str))
-    model = NlpTextClassifier(_bert_config(args.bert_preset), args.num_labels)
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+    model = NlpTextClassifier(_bert_config(args.bert_preset), args.num_labels,
+                              policy=DTypePolicy.inference())
     sample = tok(["x"], args.max_length)
     variables = model.init({"params": jax.random.key(0)},
                            jnp.asarray(sample["input_ids"]),

