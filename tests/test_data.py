@@ -114,3 +114,21 @@ def test_pair_source_batch_keys():
     assert b["query_input_ids"].shape == (16, 8)
     assert b["title_input_ids"].shape == (16, 8)
     assert set(np.unique(b["labels"])) <= {0, 1}
+
+
+def test_hf_tokenizer_offline(tmp_path):
+    """The production tokenizer path (BertTokenizer from a local vocab dir)
+    works fully offline — no hub access."""
+    import json as _json
+    import os as _os
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "苹", "果", "牛", "奶"]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    (tmp_path / "tokenizer_config.json").write_text(
+        _json.dumps({"tokenizer_class": "BertTokenizer"}))
+    _os.environ["TRANSFORMERS_OFFLINE"] = "1"
+    tok = TextTokenizer.from_hf(str(tmp_path))
+    out = tok(["苹果 牛奶"], max_length=8)
+    assert out["input_ids"].shape == (1, 8)
+    assert out["input_ids"][0, 0] == 2      # [CLS]
+    assert out["attention_mask"][0].sum() == 6  # CLS + 4 chars + SEP
