@@ -119,12 +119,14 @@ class ImageClassificationSource:
     def __init__(self, df: pd.DataFrame, img_root: str,
                  key_col: str = "goods_sku", label_col: str = "tag_new_id",
                  image_size: int = 512, train_aug: bool = False,
-                 path_fn: Optional[Callable[[pd.Series], str]] = None):
+                 path_fn: Optional[Callable[[pd.Series], str]] = None,
+                 num_workers: int = 8):
         self.df = df.reset_index(drop=True)
         self.img_root = img_root
         self.key_col, self.label_col = key_col, label_col
         self.image_size = image_size
         self.train_aug = train_aug
+        self.num_workers = num_workers
         self.path_fn = path_fn or (
             lambda row: os.path.join(img_root, f"{row[key_col]}.jpg"))
 
@@ -141,23 +143,31 @@ class ImageClassificationSource:
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
                 epoch: int = 0, sampler: Optional[WeightedSampler] = None,
                 drop_remainder: bool = True) -> Iterator[Batch]:
-        rng = np.random.default_rng(seed * 1000 + epoch)
+        """Decode runs on a thread pool (cv2 releases the GIL) — the host
+        must outpace the accelerator (~1.8k B4 images/s on v5e); the
+        reference's serial per-row decode cannot."""
+        from concurrent.futures import ThreadPoolExecutor
         order = list(_epoch_order(len(self), shuffle, seed, epoch, sampler))
+        labels_all = self.df[self.label_col].values
         imgs: List[np.ndarray] = []
         labels: List[int] = []
-        pos = 0
-        while pos < len(order):
-            i = order[pos]
-            pos += 1
-            img = self._load(int(i), rng)
-            if img is None:
-                continue
-            imgs.append(img)
-            labels.append(int(self.df[self.label_col].iloc[int(i)]))
-            if len(imgs) == batch_size:
-                yield {"images": np.stack(imgs),
-                       "labels": np.asarray(labels, np.int32)}
-                imgs, labels = [], []
+
+        def load(args):
+            pos, i = args
+            # independent per-item rng: reproducible under threading
+            rng = np.random.default_rng((seed * 1000 + epoch) * 100003 + pos)
+            return i, self._load(int(i), rng)
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for i, img in pool.map(load, enumerate(order), chunksize=4):
+                if img is None:
+                    continue
+                imgs.append(img)
+                labels.append(int(labels_all[int(i)]))
+                if len(imgs) == batch_size:
+                    yield {"images": np.stack(imgs),
+                           "labels": np.asarray(labels, np.int32)}
+                    imgs, labels = [], []
         if imgs and not drop_remainder:
             yield {"images": np.stack(imgs),
                    "labels": np.asarray(labels, np.int32)}
