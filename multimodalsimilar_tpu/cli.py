@@ -273,16 +273,58 @@ def cmd_train_fasttext(args):
 
 
 def cmd_embed_incremental(args):
-    """goodssku_emb_*_di capability: skip-existing daily export."""
+    """goodssku_emb_*_di capability: skip-existing daily export.
+
+    --kind text (bert/fasttext-style titles) or cv (multi-image mean with
+    emb.txt caching, goodssku_emb_cv_di semantics)."""
     from multimodalsimilar_tpu.data.datasets import read_table
     from multimodalsimilar_tpu.pipelines.embed import incremental_export
     from multimodalsimilar_tpu.pipelines.sinks import ParquetTableSink
     df = read_table(args.data)
     sink = ParquetTableSink(args.table)
-    embed_fn = _build_embed_fn(args)
+    if getattr(args, "kind", "text") == "cv":
+        embed_fn = _build_cv_embed_fn(args)
+    else:
+        embed_fn = _build_embed_fn(args)
     n = incremental_export(df, embed_fn, sink, key_col=args.key_col,
                            dt=args.dt)
     print(json.dumps({"written": n, "table": args.table}))
+
+
+def _build_cv_embed_fn(args):
+    import jax
+    import jax.numpy as jnp
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    from multimodalsimilar_tpu.models.vision import CvImageClassifier
+    from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    model = CvImageClassifier(
+        EfficientNetConfig.variant(args.backbone),
+        num_labels=args.num_labels, fc_dim=args.fc_dim,
+        policy=DTypePolicy.inference())
+    x = jnp.zeros((1, args.image_size, args.image_size, 3))
+    variables = jax.jit(lambda x: model.init(
+        {"params": jax.random.key(0)}, x,
+        label=jnp.zeros(1, jnp.int32)))(x)
+    if args.checkpoint:
+        from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
+        state = CheckpointManager(args.checkpoint).restore()
+        variables = {"params": state["params"],
+                     "batch_stats": state.get("batch_stats", {})}
+    embedder = ImageEmbedder(
+        model, variables, image_size=args.image_size,
+        batch_size=args.batch_size,
+        cache_path_for_key=lambda k: os.path.join(args.img_root, str(k),
+                                                  "emb.txt"))
+
+    def embed_fn(sub):
+        keys = sub[args.key_col].astype(str).tolist()
+        return embedder.embed_keys(
+            keys, lambda k: [os.path.join(args.img_root, k, f"{i}.jpg")
+                             for i in range(8)])
+
+    return embed_fn
 
 
 def _build_embed_fn(args):
@@ -463,6 +505,41 @@ def cmd_copy_kv(args):
     print(json.dumps({"copied": n}))
 
 
+def cmd_eval(args):
+    """Margin-free evaluation of a checkpoint on a labeled dataset (the
+    reference's in-loop is_test=True eval, as a standalone job)."""
+    import jax
+    from multimodalsimilar_tpu.data.datasets import (
+        TextClassificationSource, read_table)
+    from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
+    from multimodalsimilar_tpu.parallel.mesh import create_mesh
+    from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
+    from multimodalsimilar_tpu.train.optim import dual_group_adamw
+    from multimodalsimilar_tpu.train.tasks import text_arcface_task
+    from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig
+
+    df = read_table(args.data)
+    tok = _tokenizer(args)
+    src = TextClassificationSource(df, tok, args.text_col, args.label_col,
+                                   args.max_length)
+    model = NlpTextClassifier(_bert_config(args.bert_preset),
+                              int(df[args.label_col].max()) + 1)
+    mesh = _mesh()
+    trainer = Trainer(text_arcface_task(model),
+                      dual_group_adamw(lambda s: 0.0, lambda s: 0.0), mesh,
+                      TrainerConfig(log_every=10**9))
+    batch = next(src.batches(args.batch_size, shuffle=False))
+    from multimodalsimilar_tpu.parallel.mesh import shard_batch
+    state = trainer.init_state_from_device_batch(shard_batch(mesh, batch))
+    if args.checkpoint:
+        restored = CheckpointManager(args.checkpoint).restore(template=state)
+        if restored is not None:
+            state = restored
+    metrics = trainer.evaluate(state, src.batches(args.batch_size,
+                                                  shuffle=False))
+    print(json.dumps({k: float(v) for k, v in metrics.items()}))
+
+
 def cmd_import_checkpoint(args):
     """Migrate a reference torch checkpoint (state_dict .pt) into an orbax
     checkpoint usable by every pipeline here.
@@ -569,6 +646,7 @@ def build_parser() -> argparse.ArgumentParser:
     emb = sub.add_parser("embed").add_subparsers(dest="mode", required=True)
     e_inc = emb.add_parser("incremental")
     e_inc.add_argument("--config")
+    e_inc.add_argument("--kind", default="text", choices=["text", "cv"])
     e_inc.add_argument("--data", required=True)
     e_inc.add_argument("--table", required=True, help="parquet table path")
     e_inc.add_argument("--dt", default=None)
@@ -580,6 +658,10 @@ def build_parser() -> argparse.ArgumentParser:
     e_inc.add_argument("--num_labels", type=int, default=2)
     e_inc.add_argument("--max_length", type=int, default=80)
     e_inc.add_argument("--batch_size", type=int, default=256)
+    e_inc.add_argument("--img_root", default="./goodssku_image_2")
+    e_inc.add_argument("--backbone", default="efficientnet_b4")
+    e_inc.add_argument("--fc_dim", type=int, default=512)
+    e_inc.add_argument("--image_size", type=int, default=512)
     e_inc.set_defaults(fn=cmd_embed_incremental)
 
     e_bulk = emb.add_parser("bulk")
@@ -668,6 +750,18 @@ def build_parser() -> argparse.ArgumentParser:
     ckv.add_argument("--pattern", default="*")
     ckv.add_argument("--exp_seconds", type=int, default=7 * 24 * 3600)
     ckv.set_defaults(fn=cmd_copy_kv)
+
+    ev = sub.add_parser("eval")
+    ev.add_argument("--config")
+    ev.add_argument("--data", required=True)
+    ev.add_argument("--checkpoint")
+    ev.add_argument("--tokenizer")
+    ev.add_argument("--text_col", default="spu_name")
+    ev.add_argument("--label_col", default="labels")
+    ev.add_argument("--max_length", type=int, default=128)
+    ev.add_argument("--batch_size", type=int, default=256)
+    ev.add_argument("--bert_preset", default="tiny")
+    ev.set_defaults(fn=cmd_eval)
 
     imp = sub.add_parser("import-checkpoint")
     imp.add_argument("--config")

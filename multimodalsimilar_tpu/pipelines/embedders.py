@@ -136,6 +136,8 @@ class ImageEmbedder:
                 continue
             found = False
             for p in paths_for_key(key):
+                if not os.path.exists(p):
+                    continue  # sequentially-numbered images end here
                 img = I.load_eval(p, self.image_size)
                 if img is not None:
                     imgs.append(img)
