@@ -159,7 +159,8 @@ def cmd_train_multilabel(args):
     mesh = _mesh()
     steps = max(len(df) // args.batch_size, 1)
     task = multilabel_arcface_task(
-        model, weights=(args.lv1_weight, args.lv2_weight, args.tag_weight))
+        model, weights=(args.lv1_weight, args.lv2_weight, args.tag_weight),
+        fused_loss=args.fused_loss)
 
     # label columns keep their own names in multi-label batches
     class Renamed:

@@ -95,8 +95,14 @@ def text_arcface_task(model, fused_loss: bool = False,
     return Task(model, init, train_loss, eval_metrics)
 
 
-def multilabel_arcface_task(model, weights=(10.0, 5.0, 1.0)) -> Task:
-    """Weighted multi-head loss, v3_dist.py:164-166 semantics."""
+def multilabel_arcface_task(model, weights=(10.0, 5.0, 1.0),
+                            fused_loss: bool = False,
+                            loss_tile_c: int = 1024) -> Task:
+    """Weighted multi-head loss, v3_dist.py:164-166 semantics.
+
+    ``fused_loss=True`` computes each head's ArcFace+CE blockwise over class
+    tiles on the shared embedding — at reference scale the tag head alone is
+    10205-wide."""
 
     def labels(batch):
         return dict(lv1_label=batch["lv1_label"],
@@ -108,6 +114,25 @@ def multilabel_arcface_task(model, weights=(10.0, 5.0, 1.0)) -> Task:
                           **labels(batch))
 
     def train_loss(params, batch_stats, batch, rng, margin):
+        if fused_loss:
+            from multimodalsimilar_tpu.ops.arcface_loss import (
+                arcface_ce_loss, cosine_argmax)
+            emb = model.apply({"params": params}, **_text_inputs(batch),
+                              deterministic=False, rngs={"dropout": rng},
+                              method=model.predict_emb)
+            heads = (("lv1_head", "lv1_label", 0.4),
+                     ("lv2_head", "lv2_label", 0.2),
+                     ("tag_head", "tag_label", 0.1))
+            loss = 0.0
+            for w_loss, (head, lab, m_head) in zip(weights, heads):
+                loss = loss + w_loss * jnp.mean(arcface_ce_loss(
+                    emb, params[head]["weight"], batch[lab], m_head,
+                    64.0, False, loss_tile_c))
+            pred = cosine_argmax(emb, params["tag_head"]["weight"],
+                                 loss_tile_c)
+            return loss, ({"loss": loss,
+                           "acc": jnp.mean(pred == batch["tag_label"])},
+                          batch_stats)
         l1, l2, lt = model.apply({"params": params}, **_text_inputs(batch),
                                  **labels(batch), deterministic=False,
                                  rngs={"dropout": rng})

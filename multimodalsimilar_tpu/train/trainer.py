@@ -177,8 +177,11 @@ class Trainer:
                     m["margin"] = float(state.margin)
                     self.logger.log(step, m, prefix="train/")
                 if eval_source is not None and step % cfg.eval_every == 0:
+                    # drop_remainder=False: evaluate the whole split (the
+                    # final partial batch compiles once and is cached)
                     ev = self.evaluate(state, eval_source.batches(
-                        eval_batch_size or batch_size, shuffle=False))
+                        eval_batch_size or batch_size, shuffle=False,
+                        drop_remainder=False))
                     self.logger.log(step, ev, prefix="eval/")
                 if self.ckpt and step % cfg.save_every == 0:
                     self.ckpt.save(step, state)
