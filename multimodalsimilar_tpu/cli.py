@@ -483,14 +483,33 @@ def _sku_to_spusn(area_df, emb, args):
 
 
 def cmd_embed_bulk(args):
+    """goodssku_emb.py capability: one table with a column per tower
+    (fastText + BERT + CV), outer-merged over the key."""
     from multimodalsimilar_tpu.data.datasets import read_table
     from multimodalsimilar_tpu.pipelines.embed import bulk_export
     from multimodalsimilar_tpu.pipelines.sinks import ParquetTableSink
     df = read_table(args.data)
     sink = ParquetTableSink(args.table)
-    merged = bulk_export(df, {"bert": _build_embed_fn(args)}, sink,
-                         key_col=args.key_col)
-    print(json.dumps({"rows": len(merged), "table": args.table}))
+    embedders = {}
+    kinds = [k.strip() for k in args.kinds.split(",")]
+    if "bert" in kinds:
+        embedders["bert"] = _build_embed_fn(args)
+    if "fasttext" in kinds:
+        import pickle
+        with open(args.fasttext_model, "rb") as f:
+            ft = pickle.load(f)
+
+        def ft_fn(sub):
+            em = ft.get_sentence_vector(sub[args.text_col].astype(str)
+                                        .tolist())
+            return dict(zip(sub[args.key_col].astype(str), em))
+
+        embedders["fasttext"] = ft_fn
+    if "cv" in kinds:
+        embedders["cv"] = _build_cv_embed_fn(args)
+    merged = bulk_export(df, embedders, sink, key_col=args.key_col)
+    print(json.dumps({"rows": len(merged), "towers": list(embedders),
+                      "table": args.table}))
 
 
 def cmd_copy_kv(args):
@@ -677,6 +696,14 @@ def build_parser() -> argparse.ArgumentParser:
     e_bulk.add_argument("--num_labels", type=int, default=2)
     e_bulk.add_argument("--max_length", type=int, default=80)
     e_bulk.add_argument("--batch_size", type=int, default=256)
+    e_bulk.add_argument("--kinds", default="bert",
+                        help="comma list: bert,fasttext,cv")
+    e_bulk.add_argument("--fasttext_model",
+                        help="pickled FastTextClassifier (kind=fasttext)")
+    e_bulk.add_argument("--img_root", default="./goodssku_image_2")
+    e_bulk.add_argument("--backbone", default="efficientnet_b4")
+    e_bulk.add_argument("--fc_dim", type=int, default=512)
+    e_bulk.add_argument("--image_size", type=int, default=512)
     e_bulk.set_defaults(fn=cmd_embed_bulk)
 
     sim = sub.add_parser("similar").add_subparsers(dest="mode",
