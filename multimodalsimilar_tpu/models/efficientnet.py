@@ -75,6 +75,9 @@ class EfficientNetConfig:
     drop_path_rate: float = 0.2
     bn_eps: float = 1e-5
     bn_momentum: float = 0.9          # flax EMA decay == 1 - torch momentum
+    # Inference-only: BN pre-folded into conv weights/biases
+    # (models.fold_bn.fold_efficientnet_bn); all BN ops vanish.
+    folded: bool = False
     se_ratio: float = 0.25
     stem_channels: int = 32
     head_channels: int = 1280
@@ -121,16 +124,20 @@ class EfficientNetConfig:
 
 
 def _conv(features: int, kernel: int, stride: int = 1, groups: int = 1,
-          name: Optional[str] = None, policy: DTypePolicy = DTypePolicy()):
-    """Conv with torch-style symmetric padding (k//2 each side), no bias."""
+          name: Optional[str] = None, policy: DTypePolicy = DTypePolicy(),
+          use_bias: bool = False):
+    """Conv with torch-style symmetric padding (k//2 each side); bias only
+    when BN has been folded in."""
     pad = kernel // 2
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=((pad, pad), (pad, pad)), use_bias=False,
+                   padding=((pad, pad), (pad, pad)), use_bias=use_bias,
                    feature_group_count=groups, dtype=policy.compute_dtype,
                    param_dtype=policy.param_dtype, name=name)
 
 
 def _bn(cfg: EfficientNetConfig, policy: DTypePolicy, name: str):
+    if cfg.folded:
+        return lambda x, use_running_average=True: x   # BN folded into conv
     return nn.BatchNorm(momentum=cfg.bn_momentum, epsilon=cfg.bn_eps,
                         dtype=policy.reduce_dtype,
                         param_dtype=policy.param_dtype, name=name)
@@ -191,12 +198,14 @@ class DepthwiseSeparable(nn.Module):
     def __call__(self, x, train: bool):
         shortcut = x
         h = _conv(self.in_c, self.kernel, self.stride, groups=self.in_c,
-                  name="conv_dw", policy=self.policy)(x)
+                  name="conv_dw", policy=self.policy,
+                  use_bias=self.cfg.folded)(x)
         h = _bn(self.cfg, self.policy, "bn1")(h, use_running_average=not train)
         h = nn.silu(h)
         h = SqueezeExcite(max(1, int(self.in_c * self.cfg.se_ratio)),
                           self.policy, name="se")(h)
-        h = _conv(self.out_c, 1, name="conv_pw", policy=self.policy)(h)
+        h = _conv(self.out_c, 1, name="conv_pw", policy=self.policy,
+                  use_bias=self.cfg.folded)(h)
         h = _bn(self.cfg, self.policy, "bn2")(h, use_running_average=not train)
         if self.stride == 1 and self.in_c == self.out_c:
             h = _DropPath(self.drop_path, name="drop_path")(h, train)
@@ -221,16 +230,19 @@ class InvertedResidual(nn.Module):
     def __call__(self, x, train: bool):
         shortcut = x
         mid = self.in_c * self.expand
-        h = _conv(mid, 1, name="conv_pw", policy=self.policy)(x)
+        h = _conv(mid, 1, name="conv_pw", policy=self.policy,
+                  use_bias=self.cfg.folded)(x)
         h = _bn(self.cfg, self.policy, "bn1")(h, use_running_average=not train)
         h = nn.silu(h)
         h = _conv(mid, self.kernel, self.stride, groups=mid,
-                  name="conv_dw", policy=self.policy)(h)
+                  name="conv_dw", policy=self.policy,
+                  use_bias=self.cfg.folded)(h)
         h = _bn(self.cfg, self.policy, "bn2")(h, use_running_average=not train)
         h = nn.silu(h)
         h = SqueezeExcite(max(1, int(self.in_c * self.cfg.se_ratio)),
                           self.policy, name="se")(h)
-        h = _conv(self.out_c, 1, name="conv_pwl", policy=self.policy)(h)
+        h = _conv(self.out_c, 1, name="conv_pwl", policy=self.policy,
+                  use_bias=self.cfg.folded)(h)
         h = _bn(self.cfg, self.policy, "bn3")(h, use_running_average=not train)
         if self.stride == 1 and self.in_c == self.out_c:
             h = _DropPath(self.drop_path, name="drop_path")(h, train)
@@ -256,7 +268,7 @@ class EfficientNet(nn.Module):
         cfg, pol = self.cfg, self.policy
         x = x.astype(pol.compute_dtype)
         h = _conv(round_channels(cfg.stem_channels * cfg.width_mult), 3, 2,
-                  name="conv_stem", policy=pol)(x)
+                  name="conv_stem", policy=pol, use_bias=cfg.folded)(x)
         h = _bn(cfg, pol, "bn1")(h, use_running_average=not train)
         h = nn.silu(h)
 
@@ -277,7 +289,8 @@ class EfficientNet(nn.Module):
                                          dp, pol, name=name)(h, train)
                 b += 1
 
-        h = _conv(cfg.num_features, 1, name="conv_head", policy=pol)(h)
+        h = _conv(cfg.num_features, 1, name="conv_head", policy=pol,
+                  use_bias=cfg.folded)(h)
         h = _bn(cfg, pol, "bn2")(h, use_running_average=not train)
         h = nn.silu(h)
         return h
