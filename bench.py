@@ -47,7 +47,7 @@ def _time_fn(fn, args, iters, warmup=2, sync_every_iter=False):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_text(batch=256, seq=80, iters=16, baseline_iters=16):
+def bench_text(batch=256, seq=80, iters=8, baseline_iters=6):
     import jax
     import jax.numpy as jnp
     from multimodalsimilar_tpu.models.bert import BertConfig
@@ -84,7 +84,7 @@ def bench_text(batch=256, seq=80, iters=16, baseline_iters=16):
     return eps, 1.0 / dt1
 
 
-def bench_image(batch=128, size=380, iters=6, baseline_iters=10):
+def bench_image(batch=128, size=380, iters=5, baseline_iters=6):
     import jax
     import jax.numpy as jnp
     from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig

@@ -44,6 +44,7 @@ class SimilarityEngine:
         self.metric = metric
         self.mesh = mesh
         self.n = emb.shape[0]
+        self._normalized = normalize
         if normalize:
             emb = np.asarray(jax.device_get(
                 l2_normalize_rows(jax.numpy.asarray(emb))))
@@ -53,8 +54,15 @@ class SimilarityEngine:
 
     def search(self, k: int, queries: Optional[np.ndarray] = None):
         """(scores, indices) for queries (default: self-search over the
-        corpus, the reference's pattern). FAISS conventions preserved."""
-        q = self._emb if queries is None else np.asarray(queries, np.float32)
+        corpus, the reference's pattern). FAISS conventions preserved;
+        external queries get the same normalization as the corpus."""
+        if queries is None:
+            q = self._emb
+        else:
+            q = np.asarray(queries, np.float32)
+            if self._normalized:
+                q = np.asarray(jax.device_get(
+                    l2_normalize_rows(jax.numpy.asarray(q))))
         if self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1:
             corpus, true_n = pad_corpus(self._emb,
                                         self.mesh.shape[DATA_AXIS],
