@@ -57,8 +57,11 @@ def _text_inputs(batch: Batch):
 def text_arcface_task(model, fused_loss: bool = False,
                       loss_tile_c: int = 1024) -> Task:
     """``fused_loss=True`` streams ArcFace+CE over class tiles
-    (ops/arcface_loss.py) — the [B, C] logits never hit HBM; use for wide
-    heads (the 10205-class daodian job and beyond)."""
+    (ops/arcface_loss.py) — the [B, C] logits never hit HBM. Measured on
+    v5e: a de-optimization at C=10205 (the scan serializes small matmuls
+    and the head is <0.1% of the step; 1.73 s vs 0.134 s per step) — only
+    worth enabling when [B, C] genuinely does not fit (C in the 100k+
+    range), ideally via the Pallas kernel in a future round."""
 
     def init(rng, batch):
         return model.init({"params": rng}, **_text_inputs(batch),
