@@ -1,16 +1,22 @@
 """int8 weight + dynamic-activation quantization for embedding inference.
 
-v5e's MXU multiplies int8 at 2x the bf16 rate. For the matmul-bound text
-tower, quantizing the six Dense projections per layer (QKV, attention out,
-FFN in/out) to int8 with per-output-channel weight scales and a dynamic
-per-tensor activation scale puts every large matmul on the int8 path:
+v5e's MXU multiplies int8 at 2x the bf16 rate. This module quantizes the
+six Dense projections per layer (QKV, attention out, FFN in/out) to int8
+with per-output-channel weight scales and a dynamic per-tensor activation
+scale:
 
     y = (q(x) @ q(W)) * s_x * s_w + b,   q(v) = round(clip(v / s, ±127))
 
 Embeddings, LayerNorm, softmax, and the pooler stay bf16/f32 — they are
 bandwidth ops, not MXU ops. Accuracy is validated in tests (cosine distance
-of pooled embeddings vs fp32); production gating should re-check on real
-checkpoints (PTQ error depends on weight distribution).
+of pooled embeddings vs fp32 < 1e-3); production gating should re-check on
+real checkpoints (PTQ error depends on weight distribution).
+
+MEASURED (v5e, roberta-base, batch 256 seq 80): 61.3 ms vs 43.2 ms bf16 —
+the per-activation round/clip/cast and f32 dequant epilogues cost more than
+the int8 matmul saves through this XLA path, so the bf16 inference policy
+remains the production default. Kept as a correct, tested baseline for a
+future fused Pallas int8 kernel (quantize folded into the matmul epilogue).
 
 ``quantize_bert_params`` converts a trained BertEncoderModel param tree;
 ``QuantBertEncoderModel`` consumes it (same call signature / outputs).
