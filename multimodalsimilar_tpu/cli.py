@@ -64,6 +64,7 @@ def _add_common_train_flags(p):
     p.add_argument("--head_warmup_frac", type=float, default=0.15)
     p.add_argument("--eval_every", type=int, default=100)
     p.add_argument("--save_every", type=int, default=1000)
+    p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--weighted_sampling", action="store_true")
     p.add_argument("--margin", type=float, default=0.4)
     p.add_argument("--margin_delta_per_epoch", type=float, default=0.0)
@@ -93,6 +94,7 @@ def _trainer(task, args, steps_per_epoch, mesh):
                                     args.head_warmup_frac * total, total))
     cfg = TrainerConfig(
         eval_every=args.eval_every, save_every=args.save_every,
+        log_every=args.log_every,
         margin_init=args.margin,
         margin_delta_per_epoch=args.margin_delta_per_epoch,
         checkpoint_dir=os.path.join(args.output, "ckpt"),
@@ -654,7 +656,8 @@ def build_parser() -> argparse.ArgumentParser:
     t_cv.add_argument("--fc_dim", type=int, default=512)
     t_cv.add_argument("--backbone", default="efficientnet_b4")
     t_cv.set_defaults(fn=cmd_train_cv, margin=0.2,
-                      margin_delta_per_epoch=0.04)
+                      margin_delta_per_epoch=0.04,
+                      label_col="tag_new_id")  # cv_dataset.py label column
 
     t_pair = train.add_parser("pair")
     _add_common_train_flags(t_pair)

@@ -192,10 +192,10 @@ class MultimodalSource:
         return len(self.df)
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                epoch: int = 0, drop_remainder: bool = True
-                ) -> Iterator[Batch]:
+                epoch: int = 0, sampler: Optional[WeightedSampler] = None,
+                drop_remainder: bool = True) -> Iterator[Batch]:
         rng = np.random.default_rng(seed * 1000 + epoch)
-        order = list(_epoch_order(len(self), shuffle, seed, epoch, None))
+        order = list(_epoch_order(len(self), shuffle, seed, epoch, sampler))
         keep: List[int] = []
         imgs: List[np.ndarray] = []
         pos = 0

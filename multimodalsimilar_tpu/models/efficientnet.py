@@ -85,6 +85,8 @@ class EfficientNetConfig:
 
     @classmethod
     def variant(cls, name: str, **kw) -> "EfficientNetConfig":
+        if name == "tiny":  # 3-block test/smoke backbone, not a real B-variant
+            return cls.tiny()
         w, d, res, drop = _VARIANTS[name]
         return cls(width_mult=w, depth_mult=d, resolution=res, dropout=drop,
                    **kw)
