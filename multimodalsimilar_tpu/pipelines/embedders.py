@@ -124,27 +124,36 @@ class ImageEmbedder:
                    paths_for_key: Callable[[str], Sequence[str]]
                    ) -> Dict[str, np.ndarray]:
         """Multi-image mean embedding per key, with emb.txt caching."""
+        from concurrent.futures import ThreadPoolExecutor
         result: Dict[str, np.ndarray] = {}
-        pending: List[str] = []
-        imgs: List[np.ndarray] = []
-        owners: List[str] = []
+        to_decode: List[str] = []      # keys needing compute
         for key in keys:
             cache = (self.cache_path_for_key(key)
                      if self.cache_path_for_key else None)
             if cache and os.path.exists(cache):
                 result[key] = np.loadtxt(cache).astype(np.float32)
-                continue
-            found = False
+            else:
+                to_decode.append(key)
+
+        def load_key(key):
+            loaded = []
             for p in paths_for_key(key):
                 if not os.path.exists(p):
                     continue  # sequentially-numbered images end here
                 img = I.load_eval(p, self.image_size)
                 if img is not None:
-                    imgs.append(img)
-                    owners.append(key)
-                    found = True
-            if found:
-                pending.append(key)
+                    loaded.append(img)
+            return key, loaded
+
+        pending: List[str] = []
+        imgs: List[np.ndarray] = []
+        owners: List[str] = []
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for key, loaded in pool.map(load_key, to_decode):
+                if loaded:
+                    pending.append(key)
+                    imgs.extend(loaded)
+                    owners.extend([key] * len(loaded))
         if imgs:
             embs = self.embed_batch(np.stack(imgs))
             sums: Dict[str, np.ndarray] = {}
