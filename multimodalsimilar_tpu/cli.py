@@ -20,7 +20,6 @@ import argparse
 import json
 import os
 import sys
-from typing import Optional
 
 
 def _load_yaml_defaults(parser: argparse.ArgumentParser, argv):

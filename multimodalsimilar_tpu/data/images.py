@@ -14,7 +14,7 @@ Decoding reads BGR via cv2 and converts to RGB exactly like cv_dataset.py:34-35.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -12,9 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional
-
-import jax
+from typing import Iterator
 
 from multimodalsimilar_tpu.parallel.mesh import shard_batch
 

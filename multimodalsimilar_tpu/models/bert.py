@@ -20,8 +20,6 @@ Weights import 1:1 from a HF torch state_dict via
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ EfficientNet backbone).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -22,7 +22,7 @@ and an equivalent embedding geometry.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

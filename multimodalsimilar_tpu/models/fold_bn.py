@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from typing import Dict
 
-import jax.numpy as jnp
 import numpy as np
 
 from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig

@@ -24,7 +24,6 @@ future fused Pallas int8 kernel (quantize folded into the matmul epilogue).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict
 
 import flax.linen as nn

@@ -35,8 +35,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -24,8 +24,6 @@ instead of O(B·C).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

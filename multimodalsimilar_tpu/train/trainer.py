@@ -28,8 +28,7 @@ import numpy as np
 import optax
 
 from multimodalsimilar_tpu.data.prefetch import prefetch_to_device
-from multimodalsimilar_tpu.parallel.mesh import (
-    batch_sharding, replicated, shard_batch)
+from multimodalsimilar_tpu.parallel.mesh import replicated, shard_batch
 from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
 from multimodalsimilar_tpu.train.metrics import MeanAccumulator, MetricLogger
 from multimodalsimilar_tpu.train.tasks import Task
