@@ -126,7 +126,8 @@ def cmd_train_nlp(args):
                                    args.max_length)
     num_labels = int(df[args.label_col].max()) + 1
     model = NlpTextClassifier(_bert_config(args.bert_preset), num_labels,
-                              arcface=ArcFaceParams(m=args.margin))
+                              arcface=ArcFaceParams(m=args.margin),
+                              pool=getattr(args, "pool", "cls"))
     mesh = _mesh()
     steps = max(len(df) // args.batch_size, 1)
     trainer = _trainer(text_arcface_task(model, fused_loss=args.fused_loss), args, steps, mesh)
@@ -635,6 +636,9 @@ def build_parser() -> argparse.ArgumentParser:
                                                    required=True)
     t_nlp = train.add_parser("nlp")
     _add_common_train_flags(t_nlp)
+    t_nlp.add_argument("--pool", default="cls", choices=["cls", "mean"],
+                       help="cls = TransformerEmb pooler; mean = "
+                            "TransformerSeqEmb masked mean")
     t_nlp.set_defaults(fn=cmd_train_nlp)
 
     t_ml = train.add_parser("multilabel")

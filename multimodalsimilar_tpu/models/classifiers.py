@@ -28,16 +28,21 @@ from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
 
 
 class NlpTextClassifier(nn.Module):
-    """CLS-pooled text tower + single ArcFace head (nlp_classifier.py)."""
+    """Text tower + single ArcFace head (nlp_classifier.py).
+
+    ``pool='cls'`` = TransformerEmb pooler semantics (the reference default);
+    ``pool='mean'`` = TransformerSeqEmb masked-mean semantics."""
 
     config: BertConfig
     num_labels: int
     arcface: ArcFaceParams = ArcFaceParams()   # s=64, m=0.40 (arcface.py:18)
     use_fused_head: bool = False
+    pool: str = "cls"
     policy: DTypePolicy = DTypePolicy()
 
     def setup(self):
-        self.tower = TextTower(self.config, pool="cls", policy=self.policy)
+        self.tower = TextTower(self.config, pool=self.pool,
+                               policy=self.policy)
         self.head = ArcFaceHead(self.num_labels, self.arcface,
                                 self.use_fused_head)
 
