@@ -28,6 +28,13 @@ Two implementations:
   in VMEM without materializing intermediate [B,C] tensors in HBM. Forward
   only; wrapped in ``jax.custom_vjp`` whose backward differentiates the pure
   version (same math, so gradients are exact).
+
+  On-device validation (v5e, B=1024 C=10205 D=768): matches the pure path to
+  ~6e-5 relative, but runs ~5x slower than XLA through this harness's Mosaic
+  toolchain (per-grid-step overhead dominates; XLA fuses the same epilogue
+  into its matmul). The pure path is therefore the default everywhere; the
+  kernel stands as the Pallas reference implementation for hardware/toolchains
+  where manual VMEM control wins.
 """
 
 from __future__ import annotations
