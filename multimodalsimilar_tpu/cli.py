@@ -36,15 +36,24 @@ def _mesh():
     return create_mesh()
 
 
-def _tokenizer(args):
+def _tokenizer(args, save_dir=None):
+    """--tokenizer: HF name/dir, or a vocab.txt from a previous train run.
+    Without it, a char vocab is derived from the data — and persisted to
+    {output}/vocab.txt at train time so embed/eval/similar jobs reuse the
+    SAME token ids (pass --tokenizer {output}/vocab.txt there)."""
     from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
     if args.tokenizer:
+        if args.tokenizer.endswith("vocab.txt"):
+            return TextTokenizer.from_vocab_file(args.tokenizer)
         return TextTokenizer.from_hf(args.tokenizer)
-    # derive a char vocab from the training corpus (offline mode)
-    import pandas as pd
     from multimodalsimilar_tpu.data.datasets import read_table
     df = read_table(args.data)
-    return TextTokenizer.from_corpus(df[args.text_col].astype(str))
+    save_path = None
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        save_path = os.path.join(save_dir, "vocab.txt")
+    return TextTokenizer.from_corpus(df[args.text_col].astype(str),
+                                     save_vocab_path=save_path)
 
 
 def _add_common_train_flags(p):
@@ -121,7 +130,7 @@ def cmd_train_nlp(args):
     from multimodalsimilar_tpu.train.tasks import text_arcface_task
 
     df = read_table(args.data)
-    tok = _tokenizer(args)
+    tok = _tokenizer(args, save_dir=args.output)
     src = TextClassificationSource(df, tok, args.text_col, args.label_col,
                                    args.max_length)
     num_labels = int(df[args.label_col].max()) + 1
@@ -149,7 +158,7 @@ def cmd_train_multilabel(args):
     from multimodalsimilar_tpu.train.tasks import multilabel_arcface_task
 
     df = read_table(args.data)
-    tok = _tokenizer(args)
+    tok = _tokenizer(args, save_dir=args.output)
     cols = [args.lv1_col, args.lv2_col, args.tag_col]
     src = TextClassificationSource(df, tok, args.text_col, cols,
                                    args.max_length)
@@ -358,7 +367,9 @@ def _build_embed_fn(args):
     from multimodalsimilar_tpu.data.datasets import read_table
 
     df = read_table(args.data)
-    if args.tokenizer:
+    if args.tokenizer and args.tokenizer.endswith("vocab.txt"):
+        tok = TextTokenizer.from_vocab_file(args.tokenizer)
+    elif args.tokenizer:
         tok = TextTokenizer.from_hf(args.tokenizer)
     else:
         tok = TextTokenizer.from_corpus(df[args.text_col].astype(str))

@@ -103,8 +103,19 @@ class TextTokenizer:
         return cls(encode, len(tokens), pad)
 
     @classmethod
-    def from_corpus(cls, corpus: Iterable[str]) -> "TextTokenizer":
-        return cls.from_vocab(build_char_vocab(corpus))
+    def from_corpus(cls, corpus: Iterable[str],
+                    save_vocab_path: Optional[str] = None) -> "TextTokenizer":
+        tokens = build_char_vocab(corpus, out_path=save_vocab_path)
+        return cls.from_vocab(tokens)
+
+    @classmethod
+    def from_vocab_file(cls, path: str) -> "TextTokenizer":
+        """Load a vocab.txt written by ``from_corpus(save_vocab_path=...)``
+        — the persistence that keeps train-time and serve-time token ids
+        identical."""
+        with open(path, encoding="utf-8") as f:
+            tokens = [line.rstrip("\n") for line in f if line.rstrip("\n")]
+        return cls.from_vocab(tokens)
 
     # -- use -----------------------------------------------------------
 

@@ -84,3 +84,38 @@ def test_cli_download(tmp_path, capsys, monkeypatch):
           "--out_root", str(tmp_path / "imgs"), "--threads", "2"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["downloaded"] == 2
+
+
+def test_vocab_persists_from_train_to_embed(tmp_path, capsys):
+    """Train persists {output}/vocab.txt; embed jobs reusing it get the SAME
+    token ids — re-deriving from a different corpus would silently garble
+    embeddings from the trained checkpoint."""
+    df = pd.DataFrame({"spu_name": [f"{'甲乙'[i % 2] * 3}训练{i}"
+                                    for i in range(32)],
+                       "labels": [i % 2 for i in range(32)]})
+    data = str(tmp_path / "train.csv")
+    df.to_csv(data, index=False)
+    out = str(tmp_path / "out")
+    main(["train", "nlp", "--data", data, "--output", out,
+          "--batch_size", "16", "--epochs", "1", "--max_length", "8",
+          "--eval_every", "1000000", "--save_every", "2",
+          "--log_every", "1000000"])
+    vocab_path = os.path.join(out, "vocab.txt")
+    assert os.path.exists(vocab_path)
+    from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
+    tok_train = TextTokenizer.from_vocab_file(vocab_path)
+    tok_other = TextTokenizer.from_corpus(["甲甲甲"])
+    a = tok_train(["甲甲甲"], 8)["input_ids"]
+    b = tok_other(["甲甲甲"], 8)["input_ids"]
+    assert not np.array_equal(a, b)  # the mismatch the persistence prevents
+    # embed job consumes the persisted vocab + checkpoint
+    skus = pd.DataFrame({"goods_sku": ["1"], "spu_name": ["甲甲甲"]})
+    sk = str(tmp_path / "skus.csv")
+    skus.to_csv(sk, index=False)
+    main(["embed", "incremental", "--data", sk,
+          "--table", str(tmp_path / "e.parquet"),
+          "--tokenizer", vocab_path, "--checkpoint",
+          os.path.join(out, "ckpt"), "--num_labels", "2",
+          "--max_length", "8", "--batch_size", "4"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["written"] == 1
