@@ -40,6 +40,19 @@ def _strip(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
             if k.startswith(prefix)}
 
 
+def _unwrap_dataparallel(sd: Mapping) -> Mapping:
+    """Strip nn.DataParallel's 'module.' key prefix.
+
+    The reference's v2_dist/v3_dist jobs save DataParallel-wrapped modules
+    (nlp_classifier_train_daodian_v2_dist.py:82-86) and their consumers unwrap
+    with ``.module`` (goodssku_emb.py:174-177); state_dicts taken from the
+    wrapper carry 'module.'-prefixed keys. Accept both layouts everywhere.
+    """
+    if sd and all(k.startswith("module.") for k in sd):
+        return {k[len("module."):]: v for k, v in sd.items()}
+    return sd
+
+
 def _bert_subtree(sd: Mapping, config: BertConfig) -> Dict:
     """Pull the BertModel out of a reference text model; prefers the 'ptm.'
     alias (identical tensors also appear under 'emb_layer.ptm.')."""
@@ -51,6 +64,7 @@ def _bert_subtree(sd: Mapping, config: BertConfig) -> Dict:
 
 def nlp_classifier_from_reference(sd: Mapping, config: BertConfig) -> Dict:
     """-> params for models.classifiers.NlpTextClassifier."""
+    sd = _unwrap_dataparallel(sd)
     return {
         "tower": {"encoder": _bert_subtree(sd, config)},
         "head": {"weight": _np(sd["classifier.weight"])},
@@ -59,6 +73,7 @@ def nlp_classifier_from_reference(sd: Mapping, config: BertConfig) -> Dict:
 
 def multilabel_classifier_from_reference(sd: Mapping,
                                          config: BertConfig) -> Dict:
+    sd = _unwrap_dataparallel(sd)
     return {
         "tower": {"encoder": _bert_subtree(sd, config)},
         "lv1_head": {"weight": _np(sd["firstcate_classifier.weight"])},
@@ -68,6 +83,7 @@ def multilabel_classifier_from_reference(sd: Mapping,
 
 
 def siamese_from_reference(sd: Mapping, config: BertConfig) -> Dict:
+    sd = _unwrap_dataparallel(sd)
     return {
         "tower": {"encoder": _bert_subtree(sd, config)},
         "classifier": {"kernel": _np(sd["classifier.weight"]).T,
@@ -78,6 +94,7 @@ def siamese_from_reference(sd: Mapping, config: BertConfig) -> Dict:
 def cv_classifier_from_reference(sd: Mapping, config: EfficientNetConfig,
                                  use_fc: bool = True) -> Tuple[Dict, Dict]:
     """-> (params, batch_stats) for models.vision.CvImageClassifier."""
+    sd = _unwrap_dataparallel(sd)
     backbone_p, backbone_s = efficientnet_params_from_timm(
         _strip(sd, "backbone."), config)
     params: Dict = {"backbone": backbone_p,
@@ -97,6 +114,7 @@ def multimodal_from_reference(sd: Mapping, text_config: BertConfig,
                               image_config: EfficientNetConfig
                               ) -> Tuple[Dict, Dict]:
     """-> (params, batch_stats) for models.multimodal.MultimodalClassifier."""
+    sd = _unwrap_dataparallel(sd)
     cv_p, cv_s = cv_classifier_from_reference(_strip(sd, "cv."),
                                               image_config)
     nlp_p = nlp_classifier_from_reference(_strip(sd, "nlp."), text_config)
