@@ -491,6 +491,16 @@ def cmd_similar_daodian(args):
         def embed_skus(area_df):
             return _sku_to_spusn(area_df, emb, args)
     else:
+        # The reference job always has a CV side (daodian_infer.py:367);
+        # degrading to text-only must be an explicit operator choice.
+        if not args.text_only:
+            raise SystemExit(
+                "similar daodian: no --cv_checkpoint given. The reference "
+                "job merges CV and text neighbors; pass --text_only to "
+                "deliberately run the fastText side alone.")
+        print("similar daodian: --text_only — CV side disabled",
+              file=sys.stderr)
+
         def embed_skus(area_df):
             return {}
 
@@ -499,7 +509,8 @@ def cmd_similar_daodian(args):
         else None
     merged = daodian_similar_job(
         df, embed_titles, embed_skus, sink, ttl_seconds=args.exp_seconds,
-        date_key=date_key)
+        date_key=date_key, dt_col=args.dt_col, target_dt=args.dt,
+        recent_days=args.recent_days)
     print(json.dumps({"skus": len(merged)}))
 
 
@@ -787,6 +798,15 @@ def build_parser() -> argparse.ArgumentParser:
     s_dd.add_argument("--dt", default=None)
     s_dd.add_argument("--date_keyed", action="store_true",
                       help="v2 semantics: write {yyyymmdd}:{spu_sn} keys")
+    s_dd.add_argument("--dt_col", default=None,
+                      help="v2_recent_days: column holding each row's dt; "
+                           "with --date_keyed, only neighbors whose dt "
+                           "equals --dt survive and retrieval depth scales "
+                           "to len(area)/recent_days")
+    s_dd.add_argument("--recent_days", type=int, default=7,
+                      help="v2 history window length (days of corpus)")
+    s_dd.add_argument("--text_only", action="store_true",
+                      help="explicitly run without the CV side")
     s_dd.add_argument("--fasttext_model", required=True,
                       help="pickled FastTextClassifier")
     s_dd.add_argument("--cv_checkpoint", default=None)

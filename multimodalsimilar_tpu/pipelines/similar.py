@@ -82,36 +82,68 @@ def daodian_similar_job(
     ann_cnt_cv: int = 26,
     ttl_seconds: int = WEEK,
     date_key: Optional[str] = None,   # 'yyyymmdd' -> v2 date-keyed writes
-    dt_col: Optional[str] = None,     # with date_key: v2 history filtering
+    dt_col: Optional[str] = None,     # with a target date: v2 history filter
+    target_dt: Optional[str] = None,  # dt value neighbors must carry (raw
+                                      # --dt, e.g. '2026-08-16'; the KV key
+                                      # uses the compacted date_key instead —
+                                      # daodian_infer_v2_recent_days.py:242
+                                      # vs :342). Defaults to date_key.
+    recent_days: int = 7,             # v2 window (daodian_infer_v2_recent_days)
     mesh=None,
 ) -> Dict[str, List[str]]:
     """Per-area fastText + CV retrieval, cv-first merge, KV write.
+
+    Retrieval depths and caps follow the reference variant selected by the
+    date arguments:
+
+    * v1 / v2_today (no ``dt_col``): text searches the whole area
+      (k=len(arr), daodian_infer.py:230), CV searches ann_cnt_cv=26
+      (daodian_infer.py:302); the CV filter loop has no break, the text
+      loop breaks only after exceeding ann_cnt_nlp (daodian_infer.py:244-246)
+      so its true cap is ann_cnt_nlp+1.
+    * v2_recent_days (``dt_col`` set): BOTH sides search
+      k = len(arr)//recent_days (daodian_infer_v2_recent_days.py:235,310) —
+      the corpus holds ``recent_days`` days of history and only neighbors
+      whose dt equals ``date_key`` survive; both loops break after exceeding
+      their ann_cnt (:248-250, :323-325), so caps are ann_cnt+1.
 
     Returns the merged neighbor map (all areas) for inspection/testing.
     """
     merged_all: Dict[str, List[str]] = {}
     key_fn = ((lambda s: f"{date_key}:{s}") if date_key
               else (lambda s: s))
+    require_dt = target_dt if target_dt is not None else date_key
+    windowed = bool(require_dt and dt_col)
     for area_id in df[area_col].unique():
         area = df[df[area_col] == area_id].reset_index(drop=True)
         # text side: sentence vectors over gen_title'd rows
         text_emb = embed_titles(area[title_col].astype(str).tolist())
-        rules_kw = {}
-        if date_key and dt_col:
-            rules_kw = dict(require_dt=date_key)
+        rules_kw = dict(require_dt=require_dt) if windowed else {}
+        if windowed:
+            k_text = max(1, min(len(area), len(area) // recent_days))
+        else:
+            k_text = len(area)
         text_engine = SimilarityEngine(
             text_emb, area[key_col].tolist(), area[lv1_col].tolist(),
             dts=area[dt_col].tolist() if dt_col else None,
             metric="ip", normalize=True, mesh=mesh)
+        # +1: the reference appends, then breaks once len > ann_cnt
         nlp_map = text_engine.similar_map(
-            min(len(area), max(ann_cnt_nlp * 2, 64)),
+            k_text,
             FilterRules(score_threshold=nlp_score_th, same_category=True,
-                        max_neighbors=ann_cnt_nlp, **rules_kw))
+                        max_neighbors=ann_cnt_nlp + 1, **rules_kw))
         # image side: cached multi-image mean embeddings
         sku_embs = embed_skus(area)
         have = [k in sku_embs for k in area[key_col]]
         cv_rows = area[have].reset_index(drop=True)
         if len(cv_rows):
+            if windowed:
+                k_cv = max(1, min(len(cv_rows),
+                                  len(cv_rows) // recent_days))
+                cv_cap = ann_cnt_cv + 1
+            else:
+                k_cv = min(ann_cnt_cv, len(cv_rows))
+                cv_cap = None        # v1 CV loop never breaks
             cv_emb = np.stack([sku_embs[k] for k in cv_rows[key_col]])
             cv_engine = SimilarityEngine(
                 cv_emb, cv_rows[key_col].tolist(),
@@ -119,9 +151,10 @@ def daodian_similar_job(
                 dts=cv_rows[dt_col].tolist() if dt_col else None,
                 metric="ip", normalize=True, mesh=mesh)
             cv_map = cv_engine.similar_map(
-                min(ann_cnt_cv, len(cv_rows)),
+                k_cv,
                 FilterRules(score_threshold=cv_score_th,
-                            same_category=True, **rules_kw))
+                            same_category=True, max_neighbors=cv_cap,
+                            **rules_kw))
         else:
             cv_map = {}
         merged = SimilarityEngine.merge(cv_map, nlp_map)

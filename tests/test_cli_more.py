@@ -31,7 +31,7 @@ def test_cli_similar_daodian(tmp_path, capsys):
     df.to_csv(data, index=False)
 
     main(["similar", "daodian", "--data", data, "--fasttext_model", ft_path,
-          "--dt", "2026-08-16", "--date_keyed"])
+          "--dt", "2026-08-16", "--date_keyed", "--text_only"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["skus"] == 4
 

@@ -66,8 +66,10 @@ def test_daodian_date_keyed_writes():
     def embed_titles(titles):
         return np.tile(np.array([[1.0, 0.0]], np.float32), (len(titles), 1))
 
+    # recent_days=1: this 2-row corpus is a single day of history, so the
+    # v2 depth rule k=len(arr)//recent_days still reaches the one neighbor
     daodian_similar_job(df, embed_titles, lambda a: {}, kv,
                         nlp_score_th=0.5, date_key="20260816", dt_col="dt",
-                        ttl_seconds=int(1.5 * 24 * 3600))
+                        recent_days=1, ttl_seconds=int(1.5 * 24 * 3600))
     assert kv.get("20260816:a") == "b"
     assert 0 < kv.ttl("20260816:a") <= 1.5 * 24 * 3600
