@@ -70,6 +70,23 @@ def _add_common_train_flags(p):
     p.add_argument("--tower_lr", type=float, default=5e-5)
     p.add_argument("--head_lr", type=float, default=1e-2)
     p.add_argument("--head_warmup_frac", type=float, default=0.15)
+    p.add_argument("--optimizer", choices=["adamw", "adamp"],
+                   default="adamw",
+                   help="adamp = timm recipe (cv_classifier_train.py:68)")
+    p.add_argument("--scheduler", choices=["linear", "timm_cosine"],
+                   default="linear",
+                   help="timm_cosine = CosineLRScheduler(t_initial, "
+                        "warmup_t, warmup_lr_init) per-epoch semantics")
+    p.add_argument("--warmup_epochs", type=int, default=5,
+                   help="timm_cosine warmup_t")
+    p.add_argument("--warmup_lr_init", type=float, default=1e-3)
+    p.add_argument("--lr_min", type=float, default=0.0)
+    p.add_argument("--cooldown_epochs", type=int, default=0,
+                   help="epochs past t_initial held at lr_min "
+                        "(cv_classifier_train.py:60-62)")
+    p.add_argument("--weight_decay", type=float, default=0.0,
+                   help="tower group weight decay")
+    p.add_argument("--head_weight_decay", type=float, default=0.0)
     p.add_argument("--eval_every", type=int, default=100)
     p.add_argument("--save_every", type=int, default=1000)
     p.add_argument("--log_every", type=int, default=20)
@@ -93,13 +110,28 @@ def _bert_config(preset: str):
 
 def _trainer(task, args, steps_per_epoch, mesh):
     from multimodalsimilar_tpu.train.optim import (
-        dual_group_adamw, linear_schedule_with_warmup)
+        adamp, dual_group, dual_group_adamw, linear_schedule_with_warmup,
+        timm_cosine_schedule)
     from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig
     total = args.epochs * steps_per_epoch
-    tx = dual_group_adamw(
-        linear_schedule_with_warmup(args.tower_lr, 0, total),
-        linear_schedule_with_warmup(args.head_lr,
-                                    args.head_warmup_frac * total, total))
+    if args.scheduler == "timm_cosine":
+        t_initial = max(args.epochs - args.cooldown_epochs, 1)
+        tower_sched = timm_cosine_schedule(
+            args.tower_lr, t_initial, steps_per_epoch, args.warmup_epochs,
+            args.warmup_lr_init, args.lr_min)
+        head_sched = timm_cosine_schedule(
+            args.head_lr, t_initial, steps_per_epoch, args.warmup_epochs,
+            args.warmup_lr_init, args.lr_min)
+    else:
+        tower_sched = linear_schedule_with_warmup(args.tower_lr, 0, total)
+        head_sched = linear_schedule_with_warmup(
+            args.head_lr, args.head_warmup_frac * total, total)
+    if args.optimizer == "adamp":
+        tx = dual_group(
+            adamp(tower_sched, weight_decay=args.weight_decay),
+            adamp(head_sched, weight_decay=args.head_weight_decay))
+    else:
+        tx = dual_group_adamw(tower_sched, head_sched)
     cfg = TrainerConfig(
         eval_every=args.eval_every, save_every=args.save_every,
         log_every=args.log_every,

@@ -62,6 +62,31 @@ def test_cli_train_cv(tmp_path):
     assert any(abs(l.get("train/margin", 0) - 0.24) < 1e-6 for l in lines)
 
 
+def test_cli_train_cv_adamp_timm_cosine(tmp_path):
+    """The cv_classifier_train.py recipe: dual AdamP + timm CosineLRScheduler
+    (warmup_t epochs from warmup_lr_init, cosine to lr_min, cooldown)."""
+    n = 16
+    df = pd.DataFrame({"goods_sku": [str(i) for i in range(n)],
+                       "tag_new_id": [i % 2 for i in range(n)]})
+    img_root = str(tmp_path / "imgs")
+    _write_images(img_root, df)
+    data = str(tmp_path / "cv.csv")
+    df.to_csv(data, index=False)
+    out = str(tmp_path / "out")
+    main(["train", "cv", "--data", data, "--img_root", img_root,
+          "--output", out, "--backbone", "tiny",
+          "--image_size", "16", "--fc_dim", "8", "--batch_size", "8",
+          "--epochs", "3", "--cooldown_epochs", "1", "--eval_every",
+          "1000000", "--save_every", "100", "--log_every", "1",
+          "--optimizer", "adamp", "--scheduler", "timm_cosine",
+          "--warmup_epochs", "1", "--warmup_lr_init", "1e-3",
+          "--tower_lr", "1e-4", "--head_lr", "1e-4",
+          "--weight_decay", "1e-5"])
+    lines = [json.loads(l) for l in
+             open(os.path.join(out, "metrics.jsonl"))]
+    assert any("train/loss" in l for l in lines)
+
+
 def test_cli_train_pair(tmp_path):
     n = 40
     rng = np.random.default_rng(1)
