@@ -22,13 +22,25 @@ import os
 import sys
 
 
-def _load_yaml_defaults(parser: argparse.ArgumentParser, argv):
-    """--config file.yaml preloads defaults; explicit flags still win."""
-    if "--config" in argv:
+def _apply_yaml_config(args, argv):
+    """--config file.yaml preloads flag values; explicit flags still win.
+
+    Applied to the parsed namespace (argparse's set_defaults on the root
+    parser never reaches subparser-defined flags — subparser defaults would
+    silently override the YAML). Unknown keys are an error, not a silent
+    no-op.
+    """
+    if getattr(args, "config", None):
         import yaml
-        i = argv.index("--config")
-        with open(argv[i + 1]) as f:
-            parser.set_defaults(**(yaml.safe_load(f) or {}))
+        with open(args.config) as f:
+            cfg = yaml.safe_load(f) or {}
+        unknown = [k for k in cfg if not hasattr(args, k)]
+        if unknown:
+            raise SystemExit(f"--config {args.config}: unknown flags "
+                             f"{unknown}")
+        for k, v in cfg.items():
+            if f"--{k}" not in argv:
+                setattr(args, k, v)
 
 
 def _mesh():
@@ -73,10 +85,16 @@ def _add_common_train_flags(p):
     p.add_argument("--optimizer", choices=["adamw", "adamp"],
                    default="adamw",
                    help="adamp = timm recipe (cv_classifier_train.py:68)")
-    p.add_argument("--scheduler", choices=["linear", "timm_cosine"],
+    p.add_argument("--scheduler",
+                   choices=["linear", "timm_cosine", "cosine_warm_restarts"],
                    default="linear",
                    help="timm_cosine = CosineLRScheduler(t_initial, "
-                        "warmup_t, warmup_lr_init) per-epoch semantics")
+                        "warmup_t, warmup_lr_init) per-epoch semantics; "
+                        "cosine_warm_restarts = torch "
+                        "CosineAnnealingWarmRestarts(T_0) "
+                        "(cv_classifier_train_daodian.py:264-267)")
+    p.add_argument("--t0_epochs", type=int, default=7,
+                   help="cosine_warm_restarts restart period")
     p.add_argument("--warmup_epochs", type=int, default=5,
                    help="timm_cosine warmup_t")
     p.add_argument("--warmup_lr_init", type=float, default=1e-3)
@@ -99,6 +117,9 @@ def _add_common_train_flags(p):
                    help="stream ArcFace+CE over class tiles (wide heads)")
     p.add_argument("--resume", action="store_true",
                    help="continue from the latest checkpoint in --output")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of a few steady-state "
+                        "steps to DIR (TensorBoard-loadable)")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -110,8 +131,8 @@ def _bert_config(preset: str):
 
 def _trainer(task, args, steps_per_epoch, mesh):
     from multimodalsimilar_tpu.train.optim import (
-        adamp, dual_group, dual_group_adamw, linear_schedule_with_warmup,
-        timm_cosine_schedule)
+        adamp, cosine_warm_restarts, dual_group, dual_group_adamw,
+        linear_schedule_with_warmup, timm_cosine_schedule)
     from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig
     total = args.epochs * steps_per_epoch
     if args.scheduler == "timm_cosine":
@@ -122,6 +143,11 @@ def _trainer(task, args, steps_per_epoch, mesh):
         head_sched = timm_cosine_schedule(
             args.head_lr, t_initial, steps_per_epoch, args.warmup_epochs,
             args.warmup_lr_init, args.lr_min)
+    elif args.scheduler == "cosine_warm_restarts":
+        tower_sched = cosine_warm_restarts(args.tower_lr, args.t0_epochs,
+                                           steps_per_epoch)
+        head_sched = cosine_warm_restarts(args.head_lr, args.t0_epochs,
+                                          steps_per_epoch)
     else:
         tower_sched = linear_schedule_with_warmup(args.tower_lr, 0, total)
         head_sched = linear_schedule_with_warmup(
@@ -139,6 +165,7 @@ def _trainer(task, args, steps_per_epoch, mesh):
         margin_delta_per_epoch=args.margin_delta_per_epoch,
         checkpoint_dir=os.path.join(args.output, "ckpt"),
         metrics_path=os.path.join(args.output, "metrics.jsonl"),
+        profile_dir=args.profile,
         seed=args.seed)
     os.makedirs(args.output, exist_ok=True)
     return Trainer(task, tx, mesh, cfg)
@@ -808,6 +835,8 @@ def build_parser() -> argparse.ArgumentParser:
     s_nlp.add_argument("--redis_db", type=int, default=15)
     s_nlp.add_argument("--redis_password", default=None)
     s_nlp.add_argument("--exp_seconds", type=int, default=7 * 24 * 3600)
+    s_nlp.add_argument("--profile", default=None, metavar="DIR",
+                 help="jax.profiler trace of the job to DIR")
     s_nlp.set_defaults(fn=cmd_similar_nlp)
 
     s_mm = sim.add_parser("multimodal")
@@ -822,6 +851,8 @@ def build_parser() -> argparse.ArgumentParser:
     s_mm.add_argument("--redis_db", type=int, default=15)
     s_mm.add_argument("--redis_password", default=None)
     s_mm.add_argument("--exp_seconds", type=int, default=7 * 24 * 3600)
+    s_mm.add_argument("--profile", default=None, metavar="DIR",
+                help="jax.profiler trace of the job to DIR")
     s_mm.set_defaults(fn=cmd_similar_multimodal)
 
     s_dd = sim.add_parser("daodian")
@@ -854,6 +885,8 @@ def build_parser() -> argparse.ArgumentParser:
     s_dd.add_argument("--redis_db", type=int, default=15)
     s_dd.add_argument("--redis_password", default=None)
     s_dd.add_argument("--exp_seconds", type=int, default=7 * 24 * 3600)
+    s_dd.add_argument("--profile", default=None, metavar="DIR",
+                help="jax.profiler trace of the job to DIR")
     s_dd.set_defaults(fn=cmd_similar_daodian)
 
     ckv = sub.add_parser("copy-kv")
@@ -910,9 +943,17 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     parser = build_parser()
-    _load_yaml_defaults(parser, argv)
     args = parser.parse_args(argv)
-    args.fn(args)
+    _apply_yaml_config(args, argv)
+    profile = getattr(args, "profile", None)
+    if profile and not args.fn.__name__.startswith("cmd_train"):
+        # train commands trace a steady-state step window themselves
+        # (TrainerConfig.profile_dir); serving jobs trace the whole job
+        from multimodalsimilar_tpu.utils.profiling import trace
+        with trace(profile):
+            args.fn(args)
+    else:
+        args.fn(args)
 
 
 if __name__ == "__main__":

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import time
 from typing import Any, Dict, Iterator, Optional
 
 import flax.struct
@@ -53,6 +52,9 @@ class TrainerConfig:
     checkpoint_dir: Optional[str] = None
     metrics_path: Optional[str] = None
     tensorboard_dir: Optional[str] = None
+    profile_dir: Optional[str] = None     # jax.profiler trace output
+    profile_start_step: int = 3           # past compile
+    profile_num_steps: int = 5
     seed: int = 0
 
 
@@ -145,13 +147,14 @@ class Trainer:
         ``checkpoint_dir`` and continues (the reference resumes by editing
         torch.load calls into the script, cv_classifier_train.py:33).
         """
+        from multimodalsimilar_tpu.utils.profiling import StepTimer
         cfg = self.config
         rng = jax.random.key(cfg.seed + 1)
         state = None
         resume_requested = resume and self.ckpt is not None \
             and self.ckpt.latest_step() is not None
-        t0 = time.time()
-        examples = 0
+        timer = StepTimer(skip_first=2)   # steady state: exclude compile
+        profiling = False
         for epoch in range(num_epochs):
             sampler = sampler_fn(epoch) if sampler_fn else None
             it = train_source.batches(batch_size, shuffle=shuffle,
@@ -168,11 +171,24 @@ class Trainer:
                             self.logger.log(int(state.step),
                                             {"resumed": 1.0})
                 state, metrics = self._train_step(state, batch, rng)
-                examples += batch_size
+                timer.tick()
                 step = int(state.step)
+                if cfg.profile_dir:
+                    if step == cfg.profile_start_step and not profiling:
+                        jax.profiler.start_trace(cfg.profile_dir)
+                        profiling = True
+                    elif profiling and step >= (cfg.profile_start_step
+                                                + cfg.profile_num_steps):
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        cfg = dataclasses.replace(cfg, profile_dir=None)
                 if step % cfg.log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
-                    m["examples_per_sec"] = examples / (time.time() - t0)
+                    # steady-state throughput (StepTimer skips compile steps)
+                    summary = timer.summary(batch_size)
+                    if summary:
+                        m["examples_per_sec"] = summary["examples_per_sec"]
+                        m["step_ms_p50"] = summary["p50_ms"]
                     m["margin"] = float(state.margin)
                     self.logger.log(step, m, prefix="train/")
                 if eval_source is not None and step % cfg.eval_every == 0:
@@ -187,6 +203,8 @@ class Trainer:
             if cfg.margin_delta_per_epoch:
                 state = self.update_margin(state,
                                            cfg.margin_delta_per_epoch)
+        if profiling:   # run shorter than the profile window
+            jax.profiler.stop_trace()
         if self.ckpt and state is not None:
             self.ckpt.save(int(state.step), state, force=True)
         return state

@@ -30,6 +30,26 @@ def test_cli_train_nlp(tmp_path, capsys):
     assert os.listdir(os.path.join(out, "ckpt"))
 
 
+def test_cli_train_nlp_profile_and_steady_throughput(tmp_path, capsys):
+    """--profile writes a TensorBoard-loadable jax.profiler trace of a
+    steady-state step window; logged examples_per_sec comes from StepTimer
+    (excludes compile steps)."""
+    data = _train_csv(tmp_path)
+    out = str(tmp_path / "out")
+    prof = str(tmp_path / "trace")
+    main(["train", "nlp", "--data", data, "--output", out,
+          "--batch_size", "8", "--epochs", "2", "--max_length", "12",
+          "--eval_every", "1000000", "--save_every", "1000000",
+          "--log_every", "8", "--profile", prof])
+    found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert any(f.endswith(".xplane.pb") or ".trace" in f for f in found), \
+        found
+    lines = [json.loads(l) for l in
+             open(os.path.join(out, "metrics.jsonl"))]
+    assert any("train/examples_per_sec" in l and "train/step_ms_p50" in l
+               for l in lines)
+
+
 def test_cli_train_fasttext(tmp_path, capsys):
     df = pd.DataFrame({
         "text": ["苹果 香蕉"] * 20 + ["可乐 雪碧"] * 20,

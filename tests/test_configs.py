@@ -1,0 +1,75 @@
+"""Every shipped example config must map onto real flags of its subcommand.
+
+Guards against configs/ drifting from the CLI: each YAML key must be an
+attribute the subcommand's parser actually produces (argparse's set_defaults
+would silently accept typos otherwise), and one end-to-end run proves the
+--config preload path works.
+"""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+import yaml
+
+from multimodalsimilar_tpu.cli import build_parser, main
+
+ROOT = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+CASES = {
+    "train_nlp_796.yaml": ["train", "nlp", "--data", "x"],
+    "train_nlp_daodian.yaml": ["train", "nlp", "--data", "x"],
+    "train_nlp_v2.yaml": ["train", "nlp", "--data", "x"],
+    "train_multilabel_v3.yaml": ["train", "multilabel", "--data", "x"],
+    "train_cv_daodian.yaml": ["train", "cv", "--data", "x",
+                              "--img_root", "x"],
+    "train_cv_timm.yaml": ["train", "cv", "--data", "x", "--img_root", "x"],
+    "train_multimodal.yaml": ["train", "multimodal", "--data", "x",
+                              "--img_root", "x"],
+    "train_pair.yaml": ["train", "pair", "--data", "x"],
+    "train_fasttext.yaml": ["train", "fasttext", "--data", "x"],
+    "similar_nlp.yaml": ["similar", "nlp", "--data", "x"],
+    "similar_daodian_v1.yaml": ["similar", "daodian", "--data", "x",
+                                "--fasttext_model", "x"],
+    "similar_daodian_v2_recent_days.yaml": [
+        "similar", "daodian", "--data", "x", "--fasttext_model", "x"],
+    "embed_incremental_bert.yaml": ["embed", "incremental", "--data", "x",
+                                    "--table", "x"],
+    "embed_bulk.yaml": ["embed", "bulk", "--data", "x", "--table", "x"],
+}
+
+
+def test_every_config_has_a_case():
+    files = {f for f in os.listdir(ROOT) if f.endswith(".yaml")}
+    assert files == set(CASES), "update CASES for new/removed configs"
+
+
+@pytest.mark.parametrize("fname", sorted(CASES))
+def test_config_keys_are_real_flags(fname):
+    parser = build_parser()
+    args = parser.parse_args(CASES[fname])
+    cfg = yaml.safe_load(open(os.path.join(ROOT, fname)))
+    missing = [k for k in cfg if not hasattr(args, k)]
+    assert not missing, f"{fname}: unknown flags {missing}"
+
+
+def test_config_preload_end_to_end(tmp_path, capsys):
+    """--config values land; explicit flags still win (tiny run)."""
+    df = pd.DataFrame({
+        "spuname": [f"{'甲乙'[i % 2] * 3}商品{i}" for i in range(32)],
+        "category_name_id": [i % 2 for i in range(32)]})
+    data = str(tmp_path / "t.csv")
+    df.to_csv(data, index=False)
+    out = str(tmp_path / "out")
+    main(["train", "nlp", "--config",
+          os.path.join(ROOT, "train_nlp_796.yaml"),
+          "--data", data, "--output", out,
+          # overrides (the YAML says base/256/128 — too big for a test)
+          "--bert_preset", "tiny", "--batch_size", "16",
+          "--max_length", "12", "--epochs", "1", "--log_every", "1",
+          "--eval_every", "1000000", "--save_every", "4"])
+    # text_col/label_col came from the YAML (spuname/category_name_id)
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    lines = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert lines
