@@ -43,9 +43,10 @@ def _apply_yaml_config(args, argv):
                 setattr(args, k, v)
 
 
-def _mesh():
+def _mesh(args=None):
     from multimodalsimilar_tpu.parallel.mesh import create_mesh
-    return create_mesh()
+    mp = int(getattr(args, "model_parallel", 1) or 1) if args else 1
+    return create_mesh(model=mp)
 
 
 def _tokenizer(args, save_dir=None):
@@ -120,6 +121,10 @@ def _add_common_train_flags(p):
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of a few steady-state "
                         "steps to DIR (TensorBoard-loadable)")
+    p.add_argument("--model_parallel", type=int, default=1, metavar="N",
+                   help="mesh model-axis size: shards ArcFace head weights "
+                        "(and their optimizer moments) over classes; data "
+                        "axis gets devices/N")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -166,6 +171,7 @@ def _trainer(task, args, steps_per_epoch, mesh):
         checkpoint_dir=os.path.join(args.output, "ckpt"),
         metrics_path=os.path.join(args.output, "metrics.jsonl"),
         profile_dir=args.profile,
+        model_parallel_heads=getattr(args, "model_parallel", 1) > 1,
         seed=args.seed)
     os.makedirs(args.output, exist_ok=True)
     return Trainer(task, tx, mesh, cfg)
@@ -196,7 +202,7 @@ def cmd_train_nlp(args):
     model = NlpTextClassifier(_bert_config(args.bert_preset), num_labels,
                               arcface=ArcFaceParams(m=args.margin),
                               pool=getattr(args, "pool", "cls"))
-    mesh = _mesh()
+    mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
     trainer = _trainer(text_arcface_task(model, fused_loss=args.fused_loss), args, steps, mesh)
     eval_src = None
@@ -226,7 +232,7 @@ def cmd_train_multilabel(args):
         lv1_labels=int(df[args.lv1_col].max()) + 1,
         lv2_labels=int(df[args.lv2_col].max()) + 1,
         tag_labels=int(df[args.tag_col].max()) + 1)
-    mesh = _mesh()
+    mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
     task = multilabel_arcface_task(
         model, weights=(args.lv1_weight, args.lv2_weight, args.tag_weight),
@@ -263,7 +269,7 @@ def cmd_train_cv(args):
         EfficientNetConfig.variant(args.backbone),
         num_labels=int(df[args.label_col].max()) + 1,
         fc_dim=args.fc_dim, arcface=ArcFaceParams(m=args.margin))
-    mesh = _mesh()
+    mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
     trainer = _trainer(cv_arcface_task(model), args, steps, mesh)
     eval_src = None
@@ -286,7 +292,7 @@ def cmd_train_pair(args):
     tok = _tokenizer_pair(args, df)
     src = PairTextSource(df, tok, args.max_length, seed=args.seed)
     model = SiamesePairModel(_bert_config(args.bert_preset))
-    mesh = _mesh()
+    mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
     trainer = _trainer(pair_task(model), args, steps, mesh)
     trainer.fit(src, args.epochs, args.batch_size, resume=args.resume)
@@ -317,7 +323,7 @@ def cmd_train_multimodal(args):
         _bert_config(args.bert_preset),
         EfficientNetConfig.variant(args.backbone),
         num_labels=int(df[args.label_col].max()) + 1, fc_dim=args.fc_dim)
-    mesh = _mesh()
+    mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
     trainer = _trainer(multimodal_arcface_task(model), args, steps, mesh)
     trainer.fit(src, args.epochs, args.batch_size, resume=args.resume)
@@ -645,7 +651,7 @@ def cmd_eval(args):
                                    args.max_length)
     model = NlpTextClassifier(_bert_config(args.bert_preset),
                               int(df[args.label_col].max()) + 1)
-    mesh = _mesh()
+    mesh = _mesh(args)
     trainer = Trainer(text_arcface_task(model),
                       dual_group_adamw(lambda s: 0.0, lambda s: 0.0), mesh,
                       TrainerConfig(log_every=10**9))

@@ -27,7 +27,8 @@ import numpy as np
 import optax
 
 from multimodalsimilar_tpu.data.prefetch import prefetch_to_device
-from multimodalsimilar_tpu.parallel.mesh import replicated, shard_batch
+from multimodalsimilar_tpu.parallel.mesh import (
+    MODEL_AXIS, MeshRules, replicated, shard_batch)
 from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
 from multimodalsimilar_tpu.train.metrics import MeanAccumulator, MetricLogger
 from multimodalsimilar_tpu.train.tasks import Task
@@ -55,6 +56,11 @@ class TrainerConfig:
     profile_dir: Optional[str] = None     # jax.profiler trace output
     profile_start_step: int = 3           # past compile
     profile_num_steps: int = 5
+    # Shard ArcFace head weights [C, D] (and their optimizer moments) over
+    # the mesh's `model` axis — the 10205-class heads of the v2/v3 recipes
+    # are the only reference weights wide enough to want it. Loss/grads are
+    # invariant (tests/test_sharding.py); GSPMD inserts the collectives.
+    model_parallel_heads: bool = False
     seed: int = 0
 
 
@@ -89,7 +95,7 @@ class Trainer:
             batch_stats=batch_stats,
             opt_state=self.tx.init(params),
             margin=jnp.asarray(self.config.margin_init, jnp.float32))
-        return jax.device_put(state, replicated(self.mesh))
+        return self._place_state(state)
 
     # -- steps ------------------------------------------------------------
 
@@ -166,8 +172,7 @@ class Trainer:
                     if resume_requested:
                         restored = self.ckpt.restore(template=state)
                         if restored is not None:
-                            state = jax.device_put(
-                                restored, replicated(self.mesh))
+                            state = self._place_state(restored)
                             self.logger.log(int(state.step),
                                             {"resumed": 1.0})
                 state, metrics = self._train_step(state, batch, rng)
@@ -218,4 +223,31 @@ class Trainer:
             batch_stats=variables.get("batch_stats", {}),
             opt_state=self.tx.init(params),
             margin=jnp.asarray(self.config.margin_init, jnp.float32))
-        return jax.device_put(state, replicated(self.mesh))
+        return self._place_state(state)
+
+    _HEAD_NAMES = frozenset({"head", "lv1_head", "lv2_head", "tag_head",
+                             "classifier"})
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Put the state on the mesh: everything replicated except — with
+        ``model_parallel_heads`` on a mesh with a real model axis — ArcFace
+        head weights [C, D], which shard over classes. The rule is applied
+        path-wise across params AND opt_state, so Adam moments (which mirror
+        the params tree, head/weight keys included) land on the same shards
+        as their weights.
+        """
+        model_n = self.mesh.shape.get(MODEL_AXIS, 1)
+        repl = replicated(self.mesh)
+        if not self.config.model_parallel_heads or model_n <= 1:
+            return jax.device_put(state, repl)
+        cs = MeshRules(self.mesh).class_sharded
+
+        def place(path, x):
+            names = {str(getattr(k, "key", getattr(k, "name", k)))
+                     for k in path}
+            if (names & self._HEAD_NAMES and getattr(x, "ndim", 0) == 2
+                    and x.shape[0] % model_n == 0):
+                return jax.device_put(x, cs)
+            return jax.device_put(x, repl)
+
+        return jax.tree_util.tree_map_with_path(place, state)
