@@ -256,8 +256,8 @@ def cmd_train_multilabel(args):
 def cmd_train_cv(args):
     from multimodalsimilar_tpu.data.datasets import (
         ImageClassificationSource, read_table)
-    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
-    from multimodalsimilar_tpu.models.vision import CvImageClassifier
+    from multimodalsimilar_tpu.models.vision import (
+        CvImageClassifier, backbone_config)
     from multimodalsimilar_tpu.ops.arcface import ArcFaceParams
     from multimodalsimilar_tpu.train.tasks import cv_arcface_task
 
@@ -266,7 +266,7 @@ def cmd_train_cv(args):
                                     args.label_col, args.image_size,
                                     train_aug=True)
     model = CvImageClassifier(
-        EfficientNetConfig.variant(args.backbone),
+        backbone_config(args.backbone),
         num_labels=int(df[args.label_col].max()) + 1,
         fc_dim=args.fc_dim, arcface=ArcFaceParams(m=args.margin))
     mesh = _mesh(args)
@@ -381,12 +381,12 @@ def cmd_embed_incremental(args):
 def _build_cv_embed_fn(args):
     import jax
     import jax.numpy as jnp
-    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
-    from multimodalsimilar_tpu.models.vision import CvImageClassifier
+    from multimodalsimilar_tpu.models.vision import (
+        CvImageClassifier, backbone_config)
     from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
     from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
 
-    cfg = EfficientNetConfig.variant(args.backbone)
+    cfg = backbone_config(args.backbone)
     model = CvImageClassifier(cfg, num_labels=args.num_labels,
                               fc_dim=args.fc_dim,
                               policy=DTypePolicy.inference())
@@ -399,14 +399,17 @@ def _build_cv_embed_fn(args):
         state = CheckpointManager(args.checkpoint).restore()
         variables = {"params": state["params"],
                      "batch_stats": state.get("batch_stats", {})}
-    # fold BN into convs for serving (+12% on v5e, exact math)
-    from multimodalsimilar_tpu.models.fold_bn import fold_cv_classifier
-    import jax as _jax
-    folded_cfg, variables = fold_cv_classifier(
-        _jax.device_get(variables), cfg)
-    model = CvImageClassifier(folded_cfg, num_labels=args.num_labels,
-                              fc_dim=args.fc_dim,
-                              policy=DTypePolicy.inference())
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    if isinstance(cfg, EfficientNetConfig):
+        # fold BN into convs for serving (+12% on v5e, exact math);
+        # ViT backbones have no BN to fold
+        from multimodalsimilar_tpu.models.fold_bn import fold_cv_classifier
+        import jax as _jax
+        folded_cfg, variables = fold_cv_classifier(
+            _jax.device_get(variables), cfg)
+        model = CvImageClassifier(folded_cfg, num_labels=args.num_labels,
+                                  fc_dim=args.fc_dim,
+                                  policy=DTypePolicy.inference())
     embedder = ImageEmbedder(
         model, variables, image_size=args.image_size,
         batch_size=args.batch_size,
@@ -537,14 +540,13 @@ def cmd_similar_daodian(args):
 
     if args.cv_checkpoint:
         import jax
-        from multimodalsimilar_tpu.models.efficientnet import (
-            EfficientNetConfig)
-        from multimodalsimilar_tpu.models.vision import CvImageClassifier
+        from multimodalsimilar_tpu.models.vision import (
+            CvImageClassifier, backbone_config)
         from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
         from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
         state = CheckpointManager(args.cv_checkpoint).restore()
         model = CvImageClassifier(
-            EfficientNetConfig.variant(args.backbone),
+            backbone_config(args.backbone),
             num_labels=args.cv_num_labels, fc_dim=args.fc_dim)
         emb = ImageEmbedder(
             model, {"params": state["params"],

@@ -92,6 +92,53 @@ def bert_params_from_torch(state_dict: Mapping[str, "np.ndarray"],
     return params
 
 
+def vit_params_from_timm(state_dict: Mapping[str, "np.ndarray"],
+                         config) -> Dict:
+    """timm vit_*_patch16 state_dict -> params for ``models.vit.ViT``.
+
+    Layouts: patch conv OIHW -> HWIO; packed qkv [3D, D] -> DenseGeneral
+    [D, 3, heads, head_dim]; attn.proj [D, D] -> [heads, head_dim, D].
+    The classifier head (stripped by reset_classifier(0)) is ignored.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    D = config.hidden_size
+    nh = config.num_heads
+    hd = D // nh
+
+    def lin(prefix):
+        return {"kernel": sd[f"{prefix}.weight"].T,
+                "bias": sd[f"{prefix}.bias"]}
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    params: Dict = {
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "patch_embed": {
+            "kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+            "bias": sd["patch_embed.proj.bias"]},
+        "norm": ln("norm"),
+    }
+    for i in range(config.num_layers):
+        b = f"blocks.{i}"
+        qkv_w = sd[f"{b}.attn.qkv.weight"]        # [3D, D], rows q;k;v
+        qkv_b = sd[f"{b}.attn.qkv.bias"]
+        proj_w = sd[f"{b}.attn.proj.weight"]      # [D, D] out,in
+        params[f"block_{i}"] = {
+            "norm1": ln(f"{b}.norm1"),
+            "qkv": {"kernel": qkv_w.reshape(3, nh, hd, D)
+                    .transpose(3, 0, 1, 2),
+                    "bias": qkv_b.reshape(3, nh, hd)},
+            "proj": {"kernel": proj_w.T.reshape(nh, hd, D),
+                     "bias": sd[f"{b}.attn.proj.bias"]},
+            "norm2": ln(f"{b}.norm2"),
+            "fc1": lin(f"{b}.mlp.fc1"),
+            "fc2": lin(f"{b}.mlp.fc2"),
+        }
+    return params
+
+
 def efficientnet_params_from_timm(state_dict: Mapping[str, "np.ndarray"],
                                   config: EfficientNetConfig):
     """timm EfficientNet state_dict -> (params, batch_stats) for

@@ -19,8 +19,25 @@ import jax.numpy as jnp
 from multimodalsimilar_tpu.models.efficientnet import (
     EfficientNet, EfficientNetConfig)
 from multimodalsimilar_tpu.models.heads import ArcFaceHead
+from multimodalsimilar_tpu.models.vit import ViT, ViTConfig
 from multimodalsimilar_tpu.ops.arcface import ArcFaceParams
 from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+
+def backbone_config(name: str, **kw):
+    """Name-string backbone API (cv_classifier.py:23's timm.create_model
+    equivalent): efficientnet_b0..b7 / tiny -> EfficientNetConfig;
+    vit_{tiny,small,base} / vit_test -> ViTConfig (the MXU-friendly
+    alternative tower)."""
+    if name.startswith("vit"):
+        return ViTConfig.variant(name, **kw)
+    return EfficientNetConfig.variant(name, **kw)
+
+
+def build_backbone(cfg, policy: DTypePolicy, name: str = "backbone"):
+    if isinstance(cfg, ViTConfig):
+        return ViT(cfg, policy, name=name)
+    return EfficientNet(cfg, policy, name=name)
 
 
 class ImageTower(nn.Module):
@@ -32,7 +49,7 @@ class ImageTower(nn.Module):
 
     @nn.compact
     def __call__(self, images, train: bool = False):
-        feats = EfficientNet(self.cfg, self.policy, name="backbone").features(
+        feats = build_backbone(self.cfg, self.policy).features(
             images, train=train)
         if self.use_bn:
             feats = nn.BatchNorm(use_running_average=not train,
@@ -56,7 +73,7 @@ class CvImageClassifier(nn.Module):
     policy: DTypePolicy = DTypePolicy()
 
     def setup(self):
-        self.backbone = EfficientNet(self.cfg, self.policy)
+        self.backbone = build_backbone(self.cfg, self.policy)
         if self.use_fc:
             self.dropout = nn.Dropout(0.5)
             self.fc = nn.Dense(self.fc_dim, dtype=self.policy.reduce_dtype,
