@@ -116,6 +116,9 @@ def _add_common_train_flags(p):
                    choices=["tiny", "base", "large"])
     p.add_argument("--fused_loss", action="store_true",
                    help="stream ArcFace+CE over class tiles (wide heads)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize transformer layers in the backward "
+                        "pass (less activation HBM, ~+30% fwd FLOPs)")
     p.add_argument("--resume", action="store_true",
                    help="continue from the latest checkpoint in --output")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -128,10 +131,11 @@ def _add_common_train_flags(p):
     p.add_argument("--seed", type=int, default=0)
 
 
-def _bert_config(preset: str):
+def _bert_config(preset: str, remat: bool = False):
     from multimodalsimilar_tpu.models.bert import BertConfig
-    return {"tiny": BertConfig.tiny(), "base": BertConfig.roberta_wwm_ext(),
-            "large": BertConfig.roberta_wwm_ext_large()}[preset]
+    make = {"tiny": BertConfig.tiny, "base": BertConfig.roberta_wwm_ext,
+            "large": BertConfig.roberta_wwm_ext_large}[preset]
+    return make(remat=remat)
 
 
 def _trainer(task, args, steps_per_epoch, mesh):
@@ -199,7 +203,8 @@ def cmd_train_nlp(args):
     src = TextClassificationSource(df, tok, args.text_col, args.label_col,
                                    args.max_length)
     num_labels = int(df[args.label_col].max()) + 1
-    model = NlpTextClassifier(_bert_config(args.bert_preset), num_labels,
+    model = NlpTextClassifier(_bert_config(args.bert_preset,
+                                       remat=args.remat), num_labels,
                               arcface=ArcFaceParams(m=args.margin),
                               pool=getattr(args, "pool", "cls"))
     mesh = _mesh(args)
@@ -228,7 +233,7 @@ def cmd_train_multilabel(args):
     src = TextClassificationSource(df, tok, args.text_col, cols,
                                    args.max_length)
     model = NlpMultilabelClassifier(
-        _bert_config(args.bert_preset),
+        _bert_config(args.bert_preset, remat=args.remat),
         lv1_labels=int(df[args.lv1_col].max()) + 1,
         lv2_labels=int(df[args.lv2_col].max()) + 1,
         tag_labels=int(df[args.tag_col].max()) + 1)
@@ -291,7 +296,8 @@ def cmd_train_pair(args):
     df = read_table(args.data)
     tok = _tokenizer_pair(args, df)
     src = PairTextSource(df, tok, args.max_length, seed=args.seed)
-    model = SiamesePairModel(_bert_config(args.bert_preset))
+    model = SiamesePairModel(_bert_config(args.bert_preset,
+                                      remat=args.remat))
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
     trainer = _trainer(pair_task(model), args, steps, mesh)

@@ -44,6 +44,11 @@ class BertConfig:
     # the post-matmul slicing costs more than the merge saves), so the
     # default stays False; kept as an option for other shapes.
     fused_qkv: bool = False
+    # Rematerialize each transformer layer in the backward pass
+    # (jax.checkpoint): trades ~30% more forward FLOPs for not holding every
+    # layer's activations in HBM — enables bigger train batches. Measured
+    # sweep in PERF.md (round 2).
+    remat: bool = False
 
     @classmethod
     def tiny(cls, **kw) -> "BertConfig":
@@ -54,15 +59,15 @@ class BertConfig:
         return cls(**base)
 
     @classmethod
-    def roberta_wwm_ext(cls) -> "BertConfig":
+    def roberta_wwm_ext(cls, **kw) -> "BertConfig":
         """hfl/chinese-roberta-wwm-ext (base, 768-d)."""
-        return cls()
+        return cls(**kw)
 
     @classmethod
-    def roberta_wwm_ext_large(cls) -> "BertConfig":
+    def roberta_wwm_ext_large(cls, **kw) -> "BertConfig":
         """hfl/chinese-roberta-wwm-ext-large (readme.md:20)."""
         return cls(hidden_size=1024, num_layers=24, num_heads=16,
-                   intermediate_size=4096)
+                   intermediate_size=4096, **kw)
 
 
 class BertSelfAttention(nn.Module):
@@ -166,8 +171,11 @@ class BertEncoderModel(nn.Module):
                               jnp.finfo(pol.reduce_dtype).min)
         mask_bias = mask_bias.astype(pol.reduce_dtype)
 
+        # static_argnums counts self at 0: (h=1, mask_bias=2, deterministic=3)
+        layer_cls = (nn.remat(BertLayer, static_argnums=(3,)) if cfg.remat
+                     else BertLayer)
         for i in range(cfg.num_layers):
-            h = BertLayer(cfg, pol, name=f"layer_{i}")(
+            h = layer_cls(cfg, pol, name=f"layer_{i}")(
                 h, mask_bias, deterministic)
 
         pooled = nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype,

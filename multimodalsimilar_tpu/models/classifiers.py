@@ -70,16 +70,19 @@ class NlpMultilabelClassifier(nn.Module):
     lv1_labels: int
     lv2_labels: int
     tag_labels: int
+    lv1_arcface: ArcFaceParams = ArcFaceParams(m=0.4)
+    lv2_arcface: ArcFaceParams = ArcFaceParams(m=0.2)
+    tag_arcface: ArcFaceParams = ArcFaceParams(m=0.1)
     use_fused_head: bool = False
     policy: DTypePolicy = DTypePolicy()
 
     def setup(self):
         self.tower = TextTower(self.config, pool="cls", policy=self.policy)
-        self.lv1_head = ArcFaceHead(self.lv1_labels, ArcFaceParams(m=0.4),
+        self.lv1_head = ArcFaceHead(self.lv1_labels, self.lv1_arcface,
                                     self.use_fused_head)
-        self.lv2_head = ArcFaceHead(self.lv2_labels, ArcFaceParams(m=0.2),
+        self.lv2_head = ArcFaceHead(self.lv2_labels, self.lv2_arcface,
                                     self.use_fused_head)
-        self.tag_head = ArcFaceHead(self.tag_labels, ArcFaceParams(m=0.1),
+        self.tag_head = ArcFaceHead(self.tag_labels, self.tag_arcface,
                                     self.use_fused_head)
 
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,

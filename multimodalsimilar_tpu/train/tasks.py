@@ -92,8 +92,10 @@ def text_arcface_task(model, fused_loss: bool = False,
     def eval_metrics(params, batch_stats, batch):
         logits = model.apply({"params": params}, **_text_inputs(batch),
                              is_test=True)
+        # eval CE at the model's own logit scale (forward_test returns the
+        # raw cosine; the reference evaluates CE on s-scaled train logits)
         return {"acc": _acc(logits, batch["labels"]),
-                "loss": _ce(64.0 * logits, batch["labels"])}
+                "loss": _ce(model.arcface.s * logits, batch["labels"])}
 
     return Task(model, init, train_loss, eval_metrics)
 
@@ -123,14 +125,14 @@ def multilabel_arcface_task(model, weights=(10.0, 5.0, 1.0),
             emb = model.apply({"params": params}, **_text_inputs(batch),
                               deterministic=False, rngs={"dropout": rng},
                               method=model.predict_emb)
-            heads = (("lv1_head", "lv1_label", 0.4),
-                     ("lv2_head", "lv2_label", 0.2),
-                     ("tag_head", "tag_label", 0.1))
+            heads = (("lv1_head", "lv1_label", model.lv1_arcface),
+                     ("lv2_head", "lv2_label", model.lv2_arcface),
+                     ("tag_head", "tag_label", model.tag_arcface))
             loss = 0.0
-            for w_loss, (head, lab, m_head) in zip(weights, heads):
+            for w_loss, (head, lab, af) in zip(weights, heads):
                 loss = loss + w_loss * jnp.mean(arcface_ce_loss(
-                    emb, params[head]["weight"], batch[lab], m_head,
-                    64.0, False, loss_tile_c))
+                    emb, params[head]["weight"], batch[lab], af.m,
+                    af.s, af.easy_margin, loss_tile_c))
             pred = cosine_argmax(emb, params["tag_head"]["weight"],
                                  loss_tile_c)
             return loss, ({"loss": loss,
