@@ -54,14 +54,19 @@ def main(n=100_000, k=100):
                                               method=model.predict_emb))
     np.asarray(run(variables, ids, mask))  # compile
 
-    # --- embed N rows, batched (tokens synthetic; tokenization is not the
-    # subject of this bench and runs in the C++ packer elsewhere)
+    # --- embed N rows, batched + depth-1 pipelined (dispatch batch i+1
+    # before reading back i — same loop shape as pipelines.embedders._stream;
+    # tokens synthetic: tokenization is not the subject of this bench)
     steps = (n + batch - 1) // batch
     out = np.empty((steps * batch, cfg.hidden_size), np.float32)
     t0 = time.perf_counter()
+    pend = None
     for s in range(steps):
-        out[s * batch:(s + 1) * batch] = np.asarray(
-            run(variables, ids, mask), np.float32)
+        dev = run(variables, ids, mask)
+        if pend is not None:
+            out[(s - 1) * batch:s * batch] = np.asarray(pend, np.float32)
+        pend = dev
+    out[(steps - 1) * batch:] = np.asarray(pend, np.float32)
     t_embed = time.perf_counter() - t0
     emb = out[:n]
 

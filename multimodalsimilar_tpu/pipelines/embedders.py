@@ -37,6 +37,28 @@ def _pad_rows(arrs: Dict[str, np.ndarray], batch: int) -> Dict[str, np.ndarray]:
         [v, np.repeat(v[-1:], batch - n, axis=0)]) for k, v in arrs.items()}
 
 
+def _stream(batches, run) -> np.ndarray:
+    """Depth-1 pipelined embed loop.
+
+    ``batches`` yields ``(args_tuple, n_valid)``. Batch i+1 is dispatched
+    BEFORE batch i's result is read back, so the device computes while the
+    host tokenizes/decodes and converts — a bare per-batch ``np.asarray``
+    serializes dispatch->compute->readback and idles the chip between
+    batches (measured ~50% overhead at text batch 256 through the relay).
+    Depth 1 bounds device memory to two in-flight input batches.
+    """
+    out: List[np.ndarray] = []
+    prev = None
+    for args, n in batches:
+        dev = run(*args)
+        if prev is not None:
+            out.append(np.asarray(prev[0][:prev[1]], np.float32))
+        prev = (dev, n)
+    if prev is not None:
+        out.append(np.asarray(prev[0][:prev[1]], np.float32))
+    return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
+
+
 class TextEmbedder:
     def __init__(self, model, variables, tokenizer: TextTokenizer,
                  max_length: int = 128, batch_size: int = 256):
@@ -56,18 +78,17 @@ class TextEmbedder:
         self._run = lambda *a: run(self._variables, *a)
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
-        out: List[np.ndarray] = []
         B = self.batch_size
-        for s in range(0, len(texts), B):
-            chunk = list(texts[s: s + B])
-            n = len(chunk)
-            toks = self.tokenizer(chunk, self.max_length)
-            toks = _pad_rows(toks, B)
-            emb = self._run(jnp.asarray(toks["input_ids"]),
-                            jnp.asarray(toks["attention_mask"]),
-                            jnp.asarray(toks["token_type_ids"]))
-            out.append(np.asarray(emb[:n], np.float32))
-        return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
+
+        def batches():
+            for s in range(0, len(texts), B):
+                chunk = list(texts[s: s + B])
+                toks = _pad_rows(self.tokenizer(chunk, self.max_length), B)
+                yield (jnp.asarray(toks["input_ids"]),
+                       jnp.asarray(toks["attention_mask"]),
+                       jnp.asarray(toks["token_type_ids"])), len(chunk)
+
+        return _stream(batches(), self._run)
 
 
 class ImageEmbedder:
@@ -95,17 +116,18 @@ class ImageEmbedder:
         self._run = lambda *a: run(self._variables, *a)
 
     def embed_batch(self, images: np.ndarray) -> np.ndarray:
-        out: List[np.ndarray] = []
         B = self.batch_size
-        for s in range(0, len(images), B):
-            chunk = images[s: s + B]
-            n = len(chunk)
-            if n < B:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
-            out.append(np.asarray(self._run(jnp.asarray(chunk))[:n],
-                                  np.float32))
-        return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
+
+        def batches():
+            for s in range(0, len(images), B):
+                chunk = images[s: s + B]
+                n = len(chunk)
+                if n < B:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
+                yield (jnp.asarray(chunk),), n
+
+        return _stream(batches(), self._run)
 
     def embed_paths(self, paths: Sequence[str]) -> Dict[str, np.ndarray]:
         """Embed single images; failed decodes are skipped (absent keys)."""
@@ -191,17 +213,16 @@ class MultimodalEmbedder:
 
     def __call__(self, images: np.ndarray, texts: Sequence[str]
                  ) -> np.ndarray:
-        out: List[np.ndarray] = []
         B = self.batch_size
-        for s in range(0, len(texts), B):
-            chunk_t = list(texts[s: s + B])
-            chunk_i = images[s: s + B]
-            n = len(chunk_t)
-            toks = self.tokenizer(chunk_t, self.max_length)
-            arrs = _pad_rows({**toks, "images": chunk_i}, B)
-            emb = self._run(jnp.asarray(arrs["images"]),
-                            jnp.asarray(arrs["input_ids"]),
-                            jnp.asarray(arrs["attention_mask"]),
-                            jnp.asarray(arrs["token_type_ids"]))
-            out.append(np.asarray(emb[:n], np.float32))
-        return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
+
+        def batches():
+            for s in range(0, len(texts), B):
+                chunk_t = list(texts[s: s + B])
+                toks = self.tokenizer(chunk_t, self.max_length)
+                arrs = _pad_rows({**toks, "images": images[s: s + B]}, B)
+                yield (jnp.asarray(arrs["images"]),
+                       jnp.asarray(arrs["input_ids"]),
+                       jnp.asarray(arrs["attention_mask"]),
+                       jnp.asarray(arrs["token_type_ids"])), len(chunk_t)
+
+        return _stream(batches(), self._run)
