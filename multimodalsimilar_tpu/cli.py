@@ -315,8 +315,8 @@ def cmd_train_multimodal(args):
     from multimodalsimilar_tpu.data.datasets import (
         MultimodalSource, read_table)
     from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
-    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
     from multimodalsimilar_tpu.models.multimodal import MultimodalClassifier
+    from multimodalsimilar_tpu.models.vision import backbone_config
     from multimodalsimilar_tpu.train.tasks import multimodal_arcface_task
 
     df = read_table(args.data)
@@ -326,8 +326,8 @@ def cmd_train_multimodal(args):
                            args.key_col, args.label_col, args.max_length,
                            args.image_size, train_aug=True)
     model = MultimodalClassifier(
-        _bert_config(args.bert_preset),
-        EfficientNetConfig.variant(args.backbone),
+        _bert_config(args.bert_preset, remat=args.remat),
+        backbone_config(args.backbone),
         num_labels=int(df[args.label_col].max()) + 1, fc_dim=args.fc_dim)
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
@@ -479,7 +479,7 @@ def cmd_similar_nlp(args):
     n = nlp_similar_job(df, embed_fn, sink, text_col=args.text_col,
                         key_col=args.key_col, k=args.k,
                         score_th=args.score_th,
-                        ttl_seconds=args.exp_seconds)
+                        ttl_seconds=args.exp_seconds, mesh=_mesh(args))
     print(json.dumps({"written": n}))
 
 
@@ -523,7 +523,8 @@ def cmd_similar_multimodal(args):
             "embed job first or point at a table with fused embeddings")
     sink = _kv_sink(args)
     n = multimodal_similar_job(df, emb, sink, key_col=args.key_col,
-                               k=args.k, ttl_seconds=args.exp_seconds)
+                               k=args.k, ttl_seconds=args.exp_seconds,
+                               mesh=_mesh(args))
     print(json.dumps({"written": n}))
 
 
@@ -583,7 +584,7 @@ def cmd_similar_daodian(args):
     merged = daodian_similar_job(
         df, embed_titles, embed_skus, sink, ttl_seconds=args.exp_seconds,
         date_key=date_key, dt_col=args.dt_col, target_dt=args.dt,
-        recent_days=args.recent_days)
+        recent_days=args.recent_days, mesh=_mesh(args))
     print(json.dumps({"skus": len(merged)}))
 
 

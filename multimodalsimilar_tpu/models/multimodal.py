@@ -13,12 +13,13 @@ round-trips, and the fusion/normalize math fuses into the surrounding ops.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
 from multimodalsimilar_tpu.models.bert import BertConfig
 from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
-from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
 from multimodalsimilar_tpu.models.heads import ArcFaceHead
 from multimodalsimilar_tpu.models.vision import CvImageClassifier
 from multimodalsimilar_tpu.ops.arcface import ArcFaceParams
@@ -34,7 +35,8 @@ class MultimodalClassifier(nn.Module):
     """norm(cv_emb) ++ norm(text_emb) -> ArcFace(m=0.5)."""
 
     text_config: BertConfig
-    image_config: EfficientNetConfig
+    # EfficientNetConfig or ViTConfig — CvImageClassifier dispatches by type
+    image_config: Any
     num_labels: int
     text_num_labels: int = 2       # sub-tower heads exist (loaded from
     image_num_labels: int = 2      # pre-trained classifiers) but only their

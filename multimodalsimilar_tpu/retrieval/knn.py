@@ -132,8 +132,12 @@ def sharded_knn_search(mesh: Mesh, corpus: jax.Array, queries: jax.Array,
         raise ValueError(f"corpus rows {n} not divisible by mesh data={n_dev};"
                          " use pad_corpus()")
     rows = n // n_dev
-    k = min(k, rows)
     limit = n if true_n is None else true_n
+    # Each device can contribute at most its shard size; the GLOBAL result
+    # keeps min(k, corpus) — small shards must not truncate it (a query with
+    # k=8 over 8 devices x 1 row each still gets 8 neighbors).
+    local_k = min(k, rows)
+    k_out = min(k, limit, n_dev * local_k)
 
     def local(x_shard, q):
         i_dev = jax.lax.axis_index(DATA_AXIS)
@@ -142,13 +146,15 @@ def sharded_knn_search(mesh: Mesh, corpus: jax.Array, queries: jax.Array,
         col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                + i_dev * rows)
         s = jnp.where(col < limit, s, -jnp.inf)   # mask padding rows
-        v, i = jax.lax.top_k(s, k)
+        v, i = jax.lax.top_k(s, local_k)
         gi = i + i_dev * rows
-        v_all = jax.lax.all_gather(v, DATA_AXIS)    # [D, Q, k]
+        v_all = jax.lax.all_gather(v, DATA_AXIS)    # [D, Q, local_k]
         i_all = jax.lax.all_gather(gi, DATA_AXIS)
-        v_flat = jnp.moveaxis(v_all, 0, 1).reshape(q.shape[0], n_dev * k)
-        i_flat = jnp.moveaxis(i_all, 0, 1).reshape(q.shape[0], n_dev * k)
-        order = jnp.lexsort((i_flat, -v_flat), axis=-1)[:, :k]
+        v_flat = jnp.moveaxis(v_all, 0, 1).reshape(q.shape[0],
+                                                   n_dev * local_k)
+        i_flat = jnp.moveaxis(i_all, 0, 1).reshape(q.shape[0],
+                                                   n_dev * local_k)
+        order = jnp.lexsort((i_flat, -v_flat), axis=-1)[:, :k_out]
         vals = jnp.take_along_axis(v_flat, order, -1)
         idx = jnp.take_along_axis(i_flat, order, -1)
         return vals, idx

@@ -126,3 +126,22 @@ def test_engine_sharded_matches_single():
     sharded = SimilarityEngine(emb, keys, mesh=mesh).search(k=5)
     np.testing.assert_array_equal(single[1], sharded[1])
     np.testing.assert_allclose(single[0], sharded[0], rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_knn_small_shards_do_not_truncate():
+    """k greater than rows-per-shard: the global top-k must still return
+    min(k, n) neighbors (regression: local clamp used to cap the output)."""
+    import jax.numpy as jnp
+
+    from multimodalsimilar_tpu.parallel.mesh import create_mesh
+    from multimodalsimilar_tpu.retrieval.knn import (
+        knn_search, sharded_knn_search)
+
+    mesh = create_mesh(data=8, model=1)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(8, 16)).astype(np.float32)   # 1 row per device
+    vs, is_ = sharded_knn_search(mesh, jnp.asarray(x), jnp.asarray(x), k=8)
+    vr, ir = knn_search(jnp.asarray(x), jnp.asarray(x), k=8)
+    assert is_.shape == (8, 8)
+    np.testing.assert_array_equal(np.asarray(is_), np.asarray(ir))
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vr), rtol=1e-5)
