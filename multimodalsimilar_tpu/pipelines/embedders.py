@@ -167,17 +167,36 @@ class ImageEmbedder:
                     loaded.append(img)
             return key, loaded
 
+        # Decode streams INTO the pipelined embed loop: the threadpool keeps
+        # decoding the next keys while the device embeds the current batch
+        # (decode-everything-then-embed serializes two multi-second phases
+        # at warehouse scale).
         pending: List[str] = []
-        imgs: List[np.ndarray] = []
         owners: List[str] = []
+        B = self.batch_size
+
+        def batches(decoded):
+            buf: List[np.ndarray] = []
+            for key, loaded in decoded:
+                if not loaded:
+                    continue
+                pending.append(key)
+                for img in loaded:
+                    buf.append(img)
+                    owners.append(key)
+                    if len(buf) == B:
+                        yield (jnp.asarray(np.stack(buf)),), B
+                        buf = []
+            if buf:
+                n = len(buf)
+                pad = np.repeat(buf[-1][None], B - n, axis=0)
+                yield (jnp.asarray(
+                    np.concatenate([np.stack(buf), pad])),), n
+
         with ThreadPoolExecutor(max_workers=8) as pool:
-            for key, loaded in pool.map(load_key, to_decode):
-                if loaded:
-                    pending.append(key)
-                    imgs.extend(loaded)
-                    owners.extend([key] * len(loaded))
-        if imgs:
-            embs = self.embed_batch(np.stack(imgs))
+            embs = _stream(batches(pool.map(load_key, to_decode)),
+                           self._run)
+        if len(embs):
             sums: Dict[str, np.ndarray] = {}
             counts: Dict[str, int] = {}
             for key, e in zip(owners, embs):
