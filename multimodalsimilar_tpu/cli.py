@@ -714,6 +714,39 @@ def cmd_import_checkpoint(args):
     print(json.dumps({"imported": args.kind, "out": args.out}))
 
 
+def cmd_export_checkpoint(args):
+    """The inverse of import-checkpoint: write an orbax checkpoint back out
+    as a reference-layout torch state_dict (.pt) loadable with
+    load_state_dict(strict=True) by the reference's own modules — serve a
+    model trained here with the unmodified reference inference scripts."""
+    import torch
+    import numpy as np
+    from multimodalsimilar_tpu.models import reference_export as re_
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
+
+    state = CheckpointManager(args.checkpoint).restore()
+    params = state["params"]
+    stats = state.get("batch_stats", {})
+    bert_cfg = _bert_config(args.bert_preset)
+    if args.kind == "nlp":
+        sd = re_.nlp_classifier_to_reference(params, bert_cfg)
+    elif args.kind == "multilabel":
+        sd = re_.multilabel_classifier_to_reference(params, bert_cfg)
+    elif args.kind == "siamese":
+        sd = re_.siamese_to_reference(params, bert_cfg)
+    elif args.kind == "cv":
+        sd = re_.cv_classifier_to_reference(
+            params, stats, EfficientNetConfig.variant(args.backbone))
+    else:
+        raise SystemExit(f"unknown kind {args.kind}")
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items()}
+    torch.save(tensors, args.out)
+    print(json.dumps({"exported": args.kind, "out": args.out,
+                      "tensors": len(tensors)}))
+
+
 def cmd_download(args):
     from multimodalsimilar_tpu.data.datasets import read_table
     from multimodalsimilar_tpu.pipelines.download import download_images
@@ -940,6 +973,18 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--bert_preset", default="base")
     imp.add_argument("--backbone", default="efficientnet_b4")
     imp.set_defaults(fn=cmd_import_checkpoint)
+
+    exp = sub.add_parser("export-checkpoint")
+    exp.add_argument("--config")
+    exp.add_argument("--kind", required=True,
+                     choices=["nlp", "multilabel", "siamese", "cv"])
+    exp.add_argument("--checkpoint", required=True,
+                     help="orbax checkpoint dir")
+    exp.add_argument("--out", required=True,
+                     help="output torch state_dict .pt file")
+    exp.add_argument("--bert_preset", default="base")
+    exp.add_argument("--backbone", default="efficientnet_b4")
+    exp.set_defaults(fn=cmd_export_checkpoint)
 
     dl = sub.add_parser("download")
     dl.add_argument("--config")
