@@ -39,7 +39,9 @@ def _apply_yaml_config(args, argv):
             raise SystemExit(f"--config {args.config}: unknown flags "
                              f"{unknown}")
         for k, v in cfg.items():
-            if f"--{k}" not in argv:
+            explicit = any(t == f"--{k}" or t.startswith(f"--{k}=")
+                           for t in argv)
+            if not explicit:
                 setattr(args, k, v)
 
 
@@ -166,7 +168,10 @@ def _trainer(task, args, steps_per_epoch, mesh):
             adamp(tower_sched, weight_decay=args.weight_decay),
             adamp(head_sched, weight_decay=args.head_weight_decay))
     else:
-        tx = dual_group_adamw(tower_sched, head_sched)
+        import optax
+        tx = dual_group(
+            optax.adamw(tower_sched, weight_decay=args.weight_decay),
+            optax.adamw(head_sched, weight_decay=args.head_weight_decay))
     cfg = TrainerConfig(
         eval_every=args.eval_every, save_every=args.save_every,
         log_every=args.log_every,
@@ -579,6 +584,10 @@ def cmd_similar_daodian(args):
             return {}
 
     sink = _kv_sink(args)
+    if (args.date_keyed or args.dt_col) and not args.dt:
+        raise SystemExit(
+            "similar daodian: --date_keyed/--dt_col are v2 semantics and "
+            "need the target date; pass --dt YYYY-MM-DD.")
     date_key = args.dt.replace("-", "") if (args.dt and args.date_keyed) \
         else None
     merged = daodian_similar_job(
@@ -736,6 +745,12 @@ def cmd_export_checkpoint(args):
     elif args.kind == "siamese":
         sd = re_.siamese_to_reference(params, bert_cfg)
     elif args.kind == "cv":
+        if args.backbone.startswith("vit"):
+            raise SystemExit(
+                "export-checkpoint: ViT backbones have no reference "
+                "equivalent (the reference CvClassifier requires a timm CNN "
+                "with a .classifier head, cv_classifier.py:24) — only "
+                "efficientnet_* checkpoints export.")
         sd = re_.cv_classifier_to_reference(
             params, stats, EfficientNetConfig.variant(args.backbone))
     else:
@@ -758,19 +773,19 @@ def cmd_download(args):
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser("multimodalsimilar_tpu")
+    p = argparse.ArgumentParser("multimodalsimilar_tpu", allow_abbrev=False)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    train = sub.add_parser("train").add_subparsers(dest="model",
+    train = sub.add_parser("train", allow_abbrev=False).add_subparsers(dest="model",
                                                    required=True)
-    t_nlp = train.add_parser("nlp")
+    t_nlp = train.add_parser("nlp", allow_abbrev=False)
     _add_common_train_flags(t_nlp)
     t_nlp.add_argument("--pool", default="cls", choices=["cls", "mean"],
                        help="cls = TransformerEmb pooler; mean = "
                             "TransformerSeqEmb masked mean")
     t_nlp.set_defaults(fn=cmd_train_nlp)
 
-    t_ml = train.add_parser("multilabel")
+    t_ml = train.add_parser("multilabel", allow_abbrev=False)
     _add_common_train_flags(t_ml)
     t_ml.add_argument("--lv1_col", default="lv1_category_id")
     t_ml.add_argument("--lv2_col", default="lv2_category_id")
@@ -780,7 +795,7 @@ def build_parser() -> argparse.ArgumentParser:
     t_ml.add_argument("--tag_weight", type=float, default=1.0)
     t_ml.set_defaults(fn=cmd_train_multilabel)
 
-    t_cv = train.add_parser("cv")
+    t_cv = train.add_parser("cv", allow_abbrev=False)
     _add_common_train_flags(t_cv)
     t_cv.add_argument("--img_root", required=True)
     t_cv.add_argument("--key_col", default="goods_sku")
@@ -791,11 +806,11 @@ def build_parser() -> argparse.ArgumentParser:
                       margin_delta_per_epoch=0.04,
                       label_col="tag_new_id")  # cv_dataset.py label column
 
-    t_pair = train.add_parser("pair")
+    t_pair = train.add_parser("pair", allow_abbrev=False)
     _add_common_train_flags(t_pair)
     t_pair.set_defaults(fn=cmd_train_pair)
 
-    t_mm = train.add_parser("multimodal")
+    t_mm = train.add_parser("multimodal", allow_abbrev=False)
     _add_common_train_flags(t_mm)
     t_mm.add_argument("--img_root", required=True)
     t_mm.add_argument("--key_col", default="spu_sn")
@@ -804,7 +819,7 @@ def build_parser() -> argparse.ArgumentParser:
     t_mm.add_argument("--backbone", default="efficientnet_b4")
     t_mm.set_defaults(fn=cmd_train_multimodal, batch_size=48, margin=0.5)
 
-    t_ft = train.add_parser("fasttext")
+    t_ft = train.add_parser("fasttext", allow_abbrev=False)
     t_ft.add_argument("--config")
     t_ft.add_argument("--data", required=True)
     t_ft.add_argument("--eval_data")
@@ -816,8 +831,8 @@ def build_parser() -> argparse.ArgumentParser:
     t_ft.add_argument("--epochs", type=int, default=5)
     t_ft.set_defaults(fn=cmd_train_fasttext)
 
-    emb = sub.add_parser("embed").add_subparsers(dest="mode", required=True)
-    e_inc = emb.add_parser("incremental")
+    emb = sub.add_parser("embed", allow_abbrev=False).add_subparsers(dest="mode", required=True)
+    e_inc = emb.add_parser("incremental", allow_abbrev=False)
     e_inc.add_argument("--config")
     e_inc.add_argument("--kind", default="text",
                        choices=["text", "cv", "fasttext"])
@@ -840,7 +855,7 @@ def build_parser() -> argparse.ArgumentParser:
     e_inc.add_argument("--image_size", type=int, default=512)
     e_inc.set_defaults(fn=cmd_embed_incremental)
 
-    e_bulk = emb.add_parser("bulk")
+    e_bulk = emb.add_parser("bulk", allow_abbrev=False)
     e_bulk.add_argument("--config")
     e_bulk.add_argument("--data", required=True)
     e_bulk.add_argument("--table", required=True)
@@ -862,9 +877,9 @@ def build_parser() -> argparse.ArgumentParser:
     e_bulk.add_argument("--image_size", type=int, default=512)
     e_bulk.set_defaults(fn=cmd_embed_bulk)
 
-    sim = sub.add_parser("similar").add_subparsers(dest="mode",
+    sim = sub.add_parser("similar", allow_abbrev=False).add_subparsers(dest="mode",
                                                    required=True)
-    s_nlp = sim.add_parser("nlp")
+    s_nlp = sim.add_parser("nlp", allow_abbrev=False)
     s_nlp.add_argument("--config")
     s_nlp.add_argument("--data", required=True)
     s_nlp.add_argument("--dt", default=None)
@@ -887,7 +902,7 @@ def build_parser() -> argparse.ArgumentParser:
                  help="jax.profiler trace of the job to DIR")
     s_nlp.set_defaults(fn=cmd_similar_nlp)
 
-    s_mm = sim.add_parser("multimodal")
+    s_mm = sim.add_parser("multimodal", allow_abbrev=False)
     s_mm.add_argument("--config")
     s_mm.add_argument("--data", required=True,
                       help="table with spu_sn + fused embedding strings")
@@ -903,7 +918,7 @@ def build_parser() -> argparse.ArgumentParser:
                 help="jax.profiler trace of the job to DIR")
     s_mm.set_defaults(fn=cmd_similar_multimodal)
 
-    s_dd = sim.add_parser("daodian")
+    s_dd = sim.add_parser("daodian", allow_abbrev=False)
     s_dd.add_argument("--config")
     s_dd.add_argument("--data", required=True)
     s_dd.add_argument("--dt", default=None)
@@ -937,7 +952,7 @@ def build_parser() -> argparse.ArgumentParser:
                 help="jax.profiler trace of the job to DIR")
     s_dd.set_defaults(fn=cmd_similar_daodian)
 
-    ckv = sub.add_parser("copy-kv")
+    ckv = sub.add_parser("copy-kv", allow_abbrev=False)
     ckv.add_argument("--config")
     ckv.add_argument("--src_host", required=True)
     ckv.add_argument("--src_port", type=int, default=6379)
@@ -950,7 +965,7 @@ def build_parser() -> argparse.ArgumentParser:
     ckv.add_argument("--exp_seconds", type=int, default=7 * 24 * 3600)
     ckv.set_defaults(fn=cmd_copy_kv)
 
-    ev = sub.add_parser("eval")
+    ev = sub.add_parser("eval", allow_abbrev=False)
     ev.add_argument("--config")
     ev.add_argument("--data", required=True)
     ev.add_argument("--checkpoint")
@@ -962,7 +977,7 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--bert_preset", default="tiny")
     ev.set_defaults(fn=cmd_eval)
 
-    imp = sub.add_parser("import-checkpoint")
+    imp = sub.add_parser("import-checkpoint", allow_abbrev=False)
     imp.add_argument("--config")
     imp.add_argument("--kind", required=True,
                      choices=["nlp", "multilabel", "siamese", "cv",
@@ -974,7 +989,7 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--backbone", default="efficientnet_b4")
     imp.set_defaults(fn=cmd_import_checkpoint)
 
-    exp = sub.add_parser("export-checkpoint")
+    exp = sub.add_parser("export-checkpoint", allow_abbrev=False)
     exp.add_argument("--config")
     exp.add_argument("--kind", required=True,
                      choices=["nlp", "multilabel", "siamese", "cv"])
@@ -986,7 +1001,7 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--backbone", default="efficientnet_b4")
     exp.set_defaults(fn=cmd_export_checkpoint)
 
-    dl = sub.add_parser("download")
+    dl = sub.add_parser("download", allow_abbrev=False)
     dl.add_argument("--config")
     dl.add_argument("--manifest", required=True,
                     help="csv with key/img_id/url columns")

@@ -145,12 +145,11 @@ def efficientnet_params_to_timm(params: Mapping, stats: Mapping,
     """Inverse of hf_import.efficientnet_params_from_timm."""
     out: Dict[str, np.ndarray] = {}
 
-    def put_conv(name, tree, depthwise=False):
-        w = _np32(tree["kernel"])
-        if depthwise:      # [k,k,1,C] -> [C,1,k,k]
-            out[f"{prefix}{name}.weight"] = w.transpose(3, 2, 0, 1)
-        else:              # HWIO -> OIHW
-            out[f"{prefix}{name}.weight"] = w.transpose(3, 2, 0, 1)
+    def put_conv(name, tree):
+        # one transpose covers both layouts: HWIO -> OIHW and the depthwise
+        # [k,k,1,C] -> [C,1,k,k] are the same axis permutation
+        out[f"{prefix}{name}.weight"] = _np32(
+            tree["kernel"]).transpose(3, 2, 0, 1)
         if "bias" in tree:
             out[f"{prefix}{name}.bias"] = _np32(tree["bias"])
 
@@ -172,7 +171,7 @@ def efficientnet_params_to_timm(params: Mapping, stats: Mapping,
             bp = params[f"blocks_{s_i}_{b_i}"]
             bs = stats[f"blocks_{s_i}_{b_i}"]
             if expand == 1:
-                put_conv(f"{t}.conv_dw", bp["conv_dw"], depthwise=True)
+                put_conv(f"{t}.conv_dw", bp["conv_dw"])
                 put_bn(f"{t}.bn1", bp["bn1"], bs["bn1"])
                 put_conv(f"{t}.se.conv_reduce", bp["se"]["conv_reduce"])
                 put_conv(f"{t}.se.conv_expand", bp["se"]["conv_expand"])
@@ -181,7 +180,7 @@ def efficientnet_params_to_timm(params: Mapping, stats: Mapping,
             else:
                 put_conv(f"{t}.conv_pw", bp["conv_pw"])
                 put_bn(f"{t}.bn1", bp["bn1"], bs["bn1"])
-                put_conv(f"{t}.conv_dw", bp["conv_dw"], depthwise=True)
+                put_conv(f"{t}.conv_dw", bp["conv_dw"])
                 put_bn(f"{t}.bn2", bp["bn2"], bs["bn2"])
                 put_conv(f"{t}.se.conv_reduce", bp["se"]["conv_reduce"])
                 put_conv(f"{t}.se.conv_expand", bp["se"]["conv_expand"])

@@ -56,8 +56,22 @@ def filter_neighbors(
         query_rows = np.arange(q)
     query_rows = np.asarray(query_rows)
 
-    # factorize everything once: object comparisons become int compares
-    key_codes = np.unique(keys, return_inverse=True)[1]
+    # factorize everything once: object comparisons become int compares.
+    # pandas.factorize (not np.unique) because warehouse columns mix types —
+    # a string category column with NaN holes crashes np.unique's sort.
+    # NaN keys get DISTINCT codes (nan != nan, like the comparisons they
+    # replace); NaN categories/dts keep the -1 sentinel and never match.
+    import pandas as pd
+
+    def factorize(values, distinct_nan=False):
+        codes, uniq = pd.factorize(np.asarray(values, dtype=object))
+        codes = codes.astype(np.int64)
+        if distinct_nan:
+            nan_pos = np.nonzero(codes < 0)[0]
+            codes[nan_pos] = len(uniq) + np.arange(len(nan_pos))
+        return codes, uniq
+
+    key_codes, _ = factorize(keys, distinct_nan=True)
 
     idx = np.asarray(indices)
     valid = (idx >= 0) & (idx < n)
@@ -76,22 +90,22 @@ def filter_neighbors(
     # doesn't. Random gathers are the dominant cost either way, so pick by
     # survivor density.
     cat_codes = dt_codes = None
-    dt_target = -1
+    dt_target = -2
     if rules.same_category and categories is not None:
-        cat_codes = np.unique(np.asarray(categories, dtype=object),
-                              return_inverse=True)[1].astype(np.int32)
+        cat_codes = factorize(categories)[0].astype(np.int32)
     if rules.require_dt is not None and dts is not None:
-        dt_uniq, dt_codes = np.unique(np.asarray(dts, dtype=object),
-                                      return_inverse=True)
+        dt_codes, dt_uniq = factorize(dts)
         dt_codes = dt_codes.astype(np.int32)
-        hit = np.nonzero(dt_uniq == rules.require_dt)[0]
-        dt_target = hit[0] if len(hit) else -1
+        hit = [i for i, u in enumerate(dt_uniq) if u == rules.require_dt]
+        dt_target = hit[0] if hit else -2   # -2: never matches (NaN is -1)
     key_codes = key_codes.astype(np.int32)
 
     dense = np.count_nonzero(mask) > 0.15 * mask.size
     if dense:
         if cat_codes is not None:
-            mask &= cat_codes[idx_safe] == cat_codes[query_rows][:, None]
+            g = cat_codes[idx_safe]
+            # NaN categories (code -1) never match anything, incl. NaN
+            mask &= (g == cat_codes[query_rows][:, None]) & (g >= 0)
         if dt_codes is not None:
             mask &= dt_codes[idx_safe] == dt_target
         mask &= key_codes[idx_safe] != key_codes[query_rows][:, None]
@@ -101,7 +115,8 @@ def filter_neighbors(
     if not dense:
         sel = np.ones(len(rows), dtype=bool)
         if cat_codes is not None:
-            sel &= cat_codes[cand] == cat_codes[qrow]
+            g = cat_codes[cand]
+            sel &= (g == cat_codes[qrow]) & (g >= 0)
         if dt_codes is not None:
             sel &= dt_codes[cand] == dt_target
         # self-key rule: drop any candidate sharing the query's key

@@ -241,13 +241,27 @@ class Trainer:
         if not self.config.model_parallel_heads or model_n <= 1:
             return jax.device_put(state, repl)
         cs = MeshRules(self.mesh).class_sharded
+        sharded, skipped = [], []
 
         def place(path, x):
             names = {str(getattr(k, "key", getattr(k, "name", k)))
                      for k in path}
-            if (names & self._HEAD_NAMES and getattr(x, "ndim", 0) == 2
-                    and x.shape[0] % model_n == 0):
-                return jax.device_put(x, cs)
+            if names & self._HEAD_NAMES and getattr(x, "ndim", 0) == 2:
+                if x.shape[0] % model_n == 0:
+                    sharded.append(x.shape)
+                    return jax.device_put(x, cs)
+                skipped.append((jax.tree_util.keystr(path), x.shape[0]))
             return jax.device_put(x, repl)
 
-        return jax.tree_util.tree_map_with_path(place, state)
+        out = jax.tree_util.tree_map_with_path(place, state)
+        if skipped:
+            # XLA requires sharded dims divisible by the axis size; silently
+            # replicating the very weights the flag targets while the data
+            # axis shrank to devices/N would be a pure slowdown — fail loud.
+            detail = ", ".join(f"{k} (classes={c}, {c} % {model_n} != 0)"
+                               for k, c in sorted(set(skipped)))
+            raise ValueError(
+                f"model_parallel={model_n} cannot shard: {detail}. Pick an "
+                f"N dividing the class count (e.g. 10205 = 5*13*157 -> "
+                f"N=5), or drop --model_parallel.")
+        return out

@@ -73,3 +73,25 @@ def test_config_preload_end_to_end(tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "metrics.jsonl"))
     lines = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
     assert lines
+
+
+def test_explicit_equals_form_beats_yaml(tmp_path):
+    """--flag=value and exact --flag forms must win over the YAML; prefix
+    abbreviations are rejected outright (allow_abbrev=False) so they can
+    never silently collide with YAML keys."""
+    import yaml as _yaml
+
+    from multimodalsimilar_tpu.cli import _apply_yaml_config, build_parser
+
+    cfg_path = str(tmp_path / "c.yaml")
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump({"epochs": 30, "batch_size": 256}, f)
+    parser = build_parser()
+    argv = ["train", "nlp", "--data", "x", "--config", cfg_path,
+            "--epochs=5"]
+    args = parser.parse_args(argv)
+    _apply_yaml_config(args, argv)
+    assert args.epochs == 5            # explicit --epochs=5 wins
+    assert args.batch_size == 256      # YAML fills the rest
+    with pytest.raises(SystemExit):    # abbreviation refused, not matched
+        parser.parse_args(["train", "nlp", "--data", "x", "--epoch", "5"])

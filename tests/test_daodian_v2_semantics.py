@@ -183,3 +183,27 @@ def test_v2_depth_scales_recall(corpus):
     # equals the v1 defaults' order of magnitude only for the CV side
     n_deep = sum(len(v) for v in deep.values())
     assert n_deep > 0
+
+def test_cli_v2_flags_require_dt(tmp_path):
+    """--date_keyed/--dt_col without --dt must error, not silently run v1."""
+    import pickle
+
+    import pytest
+
+    from multimodalsimilar_tpu.cli import main
+    from multimodalsimilar_tpu.models.fasttext import train_supervised
+
+    ft = train_supervised(["苹果 水果"] * 8, ["a"] * 8, dim=4, epochs=1,
+                          bucket=100)
+    ft_path = str(tmp_path / "ft.pkl")
+    with open(ft_path, "wb") as f:
+        pickle.dump(ft, f)
+    df = pd.DataFrame({
+        "area_id": [1, 1], "spu_sn": ["a", "b"], "sku": ["1", "2"],
+        "title": ["x", "y"], "first_level_category_id": [5, 5],
+        "second_level_category_id": [51, 51], "dt": ["d", "d"]})
+    data = str(tmp_path / "skus.csv")
+    df.to_csv(data, index=False)
+    with pytest.raises(SystemExit, match="--dt"):
+        main(["similar", "daodian", "--data", data, "--fasttext_model",
+              ft_path, "--date_keyed", "--text_only"])

@@ -17,7 +17,11 @@ from multimodalsimilar_tpu.retrieval.filters import (
 
 def _loop_oracle(scores, indices, keys, categories, rules, query_rows, dts):
     keys = np.asarray(keys, dtype=object)
-    cats = np.asarray(categories) if categories is not None else None
+    # object dtype: mixed str/NaN columns must compare like the reference's
+    # pandas values (float NaN equals nothing) — a bare asarray would
+    # stringify NaN into 'nan' and quietly make NaNs match each other
+    cats = (np.asarray(categories, dtype=object)
+            if categories is not None else None)
     dt_arr = np.asarray(dts, dtype=object) if dts is not None else None
     q = scores.shape[0]
     if query_rows is None:
@@ -111,3 +115,26 @@ def test_vectorized_is_fast_at_scale():
     assert len(out) == n
     # steady state is ~0.5-1s on this 1-CPU box; generous bound for CI noise
     assert dt < 20.0, f"filtering took {dt:.1f}s"
+
+
+def test_mixed_type_columns_with_nan_match_loop():
+    """Warehouse reality: string category/dt columns with NaN holes (pandas
+    fills missing values with float NaN). np.unique crashes sorting such
+    object arrays; the factorization must not, and NaN semantics must match
+    the comparison operators the loop used (NaN equals nothing, incl. NaN)."""
+    nan = float("nan")
+    rng = np.random.default_rng(9)
+    n, k = 12, 6
+    keys = [f"k{i}" for i in range(n)]
+    cats = ["a", nan, "b", "a", nan, "b", "a", "b", nan, "a", "b", "a"]
+    dts = ["d1", "d2", nan, "d1", "d1", nan, "d2", "d1", "d1", nan,
+           "d2", "d1"]
+    scores = rng.normal(size=(n, k)).astype(np.float32)
+    indices = rng.integers(0, n, size=(n, k))
+    for rules in (FilterRules(same_category=True),
+                  FilterRules(same_category=True, require_dt="d1"),
+                  FilterRules(score_threshold=-0.5, same_category=True,
+                              require_dt="d1", max_neighbors=2)):
+        got = filter_neighbors(scores, indices, keys, cats, rules, dts=dts)
+        want = _loop_oracle(scores, indices, keys, cats, rules, None, dts)
+        assert got == want, rules

@@ -183,3 +183,35 @@ def test_cli_multilabel_model_parallel(tmp_path):
           "--eval_every", "1000000", "--save_every", "2",
           "--model_parallel", "2"])
     assert os.listdir(os.path.join(out, "ckpt"))
+
+
+def test_model_parallel_rejects_indivisible_heads():
+    """10205 % 2 != 0: silently replicating the very weights --model_parallel
+    targets (while shrinking the data axis) would be a pure slowdown — the
+    Trainer must fail loudly with guidance."""
+    import pytest
+
+    from multimodalsimilar_tpu.parallel.mesh import shard_batch
+
+    mesh = create_mesh(data=4, model=2)
+    trainer = _multilabel_trainer(mesh, True)
+    trainer.task = _multilabel_trainer(mesh, True).task
+    rng = np.random.default_rng(0)
+    B, S = 8, 8
+    batch = shard_batch(mesh, {
+        "input_ids": rng.integers(1, 128, size=(B, S)).astype(np.int32),
+        "attention_mask": np.ones((B, S), np.int32),
+        "lv1_label": np.zeros(B, np.int32),
+        "lv2_label": np.zeros(B, np.int32),
+        "tag_label": np.zeros(B, np.int32)})
+    # rebuild with an odd tag head (63 classes)
+    from multimodalsimilar_tpu.models.bert import BertConfig
+    from multimodalsimilar_tpu.models.classifiers import (
+        NlpMultilabelClassifier)
+    from multimodalsimilar_tpu.train.tasks import multilabel_arcface_task
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+    trainer.task = multilabel_arcface_task(NlpMultilabelClassifier(
+        BertConfig.tiny(), lv1_labels=8, lv2_labels=16, tag_labels=63,
+        policy=DTypePolicy.full_precision()))
+    with pytest.raises(ValueError, match="cannot shard"):
+        trainer.init_state_from_device_batch(batch)
