@@ -1,0 +1,90 @@
+"""Worker for tests/test_multihost.py — one process of a 2-process run.
+
+Validates the TRUE multi-host path (SURVEY.md §2.6: DP over DCN via
+jax.distributed): two OS processes, 4 virtual CPU devices each, one global
+8-device mesh over the gloo collective backend, running the SAME Trainer
+train step used everywhere else. Each process feeds its host-local batch
+shard; losses must agree across processes (printed for the parent to check).
+
+Usage: python multihost_worker.py <process_id> <coordinator addr:port>
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main(pid: int, coordinator: str):
+    import numpy as np
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from multimodalsimilar_tpu.models.bert import BertConfig
+    from multimodalsimilar_tpu.models.classifiers import (
+        NlpMultilabelClassifier)
+    from multimodalsimilar_tpu.parallel.mesh import (
+        create_mesh, init_distributed)
+    from multimodalsimilar_tpu.train.optim import (
+        dual_group_adamw, linear_schedule_with_warmup)
+    from multimodalsimilar_tpu.train.tasks import multilabel_arcface_task
+    from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    init_distributed(coordinator, num_processes=2, process_id=pid)
+    assert len(jax.devices()) == 8, jax.devices()
+    assert len(jax.local_devices()) == 4
+    mesh = create_mesh()                      # global (8, 1) mesh
+
+    cfg = BertConfig.tiny()
+    model = NlpMultilabelClassifier(cfg, lv1_labels=8, lv2_labels=16,
+                                    tag_labels=64,
+                                    policy=DTypePolicy.full_precision())
+    tx = dual_group_adamw(linear_schedule_with_warmup(5e-5, 0, 100),
+                          linear_schedule_with_warmup(1e-2, 10, 100))
+    trainer = Trainer(multilabel_arcface_task(model), tx, mesh,
+                      TrainerConfig(log_every=10**9))
+
+    # deterministic GLOBAL batch; this process contributes its local rows
+    B, S = 16, 12
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": rng.integers(1, cfg.vocab_size,
+                                  size=(B, S)).astype(np.int32),
+        "attention_mask": np.ones((B, S), np.int32),
+        "lv1_label": rng.integers(0, 8, size=(B,)).astype(np.int32),
+        "lv2_label": rng.integers(0, 16, size=(B,)).astype(np.int32),
+        "tag_label": rng.integers(0, 64, size=(B,)).astype(np.int32),
+    }
+    half = B // 2
+    local = {k: v[pid * half:(pid + 1) * half] for k, v in batch.items()}
+    device_batch = {
+        k: multihost_utils.host_local_array_to_global_array(
+            v, mesh, P("data"))
+        for k, v in local.items()}
+
+    state = trainer.init_state_from_device_batch(device_batch)
+    losses = []
+    for _ in range(2):
+        state, metrics = trainer._train_step(state, device_batch,
+                                             jax.random.key(1))
+        # the loss is replicated over the global mesh; read this process's
+        # local copy, then gather the HOST values across processes and
+        # require exact agreement
+        local = float(np.asarray(metrics["loss"].addressable_data(0)))
+        vals = np.asarray(multihost_utils.process_allgather(
+            np.float32(local)))
+        assert vals[0] == vals[1], vals
+        losses.append(float(vals[0]))
+    step = int(np.asarray(state.step.addressable_data(0)))
+    print(f"RESULT pid={pid} step={step} "
+          f"losses={losses[0]:.6f},{losses[1]:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), sys.argv[2])
