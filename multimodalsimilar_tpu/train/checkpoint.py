@@ -28,6 +28,11 @@ class CheckpointManager:
     def save(self, step: int, state: Any, force: bool = False):
         if step == self._last_saved and not force:
             return
+        # orbax SKIPS (returns False) when the step already exists; a forced
+        # end-of-run save at the same step as the last periodic save must
+        # overwrite (the state differs — e.g. the post-epoch margin update)
+        if force and step in (self._mgr.all_steps() or []):
+            self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
         self._last_saved = step

@@ -127,3 +127,66 @@ def test_weighted_sampler_integration():
     w = class_balance_weights(df["labels"].values)
     batches = list(src.batches(16, sampler=WeightedSampler(w, seed=1)))
     assert len(batches) == 4
+
+
+def test_fit_resume_continues_from_checkpoint(tmp_path):
+    """--resume semantics: a second fit() picks up the saved step/params and
+    margin curriculum instead of starting over (the reference resumes by
+    editing torch.load calls into the script, cv_classifier_train.py:33)."""
+    df = _toy_text_problem(64)
+    tok = TextTokenizer.from_corpus(df["spu_name"])
+    src = TextClassificationSource(df, tok, max_length=12)
+    mesh = create_mesh()
+
+    def make_trainer():
+        model = NlpTextClassifier(BertConfig.tiny(), num_labels=4,
+                                  policy=DTypePolicy.full_precision())
+        tx = dual_group_adamw(
+            linear_schedule_with_warmup(5e-4, 0, 200),
+            linear_schedule_with_warmup(5e-2, 10, 200))
+        cfg = TrainerConfig(eval_every=10**9, save_every=2, log_every=10**9,
+                            checkpoint_dir=str(tmp_path / "ckpt"),
+                            margin_init=0.2, margin_delta_per_epoch=0.04)
+        return Trainer(text_arcface_task(model), tx, mesh, cfg)
+
+    t1 = make_trainer()
+    s1 = t1.fit(src, num_epochs=1, batch_size=32)  # 2 steps, margin 0.24
+    step1 = int(s1.step)
+    assert step1 == 2
+
+    t2 = make_trainer()
+    s2 = t2.fit(src, num_epochs=1, batch_size=32, resume=True)
+    assert int(s2.step) == step1 + 2          # continued, not restarted
+    # margin restored from the checkpoint (0.24) then advanced one epoch
+    assert float(s2.margin) == pytest.approx(0.2 + 2 * 0.04)
+
+
+def test_fit_resume_with_model_parallel_heads(tmp_path):
+    """Restore must re-apply class sharding to the restored state (the
+    checkpoint stores plain arrays)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodalsimilar_tpu.parallel.mesh import MODEL_AXIS
+
+    df = _toy_text_problem(64)
+    tok = TextTokenizer.from_corpus(df["spu_name"])
+    src = TextClassificationSource(df, tok, max_length=12)
+    mesh = create_mesh(data=4, model=2)
+
+    def make_trainer():
+        model = NlpTextClassifier(BertConfig.tiny(), num_labels=4,
+                                  policy=DTypePolicy.full_precision())
+        tx = dual_group_adamw(
+            linear_schedule_with_warmup(5e-4, 0, 200),
+            linear_schedule_with_warmup(5e-2, 10, 200))
+        cfg = TrainerConfig(eval_every=10**9, save_every=2, log_every=10**9,
+                            checkpoint_dir=str(tmp_path / "ckpt"),
+                            model_parallel_heads=True)
+        return Trainer(text_arcface_task(model), tx, mesh, cfg)
+
+    make_trainer().fit(src, num_epochs=1, batch_size=32)
+    t2 = make_trainer()
+    s2 = t2.fit(src, num_epochs=1, batch_size=32, resume=True)
+    assert int(s2.step) == 4
+    cs = NamedSharding(mesh, P(MODEL_AXIS, None))
+    assert s2.params["head"]["weight"].sharding.is_equivalent_to(cs, ndim=2)
