@@ -734,7 +734,15 @@ def cmd_export_checkpoint(args):
     from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
     from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
 
+    if args.kind == "cv" and args.backbone.startswith("vit"):
+        raise SystemExit(
+            "export-checkpoint: ViT backbones have no reference "
+            "equivalent (the reference CvClassifier requires a timm CNN "
+            "with a .classifier head, cv_classifier.py:24) — only "
+            "efficientnet_* checkpoints export.")
     state = CheckpointManager(args.checkpoint).restore()
+    if state is None:
+        raise SystemExit(f"no checkpoint found at {args.checkpoint}")
     params = state["params"]
     stats = state.get("batch_stats", {})
     bert_cfg = _bert_config(args.bert_preset)
@@ -745,12 +753,6 @@ def cmd_export_checkpoint(args):
     elif args.kind == "siamese":
         sd = re_.siamese_to_reference(params, bert_cfg)
     elif args.kind == "cv":
-        if args.backbone.startswith("vit"):
-            raise SystemExit(
-                "export-checkpoint: ViT backbones have no reference "
-                "equivalent (the reference CvClassifier requires a timm CNN "
-                "with a .classifier head, cv_classifier.py:24) — only "
-                "efficientnet_* checkpoints export.")
         sd = re_.cv_classifier_to_reference(
             params, stats, EfficientNetConfig.variant(args.backbone))
     else:
