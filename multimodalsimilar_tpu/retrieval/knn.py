@@ -66,51 +66,83 @@ def _merge_topk(vals_a, idx_a, vals_b, idx_b, k):
             jnp.take_along_axis(idx, order, -1))
 
 
-def _default_block_rows(n_queries: int, budget_bytes: float = 8e9) -> int:
+def _default_block_rows(n_queries: int, budget_bytes: float = 1.32e10)\
+        -> int:
     """Largest power-of-two corpus block (<=32768) whose [Q, block] f32
     score matrix stays within the HBM budget. Bigger blocks mean fewer
     top-k sorts + merges — measured 2x on the 100k x 100k self-search
-    (block 32768: 7.4 s vs block 8192: 15.1 s warm, v5e)."""
+    (block 32768: 7.4 s vs block 8192: 15.1 s warm, v5e). Budget: 13.2 GB
+    of v5e's 16 GB — the 100k-query x 32768 case measured fits with the
+    corpus/query/output buffers alongside."""
     block = 32768
     while block > 4096 and n_queries * block * 4 > budget_bytes:
         block //= 2
     return block
 
 
+def _next_pow2(x: int, lo: int = 128) -> int:
+    p = lo
+    while p < x:
+        p *= 2
+    return p
+
+
 def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
-               metric: str = "ip", block_rows: Optional[int] = None
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               metric: str = "ip", block_rows: Optional[int] = None,
+               bucket: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over the corpus, blockwise.
 
     Returns (scores [Q, k], indices [Q, k]) in FAISS order: IP descending /
     squared-L2 ascending (scores are the raw metric values, not the internal
     negated form).
+
+    ``bucket=True`` pads Q and k to power-of-two buckets and the corpus to a
+    block multiple, passing the TRUE corpus length as a traced scalar — so
+    jobs that sweep many similarly-sized corpora (the daodian per-area loop:
+    a fresh FAISS index per area, daodian_infer.py:361) reuse ONE compiled
+    program per bucket instead of recompiling per exact shape. Results are
+    sliced back to the caller's (Q, min(k, n)); exactness is unaffected
+    (the top-k' prefix of a top-k'' >= k' search is the top-k').
     """
+    n, d = corpus.shape
+    q = queries.shape[0]
+    k_true = min(k, n)
     if block_rows is None:
-        block_rows = _default_block_rows(queries.shape[0])
-    return _knn_search(corpus, queries, k, metric, block_rows)
+        block_rows = _default_block_rows(_next_pow2(q) if bucket else q)
+    if not bucket:
+        vals, idx = _knn_search(corpus, queries,
+                                jnp.asarray(n, jnp.int32), k_true, metric,
+                                block_rows)
+        return vals, idx
+    q_pad = _next_pow2(q) - q
+    n_pad = (-n) % block_rows
+    k_run = min(_next_pow2(k_true, lo=16), n + n_pad)
+    if q_pad:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((q_pad, d), queries.dtype)], axis=0)
+    if n_pad:
+        corpus = jnp.concatenate(
+            [corpus, jnp.zeros((n_pad, d), corpus.dtype)], axis=0)
+    vals, idx = _knn_search(corpus, queries, jnp.asarray(n, jnp.int32),
+                            k_run, metric, block_rows)
+    return vals[:q, :k_true], idx[:q, :k_true]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows"))
-def _knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
-                metric: str, block_rows: int
+def _knn_search(corpus: jnp.ndarray, queries: jnp.ndarray,
+                true_n: jnp.ndarray, k: int, metric: str, block_rows: int
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    n, d = corpus.shape
+    n_pad, d = corpus.shape
     q = queries.shape[0]
-    k = min(k, n)
-    pad = (-n) % block_rows
+    k = min(k, n_pad)
+    pad = (-n_pad) % block_rows
     if pad:
-        filler = jnp.full((pad, d), jnp.inf if metric == "l2" else 0.0,
-                          corpus.dtype)
-        if metric == "ip":
-            # zero rows give score 0; mask via index >= n below instead
-            pass
-        corpus = jnp.concatenate([corpus, filler], axis=0)
-    n_pad = corpus.shape[0]
-    blocks = corpus.reshape(n_pad // block_rows, block_rows, d)
+        corpus = jnp.concatenate(
+            [corpus, jnp.zeros((pad, d), corpus.dtype)], axis=0)
+    blocks = corpus.reshape(-1, block_rows, d)
 
     init_vals = jnp.full((q, k), -jnp.inf, jnp.float32)
-    init_idx = jnp.full((q, k), n, jnp.int32)
+    init_idx = jnp.full((q, k), n_pad, jnp.int32)
 
     def body(carry, inp):
         vals, idx = carry
@@ -119,7 +151,9 @@ def _knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
                     block.astype(jnp.float32), metric)
         base = b * block_rows
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-        s = jnp.where(col < n, s, -jnp.inf)   # mask padding rows
+        # true_n is traced: one compiled program serves every corpus
+        # length within the same padded bucket
+        s = jnp.where(col < true_n, s, -jnp.inf)
         bk = min(k, block_rows)
         bv, bi = jax.lax.top_k(s, bk)
         bidx = jnp.take_along_axis(col, bi, -1)

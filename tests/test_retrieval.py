@@ -145,3 +145,23 @@ def test_sharded_knn_small_shards_do_not_truncate():
     assert is_.shape == (8, 8)
     np.testing.assert_array_equal(np.asarray(is_), np.asarray(ir))
     np.testing.assert_allclose(np.asarray(vs), np.asarray(vr), rtol=1e-5)
+
+
+def test_knn_bucketing_reuses_compiled_program():
+    """The daodian per-area sweep: different corpus sizes within one padded
+    bucket must hit ONE compiled program (true length is traced, shapes are
+    bucketed) — per-area recompiles cost minutes on a real job."""
+    import jax.numpy as jnp
+
+    from multimodalsimilar_tpu.retrieval import knn
+
+    rng = np.random.default_rng(5)
+    knn._knn_search.clear_cache()
+    results = []
+    for n in (97, 103, 120):            # all bucket to q=128, same blocks
+        x = rng.normal(size=(n, 8)).astype(np.float32)
+        v, i = knn_search(jnp.asarray(x), jnp.asarray(x), k=5)
+        want_v, want_i = _brute(x, x, 5, "ip")
+        np.testing.assert_array_equal(np.asarray(i), want_i)
+        results.append((v, i))
+    assert knn._knn_search._cache_size() == 1
