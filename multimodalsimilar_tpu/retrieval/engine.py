@@ -52,6 +52,11 @@ class SimilarityEngine:
 
     # -- device search ----------------------------------------------------
 
+    # queries are processed in chunks of this many rows: bounds the device
+    # [Q_chunk, block] score matrix for arbitrarily large query sets (the
+    # bulk export jobs sweep the whole warehouse) without touching results
+    QUERY_CHUNK = 131_072
+
     def search(self, k: int, queries: Optional[np.ndarray] = None):
         """(scores, indices) for queries (default: self-search over the
         corpus, the reference's pattern). FAISS conventions preserved;
@@ -70,10 +75,16 @@ class SimilarityEngine:
             vals, idx = sharded_knn_search(
                 self.mesh, jax.numpy.asarray(corpus), jax.numpy.asarray(q),
                 k, self.metric, true_n=true_n)
-        else:
-            vals, idx = knn_search(jax.numpy.asarray(self._emb),
-                                   jax.numpy.asarray(q), k, self.metric)
-        return np.asarray(vals), np.asarray(idx)
+            return np.asarray(vals), np.asarray(idx)
+        corpus_dev = jax.numpy.asarray(self._emb)
+        vals_parts, idx_parts = [], []
+        for s in range(0, len(q), self.QUERY_CHUNK):
+            v, i = knn_search(corpus_dev,
+                              jax.numpy.asarray(q[s: s + self.QUERY_CHUNK]),
+                              k, self.metric)
+            vals_parts.append(np.asarray(v))
+            idx_parts.append(np.asarray(i))
+        return (np.concatenate(vals_parts), np.concatenate(idx_parts))
 
     # -- full jobs ---------------------------------------------------------
 

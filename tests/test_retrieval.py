@@ -165,3 +165,16 @@ def test_knn_bucketing_reuses_compiled_program():
         np.testing.assert_array_equal(np.asarray(i), want_i)
         results.append((v, i))
     assert knn._knn_search._cache_size() == 1
+
+
+def test_engine_query_chunking_matches_unchunked(monkeypatch):
+    """Chunked query processing (large-Q memory bound) is result-invariant."""
+    rng = np.random.default_rng(6)
+    emb = rng.normal(size=(50, 12)).astype(np.float32)
+    keys = list(range(50))
+    eng = SimilarityEngine(emb, keys)
+    full = eng.search(k=5)
+    monkeypatch.setattr(SimilarityEngine, "QUERY_CHUNK", 16)
+    chunked = eng.search(k=5)
+    np.testing.assert_array_equal(full[1], chunked[1])
+    np.testing.assert_allclose(full[0], chunked[0], rtol=1e-6)
