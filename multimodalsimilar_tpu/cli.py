@@ -755,6 +755,10 @@ def cmd_export_checkpoint(args):
     elif args.kind == "cv":
         sd = re_.cv_classifier_to_reference(
             params, stats, EfficientNetConfig.variant(args.backbone))
+    elif args.kind == "multimodal":
+        sd = re_.multimodal_to_reference(
+            params, stats, bert_cfg,
+            EfficientNetConfig.variant(args.backbone))
     else:
         raise SystemExit(f"unknown kind {args.kind}")
     tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
@@ -994,7 +998,8 @@ def build_parser() -> argparse.ArgumentParser:
     exp = sub.add_parser("export-checkpoint", allow_abbrev=False)
     exp.add_argument("--config")
     exp.add_argument("--kind", required=True,
-                     choices=["nlp", "multilabel", "siamese", "cv"])
+                     choices=["nlp", "multilabel", "siamese", "cv",
+                              "multimodal"])
     exp.add_argument("--checkpoint", required=True,
                      help="orbax checkpoint dir")
     exp.add_argument("--out", required=True,

@@ -209,3 +209,22 @@ def cv_classifier_to_reference(params: Mapping, stats: Mapping,
         out["bn.num_batches_tracked"] = np.zeros((), np.int64)
     out["classifier.weight"] = _np32(params["head"]["weight"])
     return out
+
+
+def multimodal_to_reference(params: Mapping, stats: Mapping,
+                            text_config: BertConfig,
+                            image_config: EfficientNetConfig
+                            ) -> Dict[str, np.ndarray]:
+    """MultimodalClassifier params -> reference MultimodalClassifier
+    state_dict (cv.* = full CvClassifier, nlp.* = full NlpClassifier,
+    classifier.weight = fused ArcFace — multimodal_classifier.py:16-22
+    loads whole pickled sub-models, so both sub-heads are present)."""
+    out: Dict[str, np.ndarray] = {}
+    cv = cv_classifier_to_reference(params["cv"], stats["cv"], image_config)
+    for k, v in cv.items():
+        out[f"cv.{k}"] = v
+    nlp = nlp_classifier_to_reference(params["nlp"], text_config)
+    for k, v in nlp.items():
+        out[f"nlp.{k}"] = v
+    out["classifier.weight"] = _np32(params["head"]["weight"])
+    return out

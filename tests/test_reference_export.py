@@ -227,3 +227,72 @@ def test_cv_classifier_roundtrip():
         np.testing.assert_allclose(fresh.predict_emb(x).numpy(),
                                    original.predict_emb(x).numpy(),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_multimodal_roundtrip():
+    """MultimodalClassifier layout: whole CvClassifier + NlpClassifier
+    sub-models + fused head (multimodal_classifier.py:16-22)."""
+    from transformers import BertModel as HFBertModel
+
+    from multimodalsimilar_tpu.models.reference_export import (
+        multimodal_to_reference)
+    from multimodalsimilar_tpu.models.reference_import import (
+        multimodal_from_reference)
+    from tests.test_efficientnet import TorchEffNet
+
+    cfg = BertConfig.tiny()
+    hf = HFBertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_act="gelu", attn_implementation="eager")
+    ecfg = EfficientNetConfig(
+        stages=((1, 8, 1, 1, 3), (6, 16, 2, 2, 3)),
+        stem_channels=8, head_channels=32, drop_path_rate=0.0)
+
+    class TorchCv(nn_t.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = TorchEffNet(ecfg)
+            self.fc = nn_t.Linear(ecfg.num_features, 12)
+            self.bn = nn_t.BatchNorm1d(12)
+            self.classifier = nn_t.Module()
+            self.classifier.weight = nn_t.Parameter(torch.randn(5, 12))
+
+    class TorchNlp(nn_t.Module):
+        def __init__(self):
+            super().__init__()
+            self.ptm = HFBertModel(hf)
+            self.emb_layer = nn_t.Module()
+            self.emb_layer.ptm = self.ptm
+            self.emb_layer.emb_layer = nn_t.Linear(cfg.hidden_size, 128)
+            self.emb_layer.bn_layer = nn_t.BatchNorm1d(cfg.hidden_size)
+            self.classifier = nn_t.Module()
+            self.classifier.weight = nn_t.Parameter(
+                torch.randn(4, cfg.hidden_size))
+
+    class TorchMM(nn_t.Module):
+        def __init__(self):
+            super().__init__()
+            self.cv = TorchCv()
+            self.nlp = TorchNlp()
+            self.classifier = nn_t.Module()
+            self.classifier.weight = nn_t.Parameter(
+                torch.randn(6, 12 + cfg.hidden_size))
+
+    torch.manual_seed(3)
+    original = TorchMM().eval()
+    params, stats = multimodal_from_reference(original.state_dict(), cfg,
+                                              ecfg)
+    exported = multimodal_to_reference(params, stats, cfg, ecfg)
+    fresh = TorchMM().eval()
+    missing, unexpected = fresh.load_state_dict(_tensors(exported),
+                                                strict=False)
+    assert not unexpected, unexpected
+    assert all("position_ids" in k for k in missing), missing
+    for k, v in original.state_dict().items():
+        if "emb_layer.emb_layer" in k or "emb_layer.bn_layer" in k:
+            continue   # TransformerEmb dead weights export as defaults
+        np.testing.assert_array_equal(
+            fresh.state_dict()[k].numpy(), v.numpy(), err_msg=k)
