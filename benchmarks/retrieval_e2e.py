@@ -54,19 +54,22 @@ def main(n=100_000, k=100):
                                               method=model.predict_emb))
     np.asarray(run(variables, ids, mask))  # compile
 
-    # --- embed N rows, batched + depth-1 pipelined (dispatch batch i+1
-    # before reading back i — same loop shape as pipelines.embedders._stream;
-    # tokens synthetic: tokenization is not the subject of this bench)
+    # --- embed N rows, batched + depth-3 pipelined (same loop shape as
+    # pipelines.embedders._stream; tokens synthetic: tokenization is not
+    # the subject of this bench)
+    from collections import deque
     steps = (n + batch - 1) // batch
     out = np.empty((steps * batch, cfg.hidden_size), np.float32)
     t0 = time.perf_counter()
-    pend = None
+    pending = deque()
     for s in range(steps):
-        dev = run(variables, ids, mask)
-        if pend is not None:
-            out[(s - 1) * batch:s * batch] = np.asarray(pend, np.float32)
-        pend = dev
-    out[(steps - 1) * batch:] = np.asarray(pend, np.float32)
+        pending.append((s, run(variables, ids, mask)))
+        if len(pending) > 3:
+            j, dev = pending.popleft()
+            out[j * batch:(j + 1) * batch] = np.asarray(dev, np.float32)
+    while pending:
+        j, dev = pending.popleft()
+        out[j * batch:(j + 1) * batch] = np.asarray(dev, np.float32)
     t_embed = time.perf_counter() - t0
     emb = out[:n]
 

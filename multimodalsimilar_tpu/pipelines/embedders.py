@@ -37,25 +37,28 @@ def _pad_rows(arrs: Dict[str, np.ndarray], batch: int) -> Dict[str, np.ndarray]:
         [v, np.repeat(v[-1:], batch - n, axis=0)]) for k, v in arrs.items()}
 
 
-def _stream(batches, run) -> np.ndarray:
-    """Depth-1 pipelined embed loop.
+def _stream(batches, run, depth: int = 3) -> np.ndarray:
+    """Pipelined embed loop: keep ``depth`` batches in flight.
 
-    ``batches`` yields ``(args_tuple, n_valid)``. Batch i+1 is dispatched
-    BEFORE batch i's result is read back, so the device computes while the
-    host tokenizes/decodes and converts — a bare per-batch ``np.asarray``
-    serializes dispatch->compute->readback and idles the chip between
-    batches (measured ~50% overhead at text batch 256 through the relay).
-    Depth 1 bounds device memory to two in-flight input batches.
+    ``batches`` yields ``(args_tuple, n_valid)``. Later batches are
+    dispatched BEFORE earlier results are read back, so the device computes
+    while the host tokenizes/decodes/reads back — a bare per-batch
+    ``np.asarray`` serializes dispatch->compute->readback and halves
+    throughput (measured on the text tower at batch 256: 3,186 emb/s
+    serialized, 6,557 at depth 1, 6,802 at depth 3, flat beyond).
+    Device memory is bounded at depth+1 in-flight input batches.
     """
+    from collections import deque
     out: List[np.ndarray] = []
-    prev = None
+    pending = deque()
     for args, n in batches:
-        dev = run(*args)
-        if prev is not None:
-            out.append(np.asarray(prev[0][:prev[1]], np.float32))
-        prev = (dev, n)
-    if prev is not None:
-        out.append(np.asarray(prev[0][:prev[1]], np.float32))
+        pending.append((run(*args), n))
+        if len(pending) > depth:
+            dev, n0 = pending.popleft()
+            out.append(np.asarray(dev[:n0], np.float32))
+    while pending:
+        dev, n0 = pending.popleft()
+        out.append(np.asarray(dev[:n0], np.float32))
     return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
 
 
