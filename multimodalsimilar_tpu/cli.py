@@ -734,7 +734,7 @@ def cmd_export_checkpoint(args):
     from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
     from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
 
-    if args.kind == "cv" and args.backbone.startswith("vit"):
+    if args.kind in ("cv", "multimodal") and args.backbone.startswith("vit"):
         raise SystemExit(
             "export-checkpoint: ViT backbones have no reference "
             "equivalent (the reference CvClassifier requires a timm CNN "

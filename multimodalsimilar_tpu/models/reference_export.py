@@ -65,12 +65,20 @@ def bert_params_to_torch(params: Mapping, config: BertConfig,
         t = f"encoder.layer.{i}"
         lp = p[f"layer_{i}"]
         attn = lp["attention"]
-        for name, sub in (("query", "query"), ("key", "key"),
-                          ("value", "value")):
-            out[f"{prefix}{t}.attention.self.{name}.weight"] = _np32(
-                attn[sub]["kernel"]).reshape(H, H).T
-            out[f"{prefix}{t}.attention.self.{name}.bias"] = _np32(
-                attn[sub]["bias"]).reshape(H)
+        if "qkv" in attn:      # fused layout: kernel [H, 3, nh, hd]
+            kq = _np32(attn["qkv"]["kernel"])     # [H, 3, nh, hd]
+            bq = _np32(attn["qkv"]["bias"])       # [3, nh, hd]
+            for j, name in enumerate(("query", "key", "value")):
+                out[f"{prefix}{t}.attention.self.{name}.weight"] = (
+                    kq[:, j].reshape(H, H).T)
+                out[f"{prefix}{t}.attention.self.{name}.bias"] = (
+                    bq[j].reshape(H))
+        else:
+            for name in ("query", "key", "value"):
+                out[f"{prefix}{t}.attention.self.{name}.weight"] = _np32(
+                    attn[name]["kernel"]).reshape(H, H).T
+                out[f"{prefix}{t}.attention.self.{name}.bias"] = _np32(
+                    attn[name]["bias"]).reshape(H)
         out[f"{prefix}{t}.attention.output.dense.weight"] = _np32(
             attn["out"]["kernel"]).reshape(nh * hd, H).T
         out[f"{prefix}{t}.attention.output.dense.bias"] = _np32(

@@ -68,20 +68,26 @@ class SimilarityEngine:
             if self._normalized:
                 q = np.asarray(jax.device_get(
                     l2_normalize_rows(jax.numpy.asarray(q))))
-        if self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1:
+        sharded = self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1
+        if sharded:
             corpus, true_n = pad_corpus(self._emb,
                                         self.mesh.shape[DATA_AXIS],
                                         self.metric)
-            vals, idx = sharded_knn_search(
-                self.mesh, jax.numpy.asarray(corpus), jax.numpy.asarray(q),
-                k, self.metric, true_n=true_n)
-            return np.asarray(vals), np.asarray(idx)
-        corpus_dev = jax.numpy.asarray(self._emb)
+            corpus_dev = jax.numpy.asarray(corpus)
+        else:
+            corpus_dev = jax.numpy.asarray(self._emb)
+        k_eff = min(k, self.n)
+        if len(q) == 0 or self.n == 0:
+            return (np.zeros((len(q), k_eff), np.float32),
+                    np.zeros((len(q), k_eff), np.int32))
         vals_parts, idx_parts = [], []
         for s in range(0, len(q), self.QUERY_CHUNK):
-            v, i = knn_search(corpus_dev,
-                              jax.numpy.asarray(q[s: s + self.QUERY_CHUNK]),
-                              k, self.metric)
+            chunk = jax.numpy.asarray(q[s: s + self.QUERY_CHUNK])
+            if sharded:
+                v, i = sharded_knn_search(self.mesh, corpus_dev, chunk, k,
+                                          self.metric, true_n=true_n)
+            else:
+                v, i = knn_search(corpus_dev, chunk, k, self.metric)
             vals_parts.append(np.asarray(v))
             idx_parts.append(np.asarray(i))
         return (np.concatenate(vals_parts), np.concatenate(idx_parts))

@@ -66,14 +66,14 @@ def _merge_topk(vals_a, idx_a, vals_b, idx_b, k):
             jnp.take_along_axis(idx, order, -1))
 
 
-def _default_block_rows(n_queries: int, budget_bytes: float = 1.32e10)\
+def _default_block_rows(n_queries: int, budget_bytes: float = 1.4e10)\
         -> int:
     """Largest power-of-two corpus block (<=32768) whose [Q, block] f32
     score matrix stays within the HBM budget. Bigger blocks mean fewer
     top-k sorts + merges — measured 2x on the 100k x 100k self-search
-    (block 32768: 7.4 s vs block 8192: 15.1 s warm, v5e). Budget: 13.2 GB
-    of v5e's 16 GB — the 100k-query x 32768 case measured fits with the
-    corpus/query/output buffers alongside."""
+    (block 32768: 7.4 s vs block 8192: 15.1 s warm, v5e). Budget: 14 GB of
+    v5e's 16 GB — the bucketed 102400-query x 32768 case (13.4 GB) measured
+    fits with the corpus/query/output buffers alongside."""
     block = 32768
     while block > 4096 and n_queries * block * 4 > budget_bytes:
         block //= 2
@@ -87,6 +87,15 @@ def _next_pow2(x: int, lo: int = 128) -> int:
     return p
 
 
+def _bucket_q(q: int) -> int:
+    """Query-count bucket: power of two while small (per-area sweeps reuse
+    one program across areas), multiples of 4096 once large (one-shot bulk
+    sweeps shouldn't pay up-to-2x pow-2 padding FLOPs)."""
+    if q <= 32768:
+        return _next_pow2(q)
+    return -(-q // 4096) * 4096
+
+
 def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
                metric: str = "ip", block_rows: Optional[int] = None,
                bucket: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -96,10 +105,10 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     squared-L2 ascending (scores are the raw metric values, not the internal
     negated form).
 
-    ``bucket=True`` pads Q and k to power-of-two buckets and the corpus to a
-    block multiple, passing the TRUE corpus length as a traced scalar — so
-    jobs that sweep many similarly-sized corpora (the daodian per-area loop:
-    a fresh FAISS index per area, daodian_infer.py:361) reuse ONE compiled
+    ``bucket=True`` pads Q and k to buckets and the corpus to a block
+    multiple, passing the TRUE corpus length as a traced scalar — so jobs
+    that sweep many similarly-sized corpora (the daodian per-area loop: a
+    fresh FAISS index per area, daodian_infer.py:361) reuse ONE compiled
     program per bucket instead of recompiling per exact shape. Results are
     sliced back to the caller's (Q, min(k, n)); exactness is unaffected
     (the top-k' prefix of a top-k'' >= k' search is the top-k').
@@ -107,14 +116,21 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     n, d = corpus.shape
     q = queries.shape[0]
     k_true = min(k, n)
-    if block_rows is None:
-        block_rows = _default_block_rows(_next_pow2(q) if bucket else q)
+    if q == 0 or n == 0:
+        return (np.zeros((q, k_true), np.float32),
+                np.zeros((q, k_true), np.int32))
     if not bucket:
-        vals, idx = _knn_search(corpus, queries,
-                                jnp.asarray(n, jnp.int32), k_true, metric,
-                                block_rows)
-        return vals, idx
-    q_pad = _next_pow2(q) - q
+        if block_rows is None:
+            block_rows = _default_block_rows(q)
+        return _knn_search(corpus, queries, jnp.asarray(n, jnp.int32),
+                           k_true, metric, block_rows)
+    q_b = _bucket_q(q)
+    if block_rows is None:
+        # small corpora don't need big blocks — cap by the corpus bucket so
+        # a 97-row area isn't padded to a full 32768-row block
+        block_rows = min(_default_block_rows(q_b),
+                         _next_pow2(n, lo=512))
+    q_pad = q_b - q
     n_pad = (-n) % block_rows
     k_run = min(_next_pow2(k_true, lo=16), n + n_pad)
     if q_pad:

@@ -28,9 +28,13 @@ class CheckpointManager:
     def save(self, step: int, state: Any, force: bool = False):
         if step == self._last_saved and not force:
             return
-        # orbax SKIPS (returns False) when the step already exists; a forced
-        # end-of-run save at the same step as the last periodic save must
-        # overwrite (the state differs — e.g. the post-epoch margin update)
+        # orbax refuses to save a step that already exists (its force= kwarg
+        # only bypasses should_save_fn and still raises on collisions in
+        # this version), so a forced end-of-run save at the same step as the
+        # last periodic save must delete first. This leaves a small window
+        # (kill between delete and save loses that one step); the window is
+        # confined to the final save of a run, and the replacement write
+        # itself is atomic (orbax tmp-dir + finalize).
         if force and step in (self._mgr.all_steps() or []):
             self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))

@@ -254,14 +254,21 @@ class Trainer:
             return jax.device_put(x, repl)
 
         out = jax.tree_util.tree_map_with_path(place, state)
-        if skipped:
+        if skipped and not sharded:
             # XLA requires sharded dims divisible by the axis size; silently
-            # replicating the very weights the flag targets while the data
-            # axis shrank to devices/N would be a pure slowdown — fail loud.
+            # replicating EVERY weight the flag targets while the data axis
+            # shrank to devices/N would be a pure slowdown — fail loud.
             detail = ", ".join(f"{k} (classes={c}, {c} % {model_n} != 0)"
                                for k, c in sorted(set(skipped)))
             raise ValueError(
-                f"model_parallel={model_n} cannot shard: {detail}. Pick an "
-                f"N dividing the class count (e.g. 10205 = 5*13*157 -> "
-                f"N=5), or drop --model_parallel.")
+                f"model_parallel={model_n} cannot shard any head: {detail}. "
+                f"Pick an N dividing the class count (e.g. 10205 = "
+                f"5*13*157 -> N=5), or drop --model_parallel.")
+        if skipped:
+            # heterogeneous heads (multilabel): the wide target head(s)
+            # sharded; small indivisible ones replicate harmlessly
+            names = ", ".join(sorted({k for k, _ in skipped}))
+            print(f"model_parallel={model_n}: replicating indivisible "
+                  f"heads {names} (sharded {len(set(map(tuple, sharded)))} "
+                  f"weight shapes)", flush=True)
         return out

@@ -220,7 +220,8 @@ def test_cv_classifier_roundtrip():
     torch.manual_seed(7)
     fresh = TorchCv().eval()
     missing, unexpected = fresh.load_state_dict(_tensors(exported),
-                                                strict=True), None
+                                                strict=True)
+    assert not missing and not unexpected
     x = torch.from_numpy(np.random.default_rng(0).normal(
         size=(2, 3, 24, 24)).astype(np.float32))
     with torch.no_grad():
@@ -296,3 +297,24 @@ def test_multimodal_roundtrip():
             continue   # TransformerEmb dead weights export as defaults
         np.testing.assert_array_equal(
             fresh.state_dict()[k].numpy(), v.numpy(), err_msg=k)
+
+
+def test_bert_export_fused_qkv_layout(cfgs):
+    """fused_qkv=True param trees export to the same torch keys."""
+    import dataclasses
+
+    from multimodalsimilar_tpu.models.hf_import import bert_params_from_torch
+    from multimodalsimilar_tpu.models.reference_export import (
+        bert_params_to_torch)
+
+    cfg, hf = cfgs
+    torch.manual_seed(9)
+    sd = {k: v for k, v in BertModel(hf).state_dict().items()}
+    fused_cfg = dataclasses.replace(cfg, fused_qkv=True)
+    params = bert_params_from_torch(sd, fused_cfg)
+    back = bert_params_to_torch(params, fused_cfg)
+    for k, v in sd.items():
+        if "position_ids" in k:
+            continue
+        np.testing.assert_allclose(back[k], v.numpy(), rtol=0, atol=0,
+                                   err_msg=k)

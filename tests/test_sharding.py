@@ -185,33 +185,50 @@ def test_cli_multilabel_model_parallel(tmp_path):
     assert os.listdir(os.path.join(out, "ckpt"))
 
 
-def test_model_parallel_rejects_indivisible_heads():
-    """10205 % 2 != 0: silently replicating the very weights --model_parallel
-    targets (while shrinking the data axis) would be a pure slowdown — the
-    Trainer must fail loudly with guidance."""
-    import pytest
-
+def _mp_batch(mesh, lv1=8, lv2=16, tag=64):
     from multimodalsimilar_tpu.parallel.mesh import shard_batch
-
-    mesh = create_mesh(data=4, model=2)
-    trainer = _multilabel_trainer(mesh, True)
-    trainer.task = _multilabel_trainer(mesh, True).task
     rng = np.random.default_rng(0)
     B, S = 8, 8
-    batch = shard_batch(mesh, {
+    return shard_batch(mesh, {
         "input_ids": rng.integers(1, 128, size=(B, S)).astype(np.int32),
         "attention_mask": np.ones((B, S), np.int32),
         "lv1_label": np.zeros(B, np.int32),
         "lv2_label": np.zeros(B, np.int32),
         "tag_label": np.zeros(B, np.int32)})
-    # rebuild with an odd tag head (63 classes)
+
+
+def _mp_trainer(mesh, lv1, lv2, tag):
     from multimodalsimilar_tpu.models.bert import BertConfig
     from multimodalsimilar_tpu.models.classifiers import (
         NlpMultilabelClassifier)
     from multimodalsimilar_tpu.train.tasks import multilabel_arcface_task
     from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+    trainer = _multilabel_trainer(mesh, True)
     trainer.task = multilabel_arcface_task(NlpMultilabelClassifier(
-        BertConfig.tiny(), lv1_labels=8, lv2_labels=16, tag_labels=63,
+        BertConfig.tiny(), lv1_labels=lv1, lv2_labels=lv2, tag_labels=tag,
         policy=DTypePolicy.full_precision()))
+    return trainer
+
+
+def test_model_parallel_rejects_when_nothing_shards():
+    """All heads indivisible: replicating everything while shrinking the
+    data axis is a pure slowdown — fail loudly with guidance."""
+    import pytest
+
+    mesh = create_mesh(data=4, model=2)
+    trainer = _mp_trainer(mesh, lv1=7, lv2=9, tag=63)
     with pytest.raises(ValueError, match="cannot shard"):
-        trainer.init_state_from_device_batch(batch)
+        trainer.init_state_from_device_batch(_mp_batch(mesh))
+
+
+def test_model_parallel_heterogeneous_heads_shard_the_divisible_ones():
+    """Reference-realistic multilabel (tag wide and divisible, lv1 tiny and
+    odd): the wide head must shard, the odd one replicate — not raise."""
+    mesh = create_mesh(data=4, model=2)
+    trainer = _mp_trainer(mesh, lv1=7, lv2=16, tag=64)
+    state = trainer.init_state_from_device_batch(_mp_batch(mesh))
+    cs = NamedSharding(mesh, P(MODEL_AXIS, None))
+    assert state.params["tag_head"]["weight"].sharding.is_equivalent_to(
+        cs, ndim=2)
+    assert state.params["lv1_head"]["weight"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P()), ndim=2)
