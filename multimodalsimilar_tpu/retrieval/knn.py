@@ -144,10 +144,15 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     return vals[:q, :k_true], idx[:q, :k_true]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows"))
-def _knn_search(corpus: jnp.ndarray, queries: jnp.ndarray,
-                true_n: jnp.ndarray, k: int, metric: str, block_rows: int
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
+               index_base=0, fill_idx=None):
+    """Blockwise exact top-k core: scan corpus blocks, merge running top-k.
+    ``true_n`` (traced) masks padding; ``index_base`` offsets returned
+    indices (a device's shard position in the sharded search); ``fill_idx``
+    is the out-of-range index for empty slots (must be >= the GLOBAL corpus
+    size so downstream index filters drop it — a middle shard's local end
+    would collide with the next shard's real rows). The [Q, N] score matrix
+    never exists — only [Q, block_rows] per step."""
     n_pad, d = corpus.shape
     q = queries.shape[0]
     k = min(k, n_pad)
@@ -158,27 +163,37 @@ def _knn_search(corpus: jnp.ndarray, queries: jnp.ndarray,
     blocks = corpus.reshape(-1, block_rows, d)
 
     init_vals = jnp.full((q, k), -jnp.inf, jnp.float32)
-    init_idx = jnp.full((q, k), n_pad, jnp.int32)
+    init_idx = jnp.full(
+        (q, k), (index_base + n_pad) if fill_idx is None else fill_idx,
+        jnp.int32)
 
     def body(carry, inp):
         vals, idx = carry
         b, block = inp
         s = _scores(queries.astype(jnp.float32),
                     block.astype(jnp.float32), metric)
-        base = b * block_rows
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
+        local_col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+            + b * block_rows
         # true_n is traced: one compiled program serves every corpus
         # length within the same padded bucket
-        s = jnp.where(col < true_n, s, -jnp.inf)
+        s = jnp.where(local_col < true_n, s, -jnp.inf)
         bk = min(k, block_rows)
         bv, bi = jax.lax.top_k(s, bk)
-        bidx = jnp.take_along_axis(col, bi, -1)
+        bidx = jnp.take_along_axis(local_col + index_base, bi, -1)
         vals, idx = _merge_topk(vals, idx, bv, bidx, k)
         return (vals, idx), None
 
     (vals, idx), _ = jax.lax.scan(
         body, (init_vals, init_idx),
         (jnp.arange(blocks.shape[0]), blocks))
+    return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows"))
+def _knn_search(corpus: jnp.ndarray, queries: jnp.ndarray,
+                true_n: jnp.ndarray, k: int, metric: str, block_rows: int
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    vals, idx = _scan_topk(corpus, queries, true_n, k, metric, block_rows)
     if metric == "l2":
         vals = -vals
     return vals, idx
@@ -208,15 +223,15 @@ def sharded_knn_search(mesh: Mesh, corpus: jax.Array, queries: jax.Array,
     local_k = min(k, rows)
     k_out = min(k, limit, n_dev * local_k)
 
+    block_rows = min(_default_block_rows(queries.shape[0]), rows)
+
     def local(x_shard, q):
         i_dev = jax.lax.axis_index(DATA_AXIS)
-        s = _scores(q.astype(jnp.float32), x_shard.astype(jnp.float32),
-                    metric)
-        col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-               + i_dev * rows)
-        s = jnp.where(col < limit, s, -jnp.inf)   # mask padding rows
-        v, i = jax.lax.top_k(s, local_k)
-        gi = i + i_dev * rows
+        # blockwise within the shard: per-device memory is [Q, block_rows],
+        # never [Q, rows] (same bound as the single-chip scan)
+        v, gi = _scan_topk(x_shard, q, limit - i_dev * rows, local_k,
+                           metric, block_rows, index_base=i_dev * rows,
+                           fill_idx=n)
         v_all = jax.lax.all_gather(v, DATA_AXIS)    # [D, Q, local_k]
         i_all = jax.lax.all_gather(gi, DATA_AXIS)
         v_flat = jnp.moveaxis(v_all, 0, 1).reshape(q.shape[0],
