@@ -113,8 +113,12 @@ def test_vectorized_is_fast_at_scale():
     out = filter_neighbors(scores, indices, keys, cats, rules)
     dt = time.perf_counter() - t0
     assert len(out) == n
-    # steady state is ~0.5-1s on this 1-CPU box; generous bound for CI noise
-    assert dt < 20.0, f"filtering took {dt:.1f}s"
+    # steady state is ~0.5-1 s on this 1-CPU box, but the box is shared
+    # (wall-clock tests here have tripped on CPU contention at 20 s+) — the
+    # bound only needs to catch a return of the minutes-long per-candidate
+    # loop, not grade the constant factor
+    print(f"filter at 100k x 100: {dt:.1f}s")
+    assert dt < 120.0, f"filtering took {dt:.1f}s"
 
 
 def test_mixed_type_columns_with_nan_match_loop():
