@@ -203,7 +203,7 @@ def cmd_train_nlp(args):
     from multimodalsimilar_tpu.ops.arcface import ArcFaceParams
     from multimodalsimilar_tpu.train.tasks import text_arcface_task
 
-    df = read_table(args.data)
+    df = read_table(args.data, require=[args.text_col, args.label_col])
     tok = _tokenizer(args, save_dir=args.output)
     src = TextClassificationSource(df, tok, args.text_col, args.label_col,
                                    args.max_length)
@@ -232,7 +232,8 @@ def cmd_train_multilabel(args):
         NlpMultilabelClassifier)
     from multimodalsimilar_tpu.train.tasks import multilabel_arcface_task
 
-    df = read_table(args.data)
+    df = read_table(args.data, require=[args.text_col, args.lv1_col,
+                                        args.lv2_col, args.tag_col])
     tok = _tokenizer(args, save_dir=args.output)
     cols = [args.lv1_col, args.lv2_col, args.tag_col]
     src = TextClassificationSource(df, tok, args.text_col, cols,
@@ -271,7 +272,7 @@ def cmd_train_cv(args):
     from multimodalsimilar_tpu.ops.arcface import ArcFaceParams
     from multimodalsimilar_tpu.train.tasks import cv_arcface_task
 
-    df = read_table(args.data)
+    df = read_table(args.data, require=[args.key_col, args.label_col])
     src = ImageClassificationSource(df, args.img_root, args.key_col,
                                     args.label_col, args.image_size,
                                     train_aug=True)
@@ -1028,14 +1029,17 @@ def main(argv=None):
     args = parser.parse_args(argv)
     _apply_yaml_config(args, argv)
     profile = getattr(args, "profile", None)
-    if profile and not args.fn.__name__.startswith("cmd_train"):
-        # train commands trace a steady-state step window themselves
-        # (TrainerConfig.profile_dir); serving jobs trace the whole job
-        from multimodalsimilar_tpu.utils.profiling import trace
-        with trace(profile):
+    try:
+        if profile and not args.fn.__name__.startswith("cmd_train"):
+            # train commands trace a steady-state step window themselves
+            # (TrainerConfig.profile_dir); serving jobs trace the whole job
+            from multimodalsimilar_tpu.utils.profiling import trace
+            with trace(profile):
+                args.fn(args)
+        else:
             args.fn(args)
-    else:
-        args.fn(args)
+    except FileNotFoundError as e:
+        raise SystemExit(f"error: {e}")
 
 
 if __name__ == "__main__":

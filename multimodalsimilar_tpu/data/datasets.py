@@ -32,11 +32,23 @@ from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
 Batch = Dict[str, np.ndarray]
 
 
-def read_table(path: str) -> pd.DataFrame:
-    """CSV or parquet by extension (the reference's two input formats)."""
-    if path.endswith(".parquet"):
-        return pd.read_parquet(path)
-    return pd.read_csv(path)
+def read_table(path: str, require: Sequence[str] = ()) -> pd.DataFrame:
+    """CSV or parquet by extension (the reference's two input formats).
+
+    ``require`` lists columns the caller needs — missing ones produce one
+    clear error naming the file and its actual columns instead of a pandas
+    KeyError deep in a job."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"input table not found: {path}")
+    df = (pd.read_parquet(path) if path.endswith(".parquet")
+          else pd.read_csv(path))
+    missing = [c for c in require if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{path}: missing column(s) {missing}; found "
+            f"{list(df.columns)} — set --text_col/--label_col/--key_col "
+            f"to match your table")
+    return df
 
 
 def _epoch_order(n: int, shuffle: bool, seed: int, epoch: int,
