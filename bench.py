@@ -122,6 +122,8 @@ def bench_image(batch=128, size=380, iters=5, baseline_iters=6):
 
 
 def main():
+    from multimodalsimilar_tpu.cli import _enable_compile_cache
+    _enable_compile_cache()   # startup only; measured loops are post-warmup
     text_eps, text_base = bench_text()
     img_eps, img_base = bench_image()
     value = float(np.sqrt(text_eps * img_eps))
