@@ -51,18 +51,20 @@ def _mesh(args=None):
     return create_mesh(model=mp)
 
 
-def _tokenizer(args, save_dir=None):
+def _tokenizer(args, save_dir=None, df=None):
     """--tokenizer: HF name/dir, or a vocab.txt from a previous train run.
     Without it, a char vocab is derived from the data — and persisted to
     {output}/vocab.txt at train time so embed/eval/similar jobs reuse the
-    SAME token ids (pass --tokenizer {output}/vocab.txt there)."""
+    SAME token ids (pass --tokenizer {output}/vocab.txt there). Pass the
+    already-loaded ``df`` to avoid re-reading a multi-GB table."""
     from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
     if args.tokenizer:
         if args.tokenizer.endswith("vocab.txt"):
             return TextTokenizer.from_vocab_file(args.tokenizer)
         return TextTokenizer.from_hf(args.tokenizer)
-    from multimodalsimilar_tpu.data.datasets import read_table
-    df = read_table(args.data)
+    if df is None:
+        from multimodalsimilar_tpu.data.datasets import read_table
+        df = read_table(args.data)
     save_path = None
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
@@ -204,7 +206,7 @@ def cmd_train_nlp(args):
     from multimodalsimilar_tpu.train.tasks import text_arcface_task
 
     df = read_table(args.data, require=[args.text_col, args.label_col])
-    tok = _tokenizer(args, save_dir=args.output)
+    tok = _tokenizer(args, save_dir=args.output, df=df)
     src = TextClassificationSource(df, tok, args.text_col, args.label_col,
                                    args.max_length)
     num_labels = int(df[args.label_col].max()) + 1
@@ -234,7 +236,7 @@ def cmd_train_multilabel(args):
 
     df = read_table(args.data, require=[args.text_col, args.lv1_col,
                                         args.lv2_col, args.tag_col])
-    tok = _tokenizer(args, save_dir=args.output)
+    tok = _tokenizer(args, save_dir=args.output, df=df)
     cols = [args.lv1_col, args.lv2_col, args.tag_col]
     src = TextClassificationSource(df, tok, args.text_col, cols,
                                    args.max_length)
@@ -1032,10 +1034,13 @@ def _enable_compile_cache():
     cache = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.cache/multimodalsimilar_tpu/jax"))
-    if cache == "0":
-        return
     try:
         import jax
+        if cache == "0":
+            # jax itself reads the env var as the config default, so
+            # disabling must overwrite the config, not just skip setup
+            jax.config.update("jax_compilation_cache_dir", None)
+            return
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception as e:                      # never block a job on this
@@ -1049,6 +1054,7 @@ def main(argv=None):
     _apply_yaml_config(args, argv)
     _enable_compile_cache()
     profile = getattr(args, "profile", None)
+    from multimodalsimilar_tpu.data.datasets import InputError
     try:
         if profile and not args.fn.__name__.startswith("cmd_train"):
             # train commands trace a steady-state step window themselves
@@ -1058,7 +1064,9 @@ def main(argv=None):
                 args.fn(args)
         else:
             args.fn(args)
-    except FileNotFoundError as e:
+    except InputError as e:
+        # narrow on purpose: only bad-input errors collapse to one line —
+        # anything else keeps its traceback for debugging
         raise SystemExit(f"error: {e}")
 
 

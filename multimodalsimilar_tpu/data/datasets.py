@@ -32,22 +32,28 @@ from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
 Batch = Dict[str, np.ndarray]
 
 
+class InputError(ValueError):
+    """Bad job input (missing table / missing columns). The CLI renders
+    these as a one-line error; anything else keeps its full traceback."""
+
+
 def read_table(path: str, require: Sequence[str] = ()) -> pd.DataFrame:
     """CSV or parquet by extension (the reference's two input formats).
 
     ``require`` lists columns the caller needs — missing ones produce one
     clear error naming the file and its actual columns instead of a pandas
-    KeyError deep in a job."""
-    if not os.path.exists(path):
-        raise FileNotFoundError(f"input table not found: {path}")
+    KeyError deep in a job. URL-style paths (s3://, https://) pass straight
+    to pandas (the warehouse-extract ingestion seam)."""
+    if "://" not in path and not os.path.exists(path):
+        raise InputError(f"input table not found: {path}")
     df = (pd.read_parquet(path) if path.endswith(".parquet")
           else pd.read_csv(path))
     missing = [c for c in require if c not in df.columns]
     if missing:
-        raise ValueError(
+        raise InputError(
             f"{path}: missing column(s) {missing}; found "
-            f"{list(df.columns)} — set --text_col/--label_col/--key_col "
-            f"to match your table")
+            f"{list(df.columns)} — point the matching --*_col flags at "
+            f"your table's column names")
     return df
 
 

@@ -153,10 +153,15 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
     size so downstream index filters drop it — a middle shard's local end
     would collide with the next shard's real rows). The [Q, N] score matrix
     never exists — only [Q, block_rows] per step."""
-    n_pad, d = corpus.shape
+    n_rows, d = corpus.shape
     q = queries.shape[0]
-    k = min(k, n_pad)
-    pad = (-n_pad) % block_rows
+    k = min(k, n_rows)
+    # clamp to this corpus's physical rows: a middle shard's remaining-valid
+    # count (limit - shard_start) exceeds its own length, and without the
+    # clamp the block padding added below would go unmasked — zero rows
+    # aliasing the NEXT shard's indices as fake score-0 neighbors
+    true_n = jnp.minimum(true_n, n_rows)
+    pad = (-n_rows) % block_rows
     if pad:
         corpus = jnp.concatenate(
             [corpus, jnp.zeros((pad, d), corpus.dtype)], axis=0)
@@ -164,7 +169,7 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
 
     init_vals = jnp.full((q, k), -jnp.inf, jnp.float32)
     init_idx = jnp.full(
-        (q, k), (index_base + n_pad) if fill_idx is None else fill_idx,
+        (q, k), (index_base + n_rows) if fill_idx is None else fill_idx,
         jnp.int32)
 
     def body(carry, inp):
@@ -201,7 +206,8 @@ def _knn_search(corpus: jnp.ndarray, queries: jnp.ndarray,
 
 def sharded_knn_search(mesh: Mesh, corpus: jax.Array, queries: jax.Array,
                        k: int, metric: str = "ip",
-                       true_n: Optional[int] = None
+                       true_n: Optional[int] = None,
+                       block_rows_hint: Optional[int] = None
                        ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k with the corpus row-sharded over the ``data`` axis.
 
@@ -223,7 +229,8 @@ def sharded_knn_search(mesh: Mesh, corpus: jax.Array, queries: jax.Array,
     local_k = min(k, rows)
     k_out = min(k, limit, n_dev * local_k)
 
-    block_rows = min(_default_block_rows(queries.shape[0]), rows)
+    block_rows = min(block_rows_hint or
+                     _default_block_rows(queries.shape[0]), rows)
 
     def local(x_shard, q):
         i_dev = jax.lax.axis_index(DATA_AXIS)

@@ -178,3 +178,26 @@ def test_engine_query_chunking_matches_unchunked(monkeypatch):
     chunked = eng.search(k=5)
     np.testing.assert_array_equal(full[1], chunked[1])
     np.testing.assert_allclose(full[0], chunked[0], rtol=1e-6)
+
+
+def test_sharded_knn_block_padding_not_aliased_as_neighbors():
+    """Regression (round-2 review): a shard whose row count is not a
+    multiple of block_rows pads internally with zero rows; those rows'
+    global indices coincide with the NEXT shard's real rows and — with
+    all-negative scores — a zero score would win. They must be masked."""
+    import jax.numpy as jnp
+
+    from multimodalsimilar_tpu.retrieval.knn import sharded_knn_search
+
+    mesh = create_mesh(data=8, model=1)
+    rng = np.random.default_rng(11)
+    # every true inner product strictly negative; zero pad rows score 0
+    # and would win every query if unmasked
+    corpus = -np.abs(rng.normal(size=(48, 8))).astype(np.float32) - 0.1
+    queries = np.abs(rng.normal(size=(5, 8))).astype(np.float32) + 0.1
+    want_v, want_i = _brute(corpus, queries, 4, "ip")
+    got_v, got_i = sharded_knn_search(
+        mesh, jnp.asarray(corpus), jnp.asarray(queries), 4, "ip",
+        true_n=48, block_rows_hint=4)
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_v), want_v, rtol=1e-5)
