@@ -92,6 +92,26 @@ def bert_params_from_torch(state_dict: Mapping[str, "np.ndarray"],
     return params
 
 
+def _interpolate_vit_pos_embed(pos: np.ndarray, target_tokens: int
+                               ) -> np.ndarray:
+    """Resize a ViT pos_embed [1, 1+N, D] to a new grid (timm's bicubic
+    interpolation for fine-tuning at a different resolution; the CLS
+    position is kept as-is)."""
+    n = pos.shape[1] - 1
+    if n + 1 == target_tokens:
+        return pos
+    import jax
+    import jax.numpy as jnp
+    g_old = int(round(n ** 0.5))
+    g_new = int(round((target_tokens - 1) ** 0.5))
+    grid = pos[0, 1:].reshape(g_old, g_old, -1)
+    resized = jax.image.resize(jnp.asarray(grid),
+                               (g_new, g_new, grid.shape[-1]), "bicubic")
+    return np.concatenate(
+        [pos[:, :1],
+         np.asarray(resized).reshape(1, g_new * g_new, -1)], axis=1)
+
+
 def vit_params_from_timm(state_dict: Mapping[str, "np.ndarray"],
                          config) -> Dict:
     """timm vit_*_patch16 state_dict -> params for ``models.vit.ViT``.
@@ -99,11 +119,16 @@ def vit_params_from_timm(state_dict: Mapping[str, "np.ndarray"],
     Layouts: patch conv OIHW -> HWIO; packed qkv [3D, D] -> DenseGeneral
     [D, 3, heads, head_dim]; attn.proj [D, D] -> [heads, head_dim, D].
     The classifier head (stripped by reset_classifier(0)) is ignored.
+    If ``config.resolution`` differs from the checkpoint's grid, the
+    position embedding is bicubic-interpolated (timm's fine-tune recipe).
     """
     sd = {k: _np(v) for k, v in state_dict.items()}
     D = config.hidden_size
     nh = config.num_heads
     hd = D // nh
+    target_tokens = (config.resolution // config.patch_size) ** 2 + 1
+    sd["pos_embed"] = _interpolate_vit_pos_embed(sd["pos_embed"],
+                                                 target_tokens)
 
     def lin(prefix):
         return {"kernel": sd[f"{prefix}.weight"].T,

@@ -153,3 +153,32 @@ def test_cli_train_cv_vit_backbone(tmp_path):
           "--image_size", "32", "--fc_dim", "8", "--batch_size", "4",
           "--epochs", "1", "--eval_every", "1000000", "--save_every", "2"])
     assert os.listdir(os.path.join(out, "ckpt"))
+
+
+def test_vit_import_interpolates_pos_embed_to_new_resolution():
+    """Imported 32px-checkpoint weights serve a 48px model: the position
+    embedding grid is bicubic-interpolated (timm's fine-tune recipe); the
+    same-resolution path is byte-identical."""
+    import dataclasses
+
+    cfg32 = ViTConfig.variant("vit_test")              # 32px, patch 8 -> 4x4
+    torch.manual_seed(4)
+    ref = TorchViT(cfg32).eval()
+    sd = ref.state_dict()
+    # same resolution: untouched
+    p_same = vit_params_from_timm(sd, cfg32)
+    np.testing.assert_array_equal(p_same["pos_embed"],
+                                  sd["pos_embed"].numpy())
+    # new resolution: grid 4x4 -> 6x6, CLS slot preserved
+    cfg48 = dataclasses.replace(cfg32, resolution=48)
+    p_new = vit_params_from_timm(sd, cfg48)
+    assert p_new["pos_embed"].shape == (1, 37, cfg32.hidden_size)
+    np.testing.assert_array_equal(p_new["pos_embed"][:, 0],
+                                  sd["pos_embed"].numpy()[:, 0])
+    # the upscaled model runs end-to-end on 48px inputs
+    model = ViT(cfg48, policy=FP32)
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 48, 48, 3)).astype(np.float32))
+    out = model.apply({"params": p_new}, x, method=model.features)
+    assert out.shape == (2, cfg32.hidden_size)
+    assert np.isfinite(np.asarray(out)).all()
