@@ -713,12 +713,20 @@ def cmd_import_checkpoint(args):
     elif args.kind == "siamese":
         params = ri.siamese_from_reference(sd, bert_cfg)
         stats = {}
-    elif args.kind == "cv":
-        params, stats = ri.cv_classifier_from_reference(
-            sd, EfficientNetConfig.variant(args.backbone))
-    elif args.kind == "multimodal":
-        params, stats = ri.multimodal_from_reference(
-            sd, bert_cfg, EfficientNetConfig.variant(args.backbone))
+    elif args.kind in ("cv", "multimodal"):
+        if not args.backbone.startswith("efficientnet"):
+            raise SystemExit(
+                "import-checkpoint: reference cv/multimodal checkpoints are "
+                "timm EfficientNets (cv_classifier_train_daodian.py:190) — "
+                "pass an efficientnet_* backbone. ViT/ConvNeXt towers train "
+                "from scratch or import timm weights via "
+                "hf_import.{vit,convnext}_params_from_timm.")
+        if args.kind == "cv":
+            params, stats = ri.cv_classifier_from_reference(
+                sd, EfficientNetConfig.variant(args.backbone))
+        else:
+            params, stats = ri.multimodal_from_reference(
+                sd, bert_cfg, EfficientNetConfig.variant(args.backbone))
     else:
         raise SystemExit(f"unknown kind {args.kind}")
     ckpt = CheckpointManager(args.out)
@@ -737,9 +745,10 @@ def cmd_export_checkpoint(args):
     from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
     from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
 
-    if args.kind in ("cv", "multimodal") and args.backbone.startswith("vit"):
+    if (args.kind in ("cv", "multimodal")
+            and not args.backbone.startswith("efficientnet")):
         raise SystemExit(
-            "export-checkpoint: ViT backbones have no reference "
+            "export-checkpoint: ViT/ConvNeXt backbones have no reference "
             "equivalent (the reference CvClassifier requires a timm CNN "
             "with a .classifier head, cv_classifier.py:24) — only "
             "efficientnet_* checkpoints export.")

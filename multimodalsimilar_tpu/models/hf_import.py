@@ -164,6 +164,63 @@ def vit_params_from_timm(state_dict: Mapping[str, "np.ndarray"],
     return params
 
 
+def convnext_params_from_timm(state_dict: Mapping[str, "np.ndarray"],
+                              config) -> Dict:
+    """timm convnext_* state_dict -> params for ``models.convnext.ConvNeXt``.
+
+    Layouts: conv kernels OIHW -> HWIO (depthwise [C,1,7,7] -> [7,7,1,C]);
+    Linear [out, in] -> [in, out]; LayerNorm weight -> scale. Accepts both
+    timm's block naming (conv_dw / norm / mlp.fc1 / mlp.fc2 / gamma) and the
+    original FB repo's (dwconv / norm / pwconv1 / pwconv2 / gamma,
+    downsample_layers.{i}); the stripped classifier (head.fc) is ignored.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def get(*names):
+        for n in names:
+            if n in sd:
+                return sd[n]
+        raise KeyError(names[0])
+
+    def conv(*prefixes, depthwise=False):
+        w = get(*(f"{p}.weight" for p in prefixes))
+        return {"kernel": w.transpose(2, 3, 1, 0),
+                "bias": get(*(f"{p}.bias" for p in prefixes))}
+
+    def lin(*prefixes):
+        return {"kernel": get(*(f"{p}.weight" for p in prefixes)).T,
+                "bias": get(*(f"{p}.bias" for p in prefixes))}
+
+    def ln(*prefixes):
+        return {"scale": get(*(f"{p}.weight" for p in prefixes)),
+                "bias": get(*(f"{p}.bias" for p in prefixes))}
+
+    params: Dict = {
+        "stem_conv": conv("stem.0", "downsample_layers.0.0"),
+        "stem_norm": ln("stem.1", "downsample_layers.0.1"),
+        "head_norm": ln("head.norm", "norm"),
+    }
+    for s, depth in enumerate(config.depths):
+        if s > 0:
+            params[f"downsample_norm_{s}"] = ln(
+                f"stages.{s}.downsample.0", f"downsample_layers.{s}.0")
+            params[f"downsample_conv_{s}"] = conv(
+                f"stages.{s}.downsample.1", f"downsample_layers.{s}.1")
+        for b in range(depth):
+            t, t_fb = f"stages.{s}.blocks.{b}", f"stages.{s}.{b}"
+            block = {
+                "conv_dw": conv(f"{t}.conv_dw", f"{t_fb}.dwconv",
+                                depthwise=True),
+                "norm": ln(f"{t}.norm", f"{t_fb}.norm"),
+                "fc1": lin(f"{t}.mlp.fc1", f"{t_fb}.pwconv1"),
+                "fc2": lin(f"{t}.mlp.fc2", f"{t_fb}.pwconv2"),
+            }
+            if config.ls_init:
+                block["gamma"] = get(f"{t}.gamma", f"{t_fb}.gamma")
+            params[f"stage_{s}_block_{b}"] = block
+    return params
+
+
 def efficientnet_params_from_timm(state_dict: Mapping[str, "np.ndarray"],
                                   config: EfficientNetConfig):
     """timm EfficientNet state_dict -> (params, batch_stats) for

@@ -35,7 +35,8 @@ class MultimodalClassifier(nn.Module):
     """norm(cv_emb) ++ norm(text_emb) -> ArcFace(m=0.5)."""
 
     text_config: BertConfig
-    # EfficientNetConfig or ViTConfig — CvImageClassifier dispatches by type
+    # EfficientNetConfig / ViTConfig / ConvNeXtConfig — CvImageClassifier
+    # dispatches by type
     image_config: Any
     num_labels: int
     text_num_labels: int = 2       # sub-tower heads exist (loaded from

@@ -16,6 +16,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from multimodalsimilar_tpu.models.convnext import ConvNeXt, ConvNeXtConfig
 from multimodalsimilar_tpu.models.efficientnet import (
     EfficientNet, EfficientNetConfig)
 from multimodalsimilar_tpu.models.heads import ArcFaceHead
@@ -27,16 +28,21 @@ from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
 def backbone_config(name: str, **kw):
     """Name-string backbone API (cv_classifier.py:23's timm.create_model
     equivalent): efficientnet_b0..b7 / tiny -> EfficientNetConfig;
-    vit_{tiny,small,base} / vit_test -> ViTConfig (the MXU-friendly
-    alternative tower)."""
+    vit_{tiny,small,base} / vit_test -> ViTConfig (MXU-friendly at 224px);
+    convnext_{tiny,small,base} / convnext_test -> ConvNeXtConfig
+    (MXU-friendly at CNN-native 384/512px — linear in pixels)."""
     if name.startswith("vit"):
         return ViTConfig.variant(name, **kw)
+    if name.startswith("convnext"):
+        return ConvNeXtConfig.variant(name, **kw)
     return EfficientNetConfig.variant(name, **kw)
 
 
 def build_backbone(cfg, policy: DTypePolicy, name: str = "backbone"):
     if isinstance(cfg, ViTConfig):
         return ViT(cfg, policy, name=name)
+    if isinstance(cfg, ConvNeXtConfig):
+        return ConvNeXt(cfg, policy, name=name)
     return EfficientNet(cfg, policy, name=name)
 
 
