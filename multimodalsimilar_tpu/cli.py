@@ -277,7 +277,9 @@ def cmd_train_cv(args):
     df = read_table(args.data, require=[args.key_col, args.label_col])
     src = ImageClassificationSource(df, args.img_root, args.key_col,
                                     args.label_col, args.image_size,
-                                    train_aug=True)
+                                    train_aug=True,
+                                    decode_cache=args.decode_cache,
+                                    emit="uint8")
     model = CvImageClassifier(
         backbone_config(args.backbone),
         num_labels=int(df[args.label_col].max()) + 1,
@@ -289,7 +291,8 @@ def cmd_train_cv(args):
     if args.eval_data:
         eval_src = ImageClassificationSource(
             read_table(args.eval_data), args.img_root, args.key_col,
-            args.label_col, args.image_size)
+            args.label_col, args.image_size,
+            decode_cache=args.decode_cache, emit="uint8")
     trainer.fit(src, args.epochs, args.batch_size, eval_src,
                 sampler_fn=_sampler_fn(args, df, args.label_col),
                 resume=args.resume)
@@ -332,7 +335,8 @@ def cmd_train_multimodal(args):
            else TextTokenizer.from_corpus(df[args.text_col].astype(str)))
     src = MultimodalSource(df, tok, args.img_root, args.text_col,
                            args.key_col, args.label_col, args.max_length,
-                           args.image_size, train_aug=True)
+                           args.image_size, train_aug=True,
+                           decode_cache=args.decode_cache, emit="uint8")
     model = MultimodalClassifier(
         _bert_config(args.bert_preset, remat=args.remat),
         backbone_config(args.backbone),
@@ -820,6 +824,9 @@ def build_parser() -> argparse.ArgumentParser:
     t_cv.add_argument("--image_size", type=int, default=512)
     t_cv.add_argument("--fc_dim", type=int, default=512)
     t_cv.add_argument("--backbone", default="efficientnet_b4")
+    t_cv.add_argument("--decode_cache", default=None,
+                      help="directory for a resized-uint8 decode cache "
+                           "(multi-epoch runs decode each image once)")
     t_cv.set_defaults(fn=cmd_train_cv, margin=0.2,
                       margin_delta_per_epoch=0.04,
                       label_col="tag_new_id")  # cv_dataset.py label column
@@ -835,6 +842,8 @@ def build_parser() -> argparse.ArgumentParser:
     t_mm.add_argument("--image_size", type=int, default=380)
     t_mm.add_argument("--fc_dim", type=int, default=512)
     t_mm.add_argument("--backbone", default="efficientnet_b4")
+    t_mm.add_argument("--decode_cache", default=None,
+                      help="directory for a resized-uint8 decode cache")
     t_mm.set_defaults(fn=cmd_train_multimodal, batch_size=48, margin=0.5)
 
     t_ft = train.add_parser("fasttext", allow_abbrev=False)

@@ -138,13 +138,25 @@ class ImageClassificationSource:
                  key_col: str = "goods_sku", label_col: str = "tag_new_id",
                  image_size: int = 512, train_aug: bool = False,
                  path_fn: Optional[Callable[[pd.Series], str]] = None,
-                 num_workers: int = 8):
+                 num_workers: int = 8,
+                 decode_cache: Optional[str] = None,
+                 emit: str = "float32"):
+        """decode_cache: directory for a DecodedCache (decode each image once
+        across the reference's 100-epoch runs). emit: 'float32' (normalized
+        on host, the safe library default) or 'uint8' (normalize on device
+        via models.vision.device_normalize — what the CLI train/embed paths
+        use: 4x smaller transfers, less host work)."""
         self.df = df.reset_index(drop=True)
         self.img_root = img_root
         self.key_col, self.label_col = key_col, label_col
         self.image_size = image_size
         self.train_aug = train_aug
         self.num_workers = num_workers
+        if emit not in ("float32", "uint8"):
+            raise ValueError(f"emit must be float32|uint8, got {emit}")
+        self.emit = emit
+        self.cache = (I.DecodedCache(decode_cache, image_size)
+                      if decode_cache else None)
         self.path_fn = path_fn or (
             lambda row: os.path.join(img_root, f"{row[key_col]}.jpg"))
 
@@ -154,9 +166,12 @@ class ImageClassificationSource:
     def _load(self, i: int, rng: np.random.Generator
               ) -> Optional[np.ndarray]:
         path = self.path_fn(self.df.iloc[i])
+        host_norm = self.emit == "float32"
         if self.train_aug:
-            return I.load_train(path, self.image_size, rng)
-        return I.load_eval(path, self.image_size)
+            return I.load_train(path, self.image_size, rng, cache=self.cache,
+                                normalize_host=host_norm)
+        return I.load_eval(path, self.image_size, cache=self.cache,
+                           normalize_host=host_norm)
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
                 epoch: int = 0, sampler: Optional[WeightedSampler] = None,
@@ -199,11 +214,14 @@ class MultimodalSource:
                  img_root: str, text_col: str = "spu_name",
                  key_col: str = "spu_sn", label_col: str = "cateid",
                  max_length: int = 128, image_size: int = 380,
-                 train_aug: bool = False):
+                 train_aug: bool = False,
+                 decode_cache: Optional[str] = None,
+                 emit: str = "float32"):
         self.text = TextClassificationSource(df, tokenizer, text_col,
                                              label_col, max_length)
         self.image = ImageClassificationSource(
-            df, img_root, key_col, label_col, image_size, train_aug)
+            df, img_root, key_col, label_col, image_size, train_aug,
+            decode_cache=decode_cache, emit=emit)
         self.df = self.text.df
 
     def __len__(self):

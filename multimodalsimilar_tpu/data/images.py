@@ -9,11 +9,31 @@ daodian_infer.py:107-129 and cv_classifier_train_daodian.py:66-88):
 
 Output is float32 NHWC (TPU conv layout) — no ToTensorV2/NCHW transpose.
 Decoding reads BGR via cv2 and converts to RGB exactly like cv_dataset.py:34-35.
+
+Keeping the TPU fed is a host problem (the accelerator does 150-2400 img/s;
+a single host core decodes ~60-80/s at 512px), so three host optimizations
+live here:
+
+* **reduced-scale JPEG decode** — when the target size allows it, decode at
+  1/2 / 1/4 / 1/8 scale straight from the DCT domain
+  (cv2.IMREAD_REDUCED_COLOR_*), chosen from a header-only dimension probe.
+  This replaces part of the bilinear resize with an exact DCT low-pass (a
+  resize-algorithm change, not a semantics change; pass min_size=None for
+  bit-exact full decodes).
+* **DecodedCache** — disk-backed uint8 resized-image store so multi-epoch
+  training (the reference trains 100 epochs, cv_classifier_train_daodian.py:50)
+  decodes each image once; augmentation stays per-epoch downstream.
+* **uint8 emission** (normalize_host=False) — ship [B,H,W,3] uint8 to the
+  device (4x smaller transfers) and normalize inside the jitted program
+  (models.vision.device_normalize, bit-identical f32 math).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import struct
+import threading
 from typing import Optional
 
 import numpy as np
@@ -22,14 +42,67 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def decode_image(path: str) -> Optional[np.ndarray]:
+def image_dims(path: str) -> Optional[tuple]:
+    """(height, width) from the file header alone (JPEG SOF / PNG IHDR);
+    None when the format is unknown or the header is malformed."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(32)
+            if head[:8] == b"\x89PNG\r\n\x1a\n":         # PNG: IHDR is fixed
+                w, h = struct.unpack(">II", head[16:24])
+                return (h, w)
+            if head[:2] == b"\xff\xd8":                   # JPEG: scan for SOF
+                f.seek(2)
+                while True:
+                    marker = f.read(2)
+                    if len(marker) < 2 or marker[0] != 0xFF:
+                        return None
+                    code = marker[1]
+                    if code in (0xD8, 0x01) or 0xD0 <= code <= 0xD7:
+                        continue                          # no length field
+                    ln = struct.unpack(">H", f.read(2))[0]
+                    # SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC)
+                    if 0xC0 <= code <= 0xCF and code not in (0xC4, 0xC8,
+                                                             0xCC):
+                        body = f.read(5)
+                        h, w = struct.unpack(">HH", body[1:5])
+                        return (h, w)
+                    f.seek(ln - 2, os.SEEK_CUR)
+    except Exception:
+        return None
+    return None
+
+
+def decode_image(path: str, min_size: Optional[int] = None
+                 ) -> Optional[np.ndarray]:
     """Read an image file to RGB uint8 HWC; None on any failure (the
-    reference's per-row try/except skip semantics, cv_dataset.py:33-41)."""
+    reference's per-row try/except skip semantics, cv_dataset.py:33-41).
+
+    With ``min_size``, JPEGs big enough are decoded at reduced scale (the
+    largest 1/2^k whose short side still covers min_size) — 2-4x faster on
+    large product photos headed for a small model input.
+    """
     try:
         import cv2
-        img = cv2.imread(path)
+        flags = cv2.IMREAD_COLOR
+        if min_size:
+            dims = image_dims(path)
+            if dims:
+                short = min(dims)
+                for factor, flag in ((8, cv2.IMREAD_REDUCED_COLOR_8),
+                                     (4, cv2.IMREAD_REDUCED_COLOR_4),
+                                     (2, cv2.IMREAD_REDUCED_COLOR_2)):
+                    if short // factor >= min_size:
+                        flags = flag
+                        break
+        img = cv2.imread(path, flags)
         if img is None:
             return None
+        if (min_size and flags != cv2.IMREAD_COLOR
+                and min(img.shape[:2]) < min_size):
+            img = cv2.imread(path)                       # probe lied; redo
+            if img is None:
+                return None
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     except Exception:
         return None
@@ -37,6 +110,8 @@ def decode_image(path: str) -> Optional[np.ndarray]:
 
 def resize(img: np.ndarray, size: int) -> np.ndarray:
     import cv2
+    if img.shape[0] == size and img.shape[1] == size:
+        return img
     return cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
 
 
@@ -47,11 +122,12 @@ def normalize(img: np.ndarray) -> np.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def augment_train(img: np.ndarray, rng: np.random.Generator,
-                  size: int) -> np.ndarray:
-    """Train-time augmentation, mirroring the reference's recipe."""
+def augment_resized(img: np.ndarray, rng: np.random.Generator
+                    ) -> np.ndarray:
+    """The uint8 augmentation chain on an already-resized image:
+    HFlip/VFlip/Rotate/RandomBrightness (reference recipe order)."""
     import cv2
-    img = resize(img, size)
+    size = img.shape[0]
     if rng.uniform() < 0.5:
         img = img[:, ::-1]
     if rng.uniform() < 0.5:
@@ -59,26 +135,123 @@ def augment_train(img: np.ndarray, rng: np.random.Generator,
     if rng.uniform() < 0.75:
         angle = rng.uniform(-120, 120)
         mat = cv2.getRotationMatrix2D((size / 2, size / 2), angle, 1.0)
-        img = cv2.warpAffine(img, mat, (size, size),
+        img = cv2.warpAffine(np.ascontiguousarray(img), mat, (size, size),
                              borderMode=cv2.BORDER_REFLECT_101)
     if rng.uniform() < 0.5:
         # albumentations RandomBrightness(limit=(0.09, 0.6)): scale by 1+beta
         beta = rng.uniform(0.09, 0.6)
         img = np.clip(img.astype(np.float32) * (1.0 + beta), 0, 255
                       ).astype(np.uint8)
-    return normalize(np.ascontiguousarray(img))
+    return np.ascontiguousarray(img)
 
 
-def load_eval(path: str, size: int) -> Optional[np.ndarray]:
-    img = decode_image(path)
+def augment_train(img: np.ndarray, rng: np.random.Generator,
+                  size: int) -> np.ndarray:
+    """Train-time augmentation, mirroring the reference's recipe."""
+    return normalize(augment_resized(resize(img, size), rng))
+
+
+class DecodedCache:
+    """Disk-backed store of resized uint8 images, one fixed-size record per
+    key (the decode-once equivalent of the reference's per-SKU emb.txt cache
+    idea, daodian_infer.py:259-285, applied one stage earlier).
+
+    Thread-safe: concurrent gets use os.pread; puts serialize on a lock.
+    The record size is pinned in meta.json — reusing a directory with a
+    different image size raises instead of silently corrupting.
+    """
+
+    def __init__(self, directory: str, size: int):
+        os.makedirs(directory, exist_ok=True)
+        self.size = size
+        self.record = size * size * 3
+        meta_path = os.path.join(directory, "meta.json")
+        if os.path.exists(meta_path):
+            meta = json.load(open(meta_path))
+            if meta["size"] != size:
+                raise ValueError(
+                    f"DecodedCache at {directory} holds {meta['size']}px "
+                    f"images, requested {size}px — use a separate directory")
+        else:
+            json.dump({"size": size, "format": "rgb-uint8"},
+                      open(meta_path, "w"))
+        self._keys_path = os.path.join(directory, "keys.txt")
+        self._data_path = os.path.join(directory, "data.bin")
+        # keys.txt lines are "key\tslot": the slot is derived from data.bin's
+        # size at append time, so several cache instances on one directory
+        # (train + eval sources) stay consistent; duplicate puts waste a
+        # record but the index maps each key to one valid slot.
+        self._index = {}
+        if os.path.exists(self._keys_path):
+            with open(self._keys_path) as f:
+                for line in f:
+                    key, _, slot = line.rstrip("\n").rpartition("\t")
+                    if key:
+                        self._index[key] = int(slot)
+        self._lock = threading.Lock()
+        self._read_fd = os.open(self._data_path,
+                                os.O_RDONLY | os.O_CREAT, 0o644)
+
+    def __len__(self):
+        return len(self._index)
+
+    def get(self, key: str) -> Optional[np.ndarray]:
+        slot = self._index.get(key)
+        if slot is None:
+            return None
+        buf = os.pread(self._read_fd, self.record, slot * self.record)
+        if len(buf) != self.record:
+            return None                      # torn write from a crash
+        return np.frombuffer(buf, np.uint8).reshape(self.size, self.size, 3)
+
+    def put(self, key: str, img: np.ndarray) -> None:
+        if img.shape != (self.size, self.size, 3) or img.dtype != np.uint8:
+            raise ValueError(f"expected {self.size}px rgb-uint8, "
+                             f"got {img.shape} {img.dtype}")
+        if "\t" in key or "\n" in key:
+            raise ValueError(f"cache key may not contain tab/newline: {key!r}")
+        with self._lock:
+            if key in self._index:
+                return
+            with open(self._data_path, "ab") as d:
+                slot = d.tell() // self.record
+                d.write(np.ascontiguousarray(img).tobytes())
+            with open(self._keys_path, "a") as k:
+                k.write(f"{key}\t{slot}\n")
+            self._index[key] = slot
+
+    def close(self):
+        os.close(self._read_fd)
+
+
+def load_eval(path: str, size: int, cache: Optional[DecodedCache] = None,
+              normalize_host: bool = True) -> Optional[np.ndarray]:
+    img = _decode_resized(path, size, cache)
     if img is None:
         return None
-    return normalize(resize(img, size))
+    return normalize(img) if normalize_host else img
 
 
-def load_train(path: str, size: int,
-               rng: np.random.Generator) -> Optional[np.ndarray]:
-    img = decode_image(path)
+def load_train(path: str, size: int, rng: np.random.Generator,
+               cache: Optional[DecodedCache] = None,
+               normalize_host: bool = True) -> Optional[np.ndarray]:
+    img = _decode_resized(path, size, cache)
     if img is None:
         return None
-    return augment_train(img, rng, size)
+    img = augment_resized(img, rng)
+    return normalize(img) if normalize_host else img
+
+
+def _decode_resized(path: str, size: int, cache: Optional[DecodedCache]
+                    ) -> Optional[np.ndarray]:
+    if cache is not None:
+        img = cache.get(path)
+        if img is not None:
+            return img
+    img = decode_image(path, min_size=size)
+    if img is None:
+        return None
+    img = resize(img, size)
+    if cache is not None:
+        cache.put(path, img)
+    return img

@@ -25,6 +25,26 @@ from multimodalsimilar_tpu.ops.arcface import ArcFaceParams
 from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
 
 
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def device_normalize(images):
+    """uint8 [B,H,W,3] -> imagenet-normalized float32, inside jit.
+
+    The host pipeline ships uint8 batches (4x smaller host->device
+    transfers, data/images.py normalize_host=False); this applies the
+    exact same f32 math as data.images.normalize on device. Float inputs
+    pass through unchanged (dtype is static under jit — no retrace churn).
+    """
+    if images.dtype != jnp.uint8:
+        return images
+    x = images.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(_IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(_IMAGENET_STD, jnp.float32)
+    return (x - mean) / std
+
+
 def backbone_config(name: str, **kw):
     """Name-string backbone API (cv_classifier.py:23's timm.create_model
     equivalent): efficientnet_b0..b7 / tiny -> EfficientNetConfig;

@@ -111,9 +111,12 @@ class ImageEmbedder:
         self.batch_size = batch_size
         self.cache_path_for_key = cache_path_for_key
 
+        from multimodalsimilar_tpu.models.vision import device_normalize
+
         @jax.jit
         def run(v, images):
-            return model.apply(v, images, method=model.predict_emb)
+            return model.apply(v, device_normalize(images),
+                               method=model.predict_emb)
 
         self._variables = variables
         self._run = lambda *a: run(self._variables, *a)
@@ -136,7 +139,7 @@ class ImageEmbedder:
         """Embed single images; failed decodes are skipped (absent keys)."""
         loaded, keys = [], []
         for p in paths:
-            img = I.load_eval(p, self.image_size)
+            img = I.load_eval(p, self.image_size, normalize_host=False)
             if img is not None:
                 loaded.append(img)
                 keys.append(p)
@@ -165,7 +168,7 @@ class ImageEmbedder:
             for p in paths_for_key(key):
                 if not os.path.exists(p):
                     continue  # sequentially-numbered images end here
-                img = I.load_eval(p, self.image_size)
+                img = I.load_eval(p, self.image_size, normalize_host=False)
                 if img is not None:
                     loaded.append(img)
             return key, loaded
@@ -225,10 +228,13 @@ class MultimodalEmbedder:
         self.image_size = image_size
         self.batch_size = batch_size
 
+        from multimodalsimilar_tpu.models.vision import device_normalize
+
         @jax.jit
         def run(v, images, input_ids, attention_mask, token_type_ids):
-            return model.apply(v, images, input_ids, attention_mask,
-                               token_type_ids, method=model.predict_emb)
+            return model.apply(v, device_normalize(images), input_ids,
+                               attention_mask, token_type_ids,
+                               method=model.predict_emb)
 
         self._variables = variables
         self._run = lambda *a: run(self._variables, *a)

@@ -158,14 +158,19 @@ def multilabel_arcface_task(model, weights=(10.0, 5.0, 1.0),
 
 
 def cv_arcface_task(model) -> Task:
+    # uint8 batches normalize inside the jitted step (device_normalize is a
+    # no-op on float inputs) — the host ships 4x smaller transfers
+    from multimodalsimilar_tpu.models.vision import device_normalize
+
     def init(rng, batch):
-        return model.init({"params": rng}, batch["images"],
+        return model.init({"params": rng}, device_normalize(batch["images"]),
                           label=batch["labels"])
 
     def train_loss(params, batch_stats, batch, rng, margin):
         logits, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["images"], label=batch["labels"], m=margin, train=True,
+            device_normalize(batch["images"]), label=batch["labels"],
+            m=margin, train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"])
         loss = _ce(logits, batch["labels"])
         return loss, ({"loss": loss, "acc": _acc(logits, batch["labels"])},
@@ -173,7 +178,7 @@ def cv_arcface_task(model) -> Task:
 
     def eval_metrics(params, batch_stats, batch):
         logits = model.apply({"params": params, "batch_stats": batch_stats},
-                             batch["images"], is_test=True)
+                             device_normalize(batch["images"]), is_test=True)
         # micro-F1 == accuracy for single-label multiclass
         # (cv_classifier_train_daodian.py:173 tracks micro-F1)
         return {"acc": _acc(logits, batch["labels"])}
@@ -183,8 +188,10 @@ def cv_arcface_task(model) -> Task:
 
 
 def multimodal_arcface_task(model) -> Task:
+    from multimodalsimilar_tpu.models.vision import device_normalize
+
     def inputs(batch):
-        return (batch["images"],), _text_inputs(batch)
+        return (device_normalize(batch["images"]),), _text_inputs(batch)
 
     def init(rng, batch):
         args, kw = inputs(batch)
