@@ -718,7 +718,9 @@ def cmd_import_checkpoint(args):
         params = ri.siamese_from_reference(sd, bert_cfg)
         stats = {}
     elif args.kind in ("cv", "multimodal"):
-        if not args.backbone.startswith("efficientnet"):
+        from multimodalsimilar_tpu.models.vision import backbone_config
+        if not isinstance(backbone_config(args.backbone),
+                          EfficientNetConfig):
             raise SystemExit(
                 "import-checkpoint: reference cv/multimodal checkpoints are "
                 "timm EfficientNets (cv_classifier_train_daodian.py:190) — "
@@ -749,13 +751,15 @@ def cmd_export_checkpoint(args):
     from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
     from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
 
-    if (args.kind in ("cv", "multimodal")
-            and not args.backbone.startswith("efficientnet")):
-        raise SystemExit(
-            "export-checkpoint: ViT/ConvNeXt backbones have no reference "
-            "equivalent (the reference CvClassifier requires a timm CNN "
-            "with a .classifier head, cv_classifier.py:24) — only "
-            "efficientnet_* checkpoints export.")
+    if args.kind in ("cv", "multimodal"):
+        from multimodalsimilar_tpu.models.vision import backbone_config
+        if not isinstance(backbone_config(args.backbone),
+                          EfficientNetConfig):
+            raise SystemExit(
+                "export-checkpoint: ViT/ConvNeXt backbones have no "
+                "reference equivalent (the reference CvClassifier requires "
+                "a timm CNN with a .classifier head, cv_classifier.py:24) "
+                "— only EfficientNet checkpoints export.")
     state = CheckpointManager(args.checkpoint).restore()
     if state is None:
         raise SystemExit(f"no checkpoint found at {args.checkpoint}")

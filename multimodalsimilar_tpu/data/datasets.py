@@ -155,7 +155,7 @@ class ImageClassificationSource:
         if emit not in ("float32", "uint8"):
             raise ValueError(f"emit must be float32|uint8, got {emit}")
         self.emit = emit
-        self.cache = (I.DecodedCache(decode_cache, image_size)
+        self.cache = (I.DecodedCache.open(decode_cache, image_size)
                       if decode_cache else None)
         self.path_fn = path_fn or (
             lambda row: os.path.join(img_root, f"{row[key_col]}.jpg"))

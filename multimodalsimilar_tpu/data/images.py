@@ -58,6 +58,11 @@ def image_dims(path: str) -> Optional[tuple]:
                     if len(marker) < 2 or marker[0] != 0xFF:
                         return None
                     code = marker[1]
+                    while code == 0xFF:                   # legal fill bytes
+                        nxt = f.read(1)
+                        if not nxt:
+                            return None
+                        code = nxt[0]
                     if code in (0xD8, 0x01) or 0xD0 <= code <= 0xD7:
                         continue                          # no length field
                     ln = struct.unpack(">H", f.read(2))[0]
@@ -156,10 +161,28 @@ class DecodedCache:
     key (the decode-once equivalent of the reference's per-SKU emb.txt cache
     idea, daodian_infer.py:259-285, applied one stage earlier).
 
-    Thread-safe: concurrent gets use os.pread; puts serialize on a lock.
+    Construct via ``DecodedCache.open`` — it returns one shared instance per
+    directory within the process (the CLI builds train + eval sources over
+    the same cache), so all puts serialize on one lock. Appends additionally
+    hold an fcntl flock on data.bin and re-align to a record boundary first,
+    so a crash mid-write (torn record) or a second writer process cannot
+    shift later slots; keys.txt lines are only trusted when
+    newline-terminated (a torn final line is re-decoded, never mis-mapped).
     The record size is pinned in meta.json — reusing a directory with a
     different image size raises instead of silently corrupting.
     """
+
+    _instances: dict = {}
+    _instances_lock = threading.Lock()
+
+    @classmethod
+    def open(cls, directory: str, size: int) -> "DecodedCache":
+        key = (os.path.realpath(directory), size)
+        with cls._instances_lock:
+            inst = cls._instances.get(key)
+            if inst is None:
+                inst = cls._instances[key] = cls(directory, size)
+            return inst
 
     def __init__(self, directory: str, size: int):
         os.makedirs(directory, exist_ok=True)
@@ -177,17 +200,23 @@ class DecodedCache:
                       open(meta_path, "w"))
         self._keys_path = os.path.join(directory, "keys.txt")
         self._data_path = os.path.join(directory, "data.bin")
-        # keys.txt lines are "key\tslot": the slot is derived from data.bin's
-        # size at append time, so several cache instances on one directory
-        # (train + eval sources) stay consistent; duplicate puts waste a
-        # record but the index maps each key to one valid slot.
+        # keys.txt lines are "key\tslot": the slot is the record-aligned
+        # data.bin offset claimed under the flock at append time.
         self._index = {}
         if os.path.exists(self._keys_path):
-            with open(self._keys_path) as f:
-                for line in f:
-                    key, _, slot = line.rstrip("\n").rpartition("\t")
-                    if key:
-                        self._index[key] = int(slot)
+            with open(self._keys_path, "rb") as f:
+                raw = f.read()
+            if raw and not raw.endswith(b"\n"):
+                # torn final line from a crash: terminate it with an invalid
+                # slot so it parses as garbage (and future appends don't
+                # concatenate onto it), never as a wrong mapping
+                with open(self._keys_path, "ab") as f:
+                    f.write(b"\t#\n")
+                raw += b"\t#\n"
+            for line in raw.decode("utf-8", "replace").splitlines():
+                key, _, slot = line.rpartition("\t")
+                if key and slot.isdigit():
+                    self._index[key] = int(slot)
         self._lock = threading.Lock()
         self._read_fd = os.open(self._data_path,
                                 os.O_RDONLY | os.O_CREAT, 0o644)
@@ -205,17 +234,27 @@ class DecodedCache:
         return np.frombuffer(buf, np.uint8).reshape(self.size, self.size, 3)
 
     def put(self, key: str, img: np.ndarray) -> None:
+        import fcntl
         if img.shape != (self.size, self.size, 3) or img.dtype != np.uint8:
             raise ValueError(f"expected {self.size}px rgb-uint8, "
                              f"got {img.shape} {img.dtype}")
         if "\t" in key or "\n" in key:
             raise ValueError(f"cache key may not contain tab/newline: {key!r}")
+        payload = np.ascontiguousarray(img).tobytes()
         with self._lock:
             if key in self._index:
                 return
-            with open(self._data_path, "ab") as d:
-                slot = d.tell() // self.record
-                d.write(np.ascontiguousarray(img).tobytes())
+            fd = os.open(self._data_path, os.O_WRONLY | os.O_CREAT, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                end = os.fstat(fd).st_size
+                slot = end // self.record    # re-align past any torn tail
+                off, done = slot * self.record, 0
+                while done < len(payload):   # pwrite may be partial
+                    done += os.pwrite(fd, payload[done:], off + done)
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
             with open(self._keys_path, "a") as k:
                 k.write(f"{key}\t{slot}\n")
             self._index[key] = slot

@@ -182,7 +182,8 @@ def convnext_params_from_timm(state_dict: Mapping[str, "np.ndarray"],
                 return sd[n]
         raise KeyError(names[0])
 
-    def conv(*prefixes, depthwise=False):
+    def conv(*prefixes):
+        # depthwise [C,1,7,7] -> [7,7,1,C] coincides with OIHW -> HWIO
         w = get(*(f"{p}.weight" for p in prefixes))
         return {"kernel": w.transpose(2, 3, 1, 0),
                 "bias": get(*(f"{p}.bias" for p in prefixes))}
@@ -209,8 +210,7 @@ def convnext_params_from_timm(state_dict: Mapping[str, "np.ndarray"],
         for b in range(depth):
             t, t_fb = f"stages.{s}.blocks.{b}", f"stages.{s}.{b}"
             block = {
-                "conv_dw": conv(f"{t}.conv_dw", f"{t_fb}.dwconv",
-                                depthwise=True),
+                "conv_dw": conv(f"{t}.conv_dw", f"{t_fb}.dwconv"),
                 "norm": ln(f"{t}.norm", f"{t_fb}.norm"),
                 "fc1": lin(f"{t}.mlp.fc1", f"{t_fb}.pwconv1"),
                 "fc2": lin(f"{t}.mlp.fc2", f"{t_fb}.pwconv2"),

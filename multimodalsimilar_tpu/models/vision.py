@@ -25,24 +25,21 @@ from multimodalsimilar_tpu.ops.arcface import ArcFaceParams
 from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
 
 
-_IMAGENET_MEAN = (0.485, 0.456, 0.406)
-_IMAGENET_STD = (0.229, 0.224, 0.225)
-
-
 def device_normalize(images):
     """uint8 [B,H,W,3] -> imagenet-normalized float32, inside jit.
 
     The host pipeline ships uint8 batches (4x smaller host->device
     transfers, data/images.py normalize_host=False); this applies the
-    exact same f32 math as data.images.normalize on device. Float inputs
-    pass through unchanged (dtype is static under jit — no retrace churn).
+    exact same f32 math as data.images.normalize on device (the constants
+    are imported from there — one source of truth). Float inputs pass
+    through unchanged (dtype is static under jit — no retrace churn).
     """
+    from multimodalsimilar_tpu.data.images import (
+        IMAGENET_MEAN, IMAGENET_STD)
     if images.dtype != jnp.uint8:
         return images
     x = images.astype(jnp.float32) / 255.0
-    mean = jnp.asarray(_IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(_IMAGENET_STD, jnp.float32)
-    return (x - mean) / std
+    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
 
 def backbone_config(name: str, **kw):

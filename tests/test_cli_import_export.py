@@ -59,3 +59,15 @@ def test_cli_export_vit_backbone_rejected(tmp_path):
     with pytest.raises(SystemExit, match="ViT"):
         main(["export-checkpoint", "--kind", "cv", "--checkpoint", "x",
               "--out", str(tmp_path / "o.pt"), "--backbone", "vit_small"])
+    with pytest.raises(SystemExit, match="ViT"):
+        main(["export-checkpoint", "--kind", "cv", "--checkpoint", "x",
+              "--out", str(tmp_path / "o.pt"), "--backbone",
+              "convnext_tiny"])
+    # the guard dispatches on config type, not name strings: 'tiny' (the
+    # 3-block EfficientNet test backbone) must pass the guard and proceed
+    # to the checkpoint restore (which fails on the bogus path, not the
+    # backbone check)
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        main(["export-checkpoint", "--kind", "cv", "--checkpoint",
+              str(tmp_path / "nope"), "--out", str(tmp_path / "o.pt"),
+              "--backbone", "tiny"])

@@ -32,6 +32,48 @@ def test_image_dims_jpeg_png(tmp_path):
     assert I.image_dims(str(tmp_path / "missing.jpg")) is None
 
 
+def test_image_dims_jpeg_fill_bytes(tmp_path):
+    """JPEGs may pad with extra 0xFF fill bytes before a marker code — the
+    probe must skip them, not misparse a length from the padding."""
+    p = tmp_path / "fill.jpg"
+    raw = (tmp_path / "plain.jpg")
+    _write_jpeg(raw, 48, 64)
+    data = raw.read_bytes()
+    # inject fill bytes after SOI, before the first marker
+    padded = data[:2] + b"\xff\xff\xff" + data[2:]
+    p.write_bytes(padded)
+    assert I.image_dims(str(p)) == (48, 64)
+
+
+def test_decoded_cache_crash_tolerance(tmp_path):
+    d = str(tmp_path / "cache")
+    img = np.random.default_rng(5).integers(0, 255, (8, 8, 3),
+                                            dtype=np.uint8)
+    c = I.DecodedCache(d, 8)
+    c.put("a", img)
+    # crash mid-append: torn data.bin tail + torn keys.txt line
+    with open(c._data_path, "ab") as f:
+        f.write(b"\x00" * 17)                 # partial record
+    with open(c._keys_path, "a") as f:
+        f.write("b\t1")                       # no trailing newline
+    c2 = I.DecodedCache(d, 8)
+    assert c2.get("a") is not None and c2.get("b") is None
+    img2 = img[::-1].copy()
+    c2.put("b", img2)                         # realigns over the torn tail
+    np.testing.assert_array_equal(c2.get("b"), img2)
+    np.testing.assert_array_equal(c2.get("a"), img)
+    c3 = I.DecodedCache(d, 8)
+    np.testing.assert_array_equal(c3.get("b"), img2)
+
+
+def test_decoded_cache_open_is_shared(tmp_path):
+    d = str(tmp_path / "cache")
+    a = I.DecodedCache.open(d, 8)
+    b = I.DecodedCache.open(d, 8)
+    assert a is b                             # one lock per directory
+    assert I.DecodedCache.open(d + "2", 8) is not a
+
+
 def test_decode_reduced_scale(tmp_path):
     p = str(tmp_path / "big.jpg")
     _write_jpeg(p, 600, 600)
