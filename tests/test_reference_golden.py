@@ -326,3 +326,94 @@ def test_siamese_golden(ref, setup):
                          method=ours.predict_emb)
     _assert_close(got, want)
     _assert_close(got_emb, want_emb)
+
+
+# ---------------------------------------------------------------------------
+# Full TRAIN STEP: loss + gradients + dual-AdamW update vs the reference loop
+# (nlp_classifier_train.py:89-97,116-133 — torch.optim.AdamW, so the effective
+# weight_decay is torch's default 0.01 on both groups)
+# ---------------------------------------------------------------------------
+
+
+def test_train_step_golden(ref, titles):
+    """Pins the whole training semantics, not just the forward: the Trainer's
+    task loss (CE over margin logits), the backward through BERT + ArcFace,
+    and one dual-group AdamW update must reproduce the reference training
+    loop's numbers on the actual reference module.
+
+    The converters in reference_import are pure layout transforms
+    (rename/transpose), so applying them to a state_dict holding *gradients*
+    converts torch grads into our param-tree layout for direct comparison.
+    """
+    import jax
+    import optax
+
+    from multimodalsimilar_tpu.train.optim import dual_group_adamw
+    from multimodalsimilar_tpu.train.tasks import text_arcface_task
+
+    # dropout off on both sides so the train-mode forward is deterministic
+    vocab = build_char_vocab(titles)
+    cfg = BertConfig.tiny(vocab_size=len(vocab) + 8,
+                          hidden_dropout=0.0, attention_dropout=0.0)
+    hf_cfg = HFBertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_act="gelu", attn_implementation="eager",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    tok = TextTokenizer.from_vocab(vocab)
+    batch = tok(titles, max_length=24)
+    t = {k: torch.from_numpy(v).long() for k, v in batch.items()}
+
+    torch.manual_seed(11)
+    tref = ref["nlp_classifier"].NlpClassifier(BertModel(hf_cfg), 13)
+    tref.train()
+    rng = np.random.default_rng(11)
+    labels = rng.integers(0, 13, size=batch["input_ids"].shape[0])
+
+    # --- torch side: the reference loop's loss/backward/step (:116-133) ---
+    label_t = torch.from_numpy(labels).long()
+    logits = tref(t["input_ids"], query_token_type_ids=t["token_type_ids"],
+                  query_attention_mask=t["attention_mask"], label=label_t)
+    loss_t = torch.nn.CrossEntropyLoss()(logits, label_t)
+    opt_emb = torch.optim.AdamW(tref.emb_layer.parameters(), lr=5e-5)
+    opt_fc = torch.optim.AdamW(tref.classifier.parameters(), lr=1e-2)
+    params = nlp_classifier_from_reference(
+        {k: v.detach().clone() for k, v in tref.state_dict().items()}, cfg)
+    loss_t.backward()
+    grad_sd = {k: (torch.zeros_like(p) if p.grad is None
+                   else p.grad.detach().clone())
+               for k, p in tref.named_parameters()}
+    want_grads = nlp_classifier_from_reference(grad_sd, cfg)
+    opt_emb.step()
+    opt_fc.step()
+    params_after_t = nlp_classifier_from_reference(tref.state_dict(), cfg)
+
+    # --- our side: the Trainer's actual loss path + dual_group_adamw ---
+    ours = NlpTextClassifier(cfg, num_labels=13, policy=FP32)
+    task = text_arcface_task(ours)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    jb["labels"] = jnp.asarray(labels.astype(np.int32))
+    (loss_j, _), grads = jax.value_and_grad(task.train_loss, has_aux=True)(
+        params, None, jb, jax.random.key(0), ours.arcface.m)
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-4, atol=1e-4)
+    jax.tree.map(lambda g, w: np.testing.assert_allclose(
+        np.asarray(g), np.asarray(w), rtol=1e-3, atol=2e-5),
+        grads, want_grads)
+
+    # optimizer semantics in isolation: identical (torch-derived) grads
+    # through dual_group_adamw must land on torch's post-step params.
+    # torch.optim.AdamW default weight_decay=0.01 (what the reference runs).
+    tx = dual_group_adamw(lambda s: 5e-5, lambda s: 1e-2, weight_decay=0.01)
+    updates, _ = tx.update(want_grads, tx.init(params), params)
+    params_after_j = optax.apply_updates(params, updates)
+
+    def assert_delta_close(before, after_j, after_t):
+        np.testing.assert_allclose(np.asarray(after_j) - np.asarray(before),
+                                   np.asarray(after_t) - np.asarray(before),
+                                   rtol=2e-4, atol=2e-8)
+
+    jax.tree.map(assert_delta_close, params, params_after_j, params_after_t)
