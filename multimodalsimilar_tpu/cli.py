@@ -463,17 +463,23 @@ def _build_embed_fn(args):
     model = NlpTextClassifier(_bert_config(args.bert_preset), args.num_labels,
                               policy=DTypePolicy.inference())
     sample = tok(["x"], args.max_length)
-    variables = model.init({"params": jax.random.key(0)},
-                           jnp.asarray(sample["input_ids"]),
-                           label=jnp.zeros(1, jnp.int32))
+    # init under jit: eager flax init dispatches one device round-trip per
+    # parameter (minutes for a base BERT through the TPU relay)
+    variables = jax.jit(lambda x: model.init(
+        {"params": jax.random.key(0)}, x,
+        label=jnp.zeros(x.shape[0], jnp.int32)))(
+            jnp.asarray(sample["input_ids"]))
     if args.checkpoint:
         from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
         state = CheckpointManager(args.checkpoint).restore()
         variables = {"params": state["params"]}
         if state.get("batch_stats"):
             variables["batch_stats"] = state["batch_stats"]
+    buckets = getattr(args, "length_buckets", None)
+    if isinstance(buckets, str):
+        buckets = [int(b) for b in buckets.split(",") if b.strip()]
     embedder = TextEmbedder(model, variables, tok, args.max_length,
-                            args.batch_size)
+                            args.batch_size, length_buckets=buckets)
 
     def embed_fn(sub):
         em = embedder(sub[args.text_col].astype(str).tolist())
@@ -880,6 +886,10 @@ def build_parser() -> argparse.ArgumentParser:
     e_inc.add_argument("--num_labels", type=int, default=2)
     e_inc.add_argument("--max_length", type=int, default=80)
     e_inc.add_argument("--batch_size", type=int, default=256)
+    e_inc.add_argument("--length_buckets", default=None,
+                    help="comma list of shorter seq buckets, e.g. 24,48 — sorts\n"
+                         "rows by token length and runs short batches on a\n"
+                         "proportionally cheaper program (output-identical)")
     e_inc.add_argument("--img_root", default="./goodssku_image_2")
     e_inc.add_argument("--backbone", default="efficientnet_b4")
     e_inc.add_argument("--fc_dim", type=int, default=512)
@@ -898,6 +908,10 @@ def build_parser() -> argparse.ArgumentParser:
     e_bulk.add_argument("--num_labels", type=int, default=2)
     e_bulk.add_argument("--max_length", type=int, default=80)
     e_bulk.add_argument("--batch_size", type=int, default=256)
+    e_bulk.add_argument("--length_buckets", default=None,
+                    help="comma list of shorter seq buckets, e.g. 24,48 — sorts\n"
+                         "rows by token length and runs short batches on a\n"
+                         "proportionally cheaper program (output-identical)")
     e_bulk.add_argument("--kinds", default="bert",
                         help="comma list: bert,fasttext,cv")
     e_bulk.add_argument("--fasttext_model",
@@ -922,6 +936,10 @@ def build_parser() -> argparse.ArgumentParser:
     s_nlp.add_argument("--num_labels", type=int, default=2)
     s_nlp.add_argument("--max_length", type=int, default=128)
     s_nlp.add_argument("--batch_size", type=int, default=256)
+    s_nlp.add_argument("--length_buckets", default=None,
+                    help="comma list of shorter seq buckets, e.g. 24,48 — sorts\n"
+                         "rows by token length and runs short batches on a\n"
+                         "proportionally cheaper program (output-identical)")
     s_nlp.add_argument("--k", type=int, default=13)
     s_nlp.add_argument("--score_th", type=float, default=0.9)
     s_nlp.add_argument("--redis_host", default=None)

@@ -63,11 +63,30 @@ def _stream(batches, run, depth: int = 3) -> np.ndarray:
 
 
 class TextEmbedder:
+    """``length_buckets`` (e.g. ``(24, 48)``) turns on length-bucketed
+    serving: rows are sorted by true token length within a window, batched,
+    and each batch is trimmed to the smallest bucket that fits its longest
+    row (``max_length`` is always the final bucket). Every reference export
+    job pads every title to the full max_length (goodssku_emb_bert_di.py:56
+    tokenizes with padding='max_length'), burning FLOPs on pad tokens;
+    short-title batches here run a proportionally cheaper program. One
+    compiled program per bucket, all shapes static. Embeddings are
+    padding-invariant (masked attention + masked pooling), so outputs match
+    the unbucketed path; original row order is restored exactly.
+    """
+
     def __init__(self, model, variables, tokenizer: TextTokenizer,
-                 max_length: int = 128, batch_size: int = 256):
+                 max_length: int = 128, batch_size: int = 256,
+                 length_buckets: Optional[Sequence[int]] = None):
         self.tokenizer = tokenizer
         self.max_length = max_length
         self.batch_size = batch_size
+        if length_buckets:
+            inner = sorted({int(b) for b in length_buckets
+                            if 0 < int(b) < max_length})
+            self.length_buckets = inner + [max_length]
+        else:
+            self.length_buckets = None
 
         # variables flow as arguments — closure-captured params are baked
         # into the serialized HLO as constants (huge executables, remote
@@ -81,6 +100,8 @@ class TextEmbedder:
         self._run = lambda *a: run(self._variables, *a)
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
+        if self.length_buckets and len(texts) > self.batch_size:
+            return self._call_bucketed(texts)
         B = self.batch_size
 
         def batches():
@@ -92,6 +113,36 @@ class TextEmbedder:
                        jnp.asarray(toks["token_type_ids"])), len(chunk)
 
         return _stream(batches(), self._run)
+
+    def _call_bucketed(self, texts: Sequence[str]) -> np.ndarray:
+        B = self.batch_size
+        W = 64 * B                     # sort window: 64 batches at a time
+        order_ix: List[np.ndarray] = []
+
+        def batches():
+            for w0 in range(0, len(texts), W):
+                chunk = list(texts[w0: w0 + W])
+                toks = self.tokenizer(chunk, self.max_length)
+                lens = toks["attention_mask"].sum(axis=1)
+                order = np.argsort(lens, kind="stable")
+                for s in range(0, len(order), B):
+                    sel = order[s: s + B]
+                    need = int(lens[sel].max())
+                    bucket = next(b for b in self.length_buckets
+                                  if b >= need)
+                    sub = _pad_rows({k: v[sel][:, :bucket]
+                                     for k, v in toks.items()}, B)
+                    order_ix.append(np.asarray(w0 + sel))
+                    yield (jnp.asarray(sub["input_ids"]),
+                           jnp.asarray(sub["attention_mask"]),
+                           jnp.asarray(sub["token_type_ids"])), len(sel)
+
+        embs = _stream(batches(), self._run)
+        if not len(embs):
+            return embs
+        out = np.empty_like(embs)
+        out[np.concatenate(order_ix)] = embs
+        return out
 
 
 class ImageEmbedder:

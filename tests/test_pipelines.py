@@ -51,7 +51,7 @@ def test_embedding_string_round_trip():
 
 
 @pytest.fixture(scope="module")
-def text_embedder():
+def text_embedder_parts():
     df_texts = [f"商品{i}" for i in range(10)] + ["苹果", "牛奶"]
     tok = TextTokenizer.from_corpus(df_texts)
     model = NlpTextClassifier(BertConfig.tiny(), num_labels=3, policy=FP32)
@@ -59,6 +59,12 @@ def text_embedder():
     variables = model.init({"params": jax.random.key(0)},
                            jax.numpy.asarray(ids["input_ids"]),
                            label=jax.numpy.zeros(1, jax.numpy.int32))
+    return model, variables, tok
+
+
+@pytest.fixture(scope="module")
+def text_embedder(text_embedder_parts):
+    model, variables, tok = text_embedder_parts
     return TextEmbedder(model, variables, tok, max_length=8, batch_size=4)
 
 
@@ -69,6 +75,22 @@ def test_text_embedder_batches_consistent(text_embedder):
     # same text -> same embedding regardless of batch position
     single = text_embedder([texts[5]])
     np.testing.assert_allclose(emb[5], single[0], rtol=1e-5, atol=1e-6)
+
+
+def test_text_embedder_length_buckets_match_unbucketed(text_embedder,
+                                                       text_embedder_parts):
+    """Length-bucketed serving must return the same embeddings in the same
+    row order as the plain path (padding-invariant model + un-sort)."""
+    model, variables, tok = text_embedder_parts
+    rng = np.random.default_rng(0)
+    # mixed lengths, shuffled so sorting actually reorders rows
+    texts = ["商品" * int(n) for n in rng.integers(1, 4, size=23)]
+    want = text_embedder(texts)
+    bucketed = TextEmbedder(model, variables, tok, max_length=8,
+                            batch_size=4, length_buckets=(3, 5))
+    got = bucketed(texts)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
 def test_incremental_export_skips_existing(text_embedder):
