@@ -197,6 +197,16 @@ def _sampler_fn(args, df, label_col):
     return lambda epoch: WeightedSampler(w, seed=args.seed + epoch)
 
 
+
+
+def _seq_buckets(args):
+    b = getattr(args, "seq_buckets", None)
+    if isinstance(b, str):
+        b = [int(x) for x in b.split(",") if x.strip()]
+    return b
+
+
+
 def cmd_train_nlp(args):
     import pandas as pd
     from multimodalsimilar_tpu.data.datasets import (
@@ -208,7 +218,8 @@ def cmd_train_nlp(args):
     df = read_table(args.data, require=[args.text_col, args.label_col])
     tok = _tokenizer(args, save_dir=args.output, df=df)
     src = TextClassificationSource(df, tok, args.text_col, args.label_col,
-                                   args.max_length)
+                                   args.max_length,
+                                   seq_buckets=_seq_buckets(args))
     num_labels = int(df[args.label_col].max()) + 1
     model = NlpTextClassifier(_bert_config(args.bert_preset,
                                        remat=args.remat), num_labels,
@@ -239,7 +250,8 @@ def cmd_train_multilabel(args):
     tok = _tokenizer(args, save_dir=args.output, df=df)
     cols = [args.lv1_col, args.lv2_col, args.tag_col]
     src = TextClassificationSource(df, tok, args.text_col, cols,
-                                   args.max_length)
+                                   args.max_length,
+                                   seq_buckets=_seq_buckets(args))
     model = NlpMultilabelClassifier(
         _bert_config(args.bert_preset, remat=args.remat),
         lv1_labels=int(df[args.lv1_col].max()) + 1,
@@ -815,11 +827,19 @@ def build_parser() -> argparse.ArgumentParser:
     t_nlp.add_argument("--pool", default="cls", choices=["cls", "mean"],
                        help="cls = TransformerEmb pooler; mean = "
                             "TransformerSeqEmb masked mean")
+    t_nlp.add_argument("--seq_buckets", default=None,
+                     help="comma list of shorter seq buckets, e.g. 32,48,64 — trim\n"
+                          "each batch to the smallest bucket covering its longest\n"
+                          "row (the reference collator pads to batch max, not 128)")
     t_nlp.set_defaults(fn=cmd_train_nlp)
 
     t_ml = train.add_parser("multilabel", allow_abbrev=False)
     _add_common_train_flags(t_ml)
     t_ml.add_argument("--lv1_col", default="lv1_category_id")
+    t_ml.add_argument("--seq_buckets", default=None,
+                     help="comma list of shorter seq buckets, e.g. 32,48,64 — trim\n"
+                          "each batch to the smallest bucket covering its longest\n"
+                          "row (the reference collator pads to batch max, not 128)")
     t_ml.add_argument("--lv2_col", default="lv2_category_id")
     t_ml.add_argument("--tag_col", default="tag_new_id")
     t_ml.add_argument("--lv1_weight", type=float, default=10.0)

@@ -72,18 +72,32 @@ class TextClassificationSource:
 
     label_cols may be one column (single-head ArcFace) or several (the
     3-level multilabel job, nlp_classifier_train_daodian_v3_dist.py).
+
+    ``seq_buckets`` (e.g. ``(32, 48, 64)``) trims each batch's token arrays
+    to the smallest bucket covering the batch's longest row — the static-
+    shape analogue of the reference's DataCollatorWithPadding, which pads
+    to the *batch* max rather than max_length (nlp_classifier_train.py:82-87)
+    so its real GPU batches are far shorter than 128. Sampling order is
+    untouched (no sorting); the train step compiles once per bucket.
     """
 
     def __init__(self, df: pd.DataFrame, tokenizer: TextTokenizer,
                  text_col: str = "spu_name",
                  label_cols: Union[str, Sequence[str]] = "labels",
-                 max_length: int = 128, clean: bool = True):
+                 max_length: int = 128, clean: bool = True,
+                 seq_buckets: Optional[Sequence[int]] = None):
         self.df = df.reset_index(drop=True)
         self.tokenizer = tokenizer
         self.text_col = text_col
         self.label_cols = ([label_cols] if isinstance(label_cols, str)
                            else list(label_cols))
         self.max_length = max_length
+        if seq_buckets:
+            inner = sorted({int(b) for b in seq_buckets
+                            if 0 < int(b) < max_length})
+            self.seq_buckets = inner + [max_length]
+        else:
+            self.seq_buckets = None
         texts = self.df[text_col].astype(str).tolist()
         self.texts = preprocess_for_infer(texts) if clean else texts
 
@@ -93,6 +107,12 @@ class TextClassificationSource:
     def materialize(self, idx: np.ndarray) -> Batch:
         batch = dict(self.tokenizer([self.texts[i] for i in idx],
                                     self.max_length))
+        if self.seq_buckets:
+            need = int(batch["attention_mask"].sum(axis=1).max())
+            bucket = next(b for b in self.seq_buckets if b >= need)
+            batch = {k: (v[:, :bucket] if v.ndim == 2
+                         and v.shape[1] == self.max_length else v)
+                     for k, v in batch.items()}
         for col in self.label_cols:
             key = "labels" if len(self.label_cols) == 1 else col
             batch[key] = self.df[col].values[idx].astype(np.int32)

@@ -106,6 +106,27 @@ def test_text_source_static_shapes():
     assert len(bs) == 4
 
 
+def test_text_source_seq_buckets():
+    """seq_buckets trims each batch to the smallest covering bucket; the
+    trimmed content equals the untrimmed prefix and labels are untouched."""
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"spu_name": ["商" * int(n) for n in
+                                    rng.integers(1, 13, size=32)],
+                       "labels": np.arange(32) % 5})
+    tok = TextTokenizer.from_corpus(df["spu_name"])
+    plain = TextClassificationSource(df, tok, max_length=16, clean=False)
+    bucketed = TextClassificationSource(df, tok, max_length=16, clean=False,
+                                        seq_buckets=(6, 10))
+    for a, b in zip(plain.batches(8, seed=0), bucketed.batches(8, seed=0)):
+        seq = b["input_ids"].shape[1]
+        assert seq in (6, 10, 16)
+        need = int(a["attention_mask"].sum(axis=1).max())
+        assert seq >= need                      # nothing real trimmed away
+        for k in ("input_ids", "attention_mask", "token_type_ids"):
+            np.testing.assert_array_equal(b[k], a[k][:, :seq])
+        np.testing.assert_array_equal(b["labels"], a["labels"])
+
+
 def test_pair_source_batch_keys():
     df = _pair_df()
     tok = TextTokenizer.from_corpus(df["title"])
