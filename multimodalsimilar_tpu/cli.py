@@ -232,7 +232,7 @@ def cmd_train_nlp(args):
     if args.eval_data:
         eval_src = TextClassificationSource(
             read_table(args.eval_data), tok, args.text_col, args.label_col,
-            args.max_length)
+            args.max_length, seq_buckets=_seq_buckets(args))
     trainer.fit(src, args.epochs, args.batch_size, eval_src,
                 sampler_fn=_sampler_fn(args, df, args.label_col),
                 resume=args.resume)
@@ -318,7 +318,8 @@ def cmd_train_pair(args):
 
     df = read_table(args.data)
     tok = _tokenizer_pair(args, df)
-    src = PairTextSource(df, tok, args.max_length, seed=args.seed)
+    src = PairTextSource(df, tok, args.max_length, seed=args.seed,
+                         seq_buckets=_seq_buckets(args))
     model = SiamesePairModel(_bert_config(args.bert_preset,
                                       remat=args.remat))
     mesh = _mesh(args)
@@ -863,6 +864,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     t_pair = train.add_parser("pair", allow_abbrev=False)
     _add_common_train_flags(t_pair)
+    t_pair.add_argument("--seq_buckets", default=None,
+                        help="shared seq buckets for both pair sides, e.g. 32,48")
     t_pair.set_defaults(fn=cmd_train_pair)
 
     t_mm = train.add_parser("multimodal", allow_abbrev=False)

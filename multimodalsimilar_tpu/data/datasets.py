@@ -275,13 +275,25 @@ class MultimodalSource:
 
 
 class PairTextSource:
-    """Siamese pair batches via PairSampler (NlpSTDataset capability)."""
+    """Siamese pair batches via PairSampler (NlpSTDataset capability).
+
+    ``seq_buckets`` trims BOTH sides to one shared bucket covering the
+    batch's longest row on either side (one compiled program per bucket,
+    not per bucket pair) — see TextClassificationSource.
+    """
 
     def __init__(self, df: pd.DataFrame, tokenizer: TextTokenizer,
-                 max_length: int = 128, seed: int = 0):
+                 max_length: int = 128, seed: int = 0,
+                 seq_buckets: Optional[Sequence[int]] = None):
         self.sampler = PairSampler(df, seed=seed)
         self.tokenizer = tokenizer
         self.max_length = max_length
+        if seq_buckets:
+            inner = sorted({int(b) for b in seq_buckets
+                            if 0 < int(b) < max_length})
+            self.seq_buckets = inner + [max_length]
+        else:
+            self.seq_buckets = None
         self.df = self.sampler.df
 
     def __len__(self):
@@ -298,6 +310,12 @@ class PairTextSource:
             pairs = [self.sampler.sample_pair(int(i)) for i in idx]
             q = self.tokenizer([p[0] for p in pairs], self.max_length)
             t = self.tokenizer([p[1] for p in pairs], self.max_length)
+            if self.seq_buckets:
+                need = int(max(q["attention_mask"].sum(axis=1).max(),
+                               t["attention_mask"].sum(axis=1).max()))
+                b = next(x for x in self.seq_buckets if x >= need)
+                q = {k: v[:, :b] for k, v in q.items()}
+                t = {k: v[:, :b] for k, v in t.items()}
             yield {
                 "query_input_ids": q["input_ids"],
                 "query_attention_mask": q["attention_mask"],

@@ -417,3 +417,72 @@ def test_train_step_golden(ref, titles):
                                    rtol=2e-4, atol=2e-8)
 
     jax.tree.map(assert_delta_close, params, params_after_j, params_after_t)
+
+
+def test_multilabel_train_loss_golden(ref, titles):
+    """The v3_dist training loss — 10*CE(lv1) + 5*CE(lv2) + 1*CE(tag)
+    (nlp_classifier_train_daodian_v3_dist.py:164-166) — and its gradients,
+    against the actual reference multilabel module."""
+    import jax
+
+    from multimodalsimilar_tpu.train.tasks import multilabel_arcface_task
+
+    vocab = build_char_vocab(titles)
+    cfg = BertConfig.tiny(vocab_size=len(vocab) + 8,
+                          hidden_dropout=0.0, attention_dropout=0.0)
+    hf_cfg = HFBertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_act="gelu", attn_implementation="eager",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    tok = TextTokenizer.from_vocab(vocab)
+    batch = tok(titles, max_length=24)
+    t = {k: torch.from_numpy(v).long() for k, v in batch.items()}
+
+    torch.manual_seed(12)
+    tref = ref["nlp_classifier_multilabel"].NlpClassifierMultilabel(
+        BertModel(hf_cfg), 5, 9, 17)
+    tref.train()
+    rng = np.random.default_rng(12)
+    B = batch["input_ids"].shape[0]
+    lv1 = rng.integers(0, 5, B)
+    lv2 = rng.integers(0, 9, B)
+    tag = rng.integers(0, 17, B)
+
+    # torch side: the v3_dist loop's weighted loss + backward (:158-166)
+    ce = torch.nn.CrossEntropyLoss()
+    o1, o2, ot = tref(
+        t["input_ids"], query_token_type_ids=t["token_type_ids"],
+        query_attention_mask=t["attention_mask"],
+        firstcate_label=torch.from_numpy(lv1).long(),
+        secondcate_label=torch.from_numpy(lv2).long(),
+        tag_label=torch.from_numpy(tag).long())
+    loss_t = (10.0 * ce(o1, torch.from_numpy(lv1).long())
+              + 5.0 * ce(o2, torch.from_numpy(lv2).long())
+              + 1.0 * ce(ot, torch.from_numpy(tag).long()))
+    params = multilabel_classifier_from_reference(
+        {k: v.detach().clone() for k, v in tref.state_dict().items()}, cfg)
+    loss_t.backward()
+    grad_sd = {k: (torch.zeros_like(p) if p.grad is None
+                   else p.grad.detach().clone())
+               for k, p in tref.named_parameters()}
+    want_grads = multilabel_classifier_from_reference(grad_sd, cfg)
+
+    # our side: the Trainer's multilabel task loss
+    ours = NlpMultilabelClassifier(cfg, lv1_labels=5, lv2_labels=9,
+                                   tag_labels=17, policy=FP32)
+    task = multilabel_arcface_task(ours)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    jb["lv1_label"] = jnp.asarray(lv1.astype(np.int32))
+    jb["lv2_label"] = jnp.asarray(lv2.astype(np.int32))
+    jb["tag_label"] = jnp.asarray(tag.astype(np.int32))
+    (loss_j, _), grads = jax.value_and_grad(task.train_loss, has_aux=True)(
+        params, None, jb, jax.random.key(0), None)
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-4, atol=1e-3)
+    jax.tree.map(lambda g, w: np.testing.assert_allclose(
+        np.asarray(g), np.asarray(w), rtol=1e-3, atol=2e-5),
+        grads, want_grads)
