@@ -84,12 +84,15 @@ def main(n=480, epochs=3, image_size=512, batch=24):
                           "steady_img_per_s": rate}), flush=True)
         return rate
 
-    # old pipeline: f32 on host, no cache
-    old = run("float32-no-cache", emit="float32")
-    new = run("uint8+decode_cache", emit="uint8",
-              decode_cache=os.path.join(work, "dc"))
-    print(json.dumps({"steady_speedup": round(new / old, 2)}), flush=True)
-    shutil.rmtree(work, ignore_errors=True)
+    try:
+        # old pipeline: f32 on host, no cache
+        old = run("float32-no-cache", emit="float32")
+        new = run("uint8+decode_cache", emit="uint8",
+                  decode_cache=os.path.join(work, "dc"))
+        print(json.dumps({"steady_speedup": round(new / old, 2)}),
+              flush=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

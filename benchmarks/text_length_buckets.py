@@ -57,7 +57,11 @@ def main(n=32768, max_length=80, batch=256):
     def run(tag, buckets):
         emb = TextEmbedder(model, variables, tok, max_length, batch,
                            length_buckets=buckets)
-        emb(texts[: 4 * batch])                      # compile all buckets
+        # guaranteed per-bucket warmup: one full batch of synthetic texts
+        # whose token length lands in each rung (sampling the real titles
+        # may miss a rare bucket and push its compile into the timed loop)
+        for rung in (emb.length_buckets or [max_length]):
+            emb(["商" * max(rung - 2, 1)] * batch)
         t0 = time.perf_counter()
         out = emb(texts)
         dt = time.perf_counter() - t0

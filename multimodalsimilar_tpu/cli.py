@@ -200,10 +200,8 @@ def _sampler_fn(args, df, label_col):
 
 
 def _seq_buckets(args):
-    b = getattr(args, "seq_buckets", None)
-    if isinstance(b, str):
-        b = [int(x) for x in b.split(",") if x.strip()]
-    return b
+    from multimodalsimilar_tpu.utils.buckets import parse_buckets
+    return parse_buckets(getattr(args, "seq_buckets", None))
 
 
 
@@ -488,9 +486,8 @@ def _build_embed_fn(args):
         variables = {"params": state["params"]}
         if state.get("batch_stats"):
             variables["batch_stats"] = state["batch_stats"]
-    buckets = getattr(args, "length_buckets", None)
-    if isinstance(buckets, str):
-        buckets = [int(b) for b in buckets.split(",") if b.strip()]
+    from multimodalsimilar_tpu.utils.buckets import parse_buckets
+    buckets = parse_buckets(getattr(args, "length_buckets", None))
     embedder = TextEmbedder(model, variables, tok, args.max_length,
                             args.batch_size, length_buckets=buckets)
 

@@ -26,6 +26,7 @@ import pandas as pd
 
 from multimodalsimilar_tpu.data import images as I
 from multimodalsimilar_tpu.data.sampling import PairSampler, WeightedSampler
+from multimodalsimilar_tpu.utils.buckets import bucket_ladder
 from multimodalsimilar_tpu.data.text import preprocess_for_infer
 from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
 
@@ -92,12 +93,7 @@ class TextClassificationSource:
         self.label_cols = ([label_cols] if isinstance(label_cols, str)
                            else list(label_cols))
         self.max_length = max_length
-        if seq_buckets:
-            inner = sorted({int(b) for b in seq_buckets
-                            if 0 < int(b) < max_length})
-            self.seq_buckets = inner + [max_length]
-        else:
-            self.seq_buckets = None
+        self.seq_buckets = bucket_ladder(seq_buckets, max_length)
         texts = self.df[text_col].astype(str).tolist()
         self.texts = preprocess_for_infer(texts) if clean else texts
 
@@ -288,12 +284,7 @@ class PairTextSource:
         self.sampler = PairSampler(df, seed=seed)
         self.tokenizer = tokenizer
         self.max_length = max_length
-        if seq_buckets:
-            inner = sorted({int(b) for b in seq_buckets
-                            if 0 < int(b) < max_length})
-            self.seq_buckets = inner + [max_length]
-        else:
-            self.seq_buckets = None
+        self.seq_buckets = bucket_ladder(seq_buckets, max_length)
         self.df = self.sampler.df
 
     def __len__(self):

@@ -27,6 +27,7 @@ import numpy as np
 
 from multimodalsimilar_tpu.data import images as I
 from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
+from multimodalsimilar_tpu.utils.buckets import bucket_ladder
 
 
 def _pad_rows(arrs: Dict[str, np.ndarray], batch: int) -> Dict[str, np.ndarray]:
@@ -81,12 +82,7 @@ class TextEmbedder:
         self.tokenizer = tokenizer
         self.max_length = max_length
         self.batch_size = batch_size
-        if length_buckets:
-            inner = sorted({int(b) for b in length_buckets
-                            if 0 < int(b) < max_length})
-            self.length_buckets = inner + [max_length]
-        else:
-            self.length_buckets = None
+        self.length_buckets = bucket_ladder(length_buckets, max_length)
 
         # variables flow as arguments — closure-captured params are baked
         # into the serialized HLO as constants (huge executables, remote

@@ -45,10 +45,14 @@ class StepTimer:
         if not self._steps:
             return {}
         arr = np.asarray(self._steps)
+        # examples_per_sec from the p50 step, not the mean: a mid-run
+        # compile (a new seq bucket's first batch, a resumed shape) is a
+        # multi-second outlier that would skew the mean for the whole run
         return {
             "steps": len(arr),
             "mean_ms": float(arr.mean() * 1e3),
             "p50_ms": float(np.percentile(arr, 50) * 1e3),
             "p95_ms": float(np.percentile(arr, 95) * 1e3),
-            "examples_per_sec": float(batch_size / arr.mean()),
+            "examples_per_sec": float(batch_size
+                                      / np.percentile(arr, 50)),
         }

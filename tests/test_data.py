@@ -127,6 +127,27 @@ def test_text_source_seq_buckets():
         np.testing.assert_array_equal(b["labels"], a["labels"])
 
 
+def test_bucket_parsing_accepts_all_spellings():
+    """YAML configs can deliver an int, a string, or a list — all must
+    normalize identically (and bad specs fail loudly, not as iteration
+    TypeErrors)."""
+    from multimodalsimilar_tpu.utils.buckets import bucket_ladder, parse_buckets
+    assert parse_buckets(None) is None
+    assert parse_buckets(48) == [48]
+    assert parse_buckets("24,32,48") == [24, 32, 48]
+    assert parse_buckets([24, 32]) == [24, 32]
+    assert bucket_ladder("48,24,200,24", 128) == [24, 48, 128]
+    assert bucket_ladder(64, 16) == [16]       # oversized rung -> max only
+    with pytest.raises(ValueError, match="bucket spec"):
+        parse_buckets("24,abc")
+    # scalar int through the source constructor (the YAML case that used
+    # to crash with TypeError)
+    df = pd.DataFrame({"spu_name": ["商品甲", "商品乙乙乙"], "labels": [0, 1]})
+    tok = TextTokenizer.from_corpus(df["spu_name"])
+    src = TextClassificationSource(df, tok, max_length=16, seq_buckets=8)
+    assert src.seq_buckets == [8, 16]
+
+
 def test_pair_source_batch_keys():
     df = _pair_df()
     tok = TextTokenizer.from_corpus(df["title"])
