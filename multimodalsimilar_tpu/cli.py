@@ -132,6 +132,11 @@ def _add_common_train_flags(p):
                    help="mesh model-axis size: shards ArcFace head weights "
                         "(and their optimizer moments) over classes; data "
                         "axis gets devices/N")
+    p.add_argument("--grad_accum", type=int, default=1, metavar="K",
+                   help="accumulate grads over K micro-batches before each "
+                        "optimizer step (effective batch = K*batch_size; "
+                        "the _dist recipes' 1024/2048 global batches on "
+                        "one chip)")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -165,15 +170,23 @@ def _trainer(task, args, steps_per_epoch, mesh):
         tower_sched = linear_schedule_with_warmup(args.tower_lr, 0, total)
         head_sched = linear_schedule_with_warmup(
             args.head_lr, args.head_warmup_frac * total, total)
+    import optax
     if args.optimizer == "adamp":
         tx = dual_group(
             adamp(tower_sched, weight_decay=args.weight_decay),
             adamp(head_sched, weight_decay=args.head_weight_decay))
     else:
-        import optax
         tx = dual_group(
             optax.adamw(tower_sched, weight_decay=args.weight_decay),
             optax.adamw(head_sched, weight_decay=args.head_weight_decay))
+    accum = int(getattr(args, "grad_accum", 1) or 1)
+    if accum > 1:
+        # the reference's _dist recipes train at global batch 8x128 / 2048
+        # over DataParallel GPUs (nlp_classifier_train_daodian_v2_dist.py:32,
+        # .._v3_dist.py:33); K accumulation micro-steps reproduce the same
+        # effective batch on fewer chips. eval_every/save_every/log_every
+        # count micro-steps, and schedules advance per optimizer step.
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     cfg = TrainerConfig(
         eval_every=args.eval_every, save_every=args.save_every,
         log_every=args.log_every,

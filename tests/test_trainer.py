@@ -87,6 +87,62 @@ def test_dual_group_lrs_differ():
     assert tower_delta == 0.0
 
 
+def test_grad_accum_matches_big_batch():
+    """optax.MultiSteps(k) over k micro-batches must land on the same params
+    as one step over the concatenated batch (the CLI --grad_accum path —
+    how the _dist recipes' 1024/2048 global batches run on one chip)."""
+    import optax
+
+    from multimodalsimilar_tpu.parallel.mesh import shard_batch
+
+    df = _toy_text_problem(64)
+    tok = TextTokenizer.from_corpus(df["spu_name"])
+    cfg = BertConfig.tiny(hidden_dropout=0.0, attention_dropout=0.0)
+    model = NlpTextClassifier(cfg, num_labels=4,
+                              policy=DTypePolicy.full_precision())
+    src = TextClassificationSource(df, tok, max_length=12)
+    mesh = create_mesh()
+
+    from multimodalsimilar_tpu.train.optim import dual_group
+
+    def make_tx():
+        # SGD, not Adam: post-Adam params amplify float-noise-level grad
+        # differences on near-zero coordinates into lr-sized sign flips
+        # (PERF.md "Model-axis sharding sanity") — SGD keeps the comparison
+        # linear in the grads, which match to ~1e-6.
+        return dual_group(optax.sgd(1e-3), optax.sgd(1e-2))
+
+    big = next(src.batches(16, shuffle=False))
+    micro = [{k: v[:8] for k, v in big.items()},
+             {k: v[8:] for k, v in big.items()}]
+    t_big = Trainer(text_arcface_task(model), make_tx(), mesh,
+                    TrainerConfig(log_every=10**9))
+    t_acc = Trainer(text_arcface_task(model),
+                    optax.MultiSteps(make_tx(), every_k_schedule=2), mesh,
+                    TrainerConfig(log_every=10**9))
+    s_big = t_big.init_state(big)
+    s_acc = t_acc.init_state(micro[0])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        s_big.params, s_acc.params)   # init depends on shapes of params only
+    before = jax.tree_util.tree_map(np.asarray, s_acc.params)
+
+    key = jax.random.key(0)
+    s_big, _ = t_big._train_step(s_big, shard_batch(mesh, big), key)
+    s_acc, _ = t_acc._train_step(s_acc, shard_batch(mesh, micro[0]), key)
+    # intermediate micro-step: grads accumulated, params untouched
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        s_acc.params, before)
+    s_acc, _ = t_acc._train_step(s_acc, shard_batch(mesh, micro[1]), key)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b),
+                                                rtol=1e-4, atol=1e-8),
+        s_big.params, s_acc.params)
+
+
 def test_fit_loss_decreases_and_checkpoints(tmp_path):
     df = _toy_text_problem(128)
     tok = TextTokenizer.from_corpus(df["spu_name"])
