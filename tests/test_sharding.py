@@ -158,6 +158,65 @@ def test_model_parallel_full_train_step_matches_replicated():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_model_parallel_composes_with_grad_accum():
+    """--model_parallel + --grad_accum together: the path-wise placement
+    rule must also shard MultiSteps' accumulated-grad buffers for the head
+    weights (they mirror the params tree), and two micro-steps must leave
+    params exactly unchanged until the optimizer fires."""
+    import optax
+
+    from multimodalsimilar_tpu.models.bert import BertConfig
+    from multimodalsimilar_tpu.models.classifiers import (
+        NlpMultilabelClassifier)
+    from multimodalsimilar_tpu.parallel.mesh import shard_batch
+    from multimodalsimilar_tpu.train.optim import dual_group_adamw
+    from multimodalsimilar_tpu.train.tasks import multilabel_arcface_task
+    from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    mesh = create_mesh(data=4, model=2)
+    model = NlpMultilabelClassifier(
+        BertConfig.tiny(), lv1_labels=8, lv2_labels=16, tag_labels=64,
+        policy=DTypePolicy.full_precision())
+    tx = optax.MultiSteps(
+        dual_group_adamw(lambda s: 5e-5, lambda s: 1e-2),
+        every_k_schedule=2)
+    trainer = Trainer(multilabel_arcface_task(model), tx, mesh,
+                      TrainerConfig(log_every=10**9, seed=0,
+                                    model_parallel_heads=True))
+    rng = np.random.default_rng(0)
+    B, S = 16, 12
+    batch = {
+        "input_ids": rng.integers(1, 128, size=(B, S)).astype(np.int32),
+        "attention_mask": np.ones((B, S), np.int32),
+        "lv1_label": rng.integers(0, 8, size=(B,)).astype(np.int32),
+        "lv2_label": rng.integers(0, 16, size=(B,)).astype(np.int32),
+        "tag_label": rng.integers(0, 64, size=(B,)).astype(np.int32),
+    }
+    db = shard_batch(mesh, batch)
+    state = trainer.init_state_from_device_batch(db)
+
+    cs = NamedSharding(mesh, P(MODEL_AXIS, None))
+    head_leaves = [leaf for path, leaf in
+                   jax.tree_util.tree_flatten_with_path(state.opt_state)[0]
+                   if any(getattr(k, "key", None) == "tag_head"
+                          for k in path) and getattr(leaf, "ndim", 0) == 2]
+    # Adam moments AND the MultiSteps acc_grads buffer for the head
+    assert len(head_leaves) >= 3, "expected moments + acc_grads for tag_head"
+    assert all(m.sharding.is_equivalent_to(cs, ndim=2) for m in head_leaves)
+
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    state, m1 = trainer._train_step(state, db, jax.random.key(1))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        state.params, before)         # accumulating: params untouched
+    state, m2 = trainer._train_step(state, db, jax.random.key(1))
+    assert np.isfinite(float(m2["loss"]))
+    delta = np.abs(np.asarray(state.params["tag_head"]["weight"])
+                   - before["tag_head"]["weight"]).max()
+    assert delta > 1e-6               # optimizer fired on the 2nd micro-step
+
+
 def test_cli_multilabel_model_parallel(tmp_path):
     """`cli train multilabel --model_parallel 2` end-to-end on the 8-device
     CPU mesh (VERDICT round-1 'done' criterion)."""
