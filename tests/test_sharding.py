@@ -158,6 +158,43 @@ def test_model_parallel_full_train_step_matches_replicated():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_train_step_hlo_collectives():
+    """Compile-level SPMD check: the partitioner must turn our sharding
+    annotations into the expected collective structure (the scaling-book
+    recipe — annotate, let XLA insert collectives, verify).
+
+    * pure DP (8x1): gradient all-reduces only — params are replicated, so
+      no resharding all-gathers belong in the step
+    * DP+MP (4x2, class-sharded heads): additional all-gathers where the
+      [B, C]-sharded head logits meet the (full-C) softmax/loss
+    """
+    from multimodalsimilar_tpu.parallel.mesh import shard_batch
+
+    rng = np.random.default_rng(0)
+    B, S = 16, 12
+    batch = {
+        "input_ids": rng.integers(1, 128, size=(B, S)).astype(np.int32),
+        "attention_mask": np.ones((B, S), np.int32),
+        "lv1_label": rng.integers(0, 8, size=(B,)).astype(np.int32),
+        "lv2_label": rng.integers(0, 16, size=(B,)).astype(np.int32),
+        "tag_label": rng.integers(0, 64, size=(B,)).astype(np.int32),
+    }
+
+    def hlo(mesh, mp):
+        tr = _multilabel_trainer(mesh, mp)
+        db = shard_batch(mesh, batch)
+        state = tr.init_state_from_device_batch(db)
+        return tr._train_step.lower(state, db,
+                                    jax.random.key(1)).compile().as_text()
+
+    dp = hlo(create_mesh(data=8, model=1), False)
+    assert dp.count("all-reduce") > 0          # gradient reductions
+    assert dp.count("all-gather") == 0         # nothing needs resharding
+    mp = hlo(create_mesh(data=4, model=2), True)
+    assert mp.count("all-reduce") > 0
+    assert mp.count("all-gather") > 0          # sharded head -> full softmax
+
+
 def test_model_parallel_composes_with_grad_accum():
     """--model_parallel + --grad_accum together: the path-wise placement
     rule must also shard MultiSteps' accumulated-grad buffers for the head
