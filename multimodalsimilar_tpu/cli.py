@@ -702,7 +702,8 @@ def cmd_eval(args):
     df = read_table(args.data)
     tok = _tokenizer(args)
     src = TextClassificationSource(df, tok, args.text_col, args.label_col,
-                                   args.max_length)
+                                   args.max_length,
+                                   seq_buckets=_seq_buckets(args))
     model = NlpTextClassifier(_bert_config(args.bert_preset),
                               int(df[args.label_col].max()) + 1)
     mesh = _mesh(args)
@@ -1056,6 +1057,8 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--label_col", default="labels")
     ev.add_argument("--max_length", type=int, default=128)
     ev.add_argument("--batch_size", type=int, default=256)
+    ev.add_argument("--seq_buckets", default=None,
+                    help="comma list of shorter seq buckets, e.g. 48,64")
     ev.add_argument("--bert_preset", default="tiny")
     ev.set_defaults(fn=cmd_eval)
 

@@ -185,6 +185,51 @@ def test_weighted_sampler_integration():
     assert len(batches) == 4
 
 
+def test_grad_accum_state_checkpoints_mid_accumulation(tmp_path):
+    """A MultiSteps opt_state (mini_step counter + acc_grads buffers) must
+    round-trip through orbax so a resumed run continues the accumulation
+    window instead of silently dropping half-accumulated grads."""
+    import optax
+
+    from multimodalsimilar_tpu.parallel.mesh import shard_batch
+    from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
+
+    df = _toy_text_problem(32)
+    tok = TextTokenizer.from_corpus(df["spu_name"])
+    model = NlpTextClassifier(BertConfig.tiny(), num_labels=4,
+                              policy=DTypePolicy.full_precision())
+    src = TextClassificationSource(df, tok, max_length=12)
+    mesh = create_mesh()
+
+    def make_trainer():
+        tx = optax.MultiSteps(dual_group_adamw(lambda s: 1e-3,
+                                               lambda s: 1e-2),
+                              every_k_schedule=2)
+        return Trainer(text_arcface_task(model), tx, mesh,
+                       TrainerConfig(log_every=10**9))
+
+    trainer = make_trainer()
+    batch = shard_batch(mesh, next(src.batches(8, shuffle=False)))
+    state = trainer.init_state_from_device_batch(batch)
+    state, _ = trainer._train_step(state, batch, jax.random.key(0))
+    mini = int(jax.tree_util.tree_leaves(
+        [state.opt_state.mini_step])[0])
+    assert mini == 1                       # mid-accumulation
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save(1, state, force=True)
+    fresh = make_trainer()
+    template = fresh.init_state_from_device_batch(batch)
+    restored = ckpt.restore(template=template)
+    assert restored is not None
+    assert int(restored.opt_state.mini_step) == 1
+    # accumulated grads survive bit-exact
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state.opt_state.acc_grads, restored.opt_state.acc_grads)
+
+
 def test_fit_resume_continues_from_checkpoint(tmp_path):
     """--resume semantics: a second fit() picks up the saved step/params and
     margin curriculum instead of starting over (the reference resumes by
