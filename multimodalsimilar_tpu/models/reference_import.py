@@ -110,6 +110,27 @@ def cv_classifier_from_reference(sd: Mapping, config: EfficientNetConfig,
     return params, stats
 
 
+def image_tower_from_reference(sd: Mapping, config: EfficientNetConfig,
+                               use_bn: bool = False) -> Tuple[Dict, Dict]:
+    """-> (params, batch_stats) for models.vision.ImageTower.
+
+    ImageEmb checkpoints (image_emb.py:14-32) hold the timm backbone under
+    ``ptm.`` plus an always-present ``bn_layer`` (dead weights unless
+    use_bn — image_emb.py:18).
+    """
+    sd = _unwrap_dataparallel(sd)
+    backbone_p, backbone_s = efficientnet_params_from_timm(
+        _strip(sd, "ptm."), config)
+    params: Dict = {"backbone": backbone_p}
+    stats: Dict = {"backbone": backbone_s}
+    if use_bn:
+        params["bn_layer"] = {"scale": _np(sd["bn_layer.weight"]),
+                              "bias": _np(sd["bn_layer.bias"])}
+        stats["bn_layer"] = {"mean": _np(sd["bn_layer.running_mean"]),
+                             "var": _np(sd["bn_layer.running_var"])}
+    return params, stats
+
+
 def multimodal_from_reference(sd: Mapping, text_config: BertConfig,
                               image_config: EfficientNetConfig
                               ) -> Tuple[Dict, Dict]:

@@ -419,6 +419,159 @@ def test_train_step_golden(ref, titles):
     jax.tree.map(assert_delta_close, params, params_after_j, params_after_t)
 
 
+def _import_with_stub_timm(module_name, create_model=None):
+    """Import a reference module whose top-level imports need timm /
+    torchvision (neither installed here) by installing minimal stub
+    modules for the import, then removing them."""
+    import importlib
+    import types
+
+    timm_stub = types.ModuleType("timm")
+    if create_model is not None:
+        timm_stub.create_model = create_model
+    timm_data = types.ModuleType("timm.data")
+    timm_data.resolve_data_config = lambda *a, **k: {}
+    tf = types.ModuleType("timm.data.transforms_factory")
+    tf.create_transform = lambda *a, **k: None
+    timm_data.transforms_factory = tf
+    timm_stub.data = timm_data
+    tv = types.ModuleType("torchvision")
+    tv.transforms = types.ModuleType("torchvision.transforms")
+    stubs = {"timm": timm_stub, "timm.data": timm_data,
+             "timm.data.transforms_factory": tf, "torchvision": tv,
+             "torchvision.transforms": tv.transforms}
+    added = [k for k in stubs if k not in sys.modules]
+    sys.modules.update({k: v for k, v in stubs.items() if k in added})
+    sys.path.insert(0, REFERENCE)
+    try:
+        return importlib.import_module(module_name)
+    finally:
+        sys.path.remove(REFERENCE)
+        for k in added:
+            sys.modules.pop(k, None)
+
+
+_TINY_EFFNET_KW = dict(stages=((1, 8, 1, 1, 3), (6, 16, 2, 2, 3)),
+                       stem_channels=8, head_channels=32,
+                       drop_path_rate=0.0)
+
+
+def test_cv_classifier_golden_with_stub_timm(ref):
+    """Golden parity against the reference's ACTUAL cv_classifier.py — not a
+    restatement of it. timm isn't installed, so a minimal stub provides
+    `timm.create_model` backed by the independently-written TorchEffNet;
+    everything downstream of create_model — the reference's Identity
+    replacement of classifier/global_pool, its own AdaptiveAvgPool2d neck,
+    dropout/fc/bn wiring and ArcFace routing (cv_classifier.py:17-55) —
+    runs the reference's real code and must match CvImageClassifier.
+    """
+    from tests.test_efficientnet import TorchEffNet
+
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    from multimodalsimilar_tpu.models.reference_import import (
+        cv_classifier_from_reference)
+    from multimodalsimilar_tpu.models.vision import CvImageClassifier
+
+    ecfg = EfficientNetConfig(**_TINY_EFFNET_KW)
+
+    class StubBackbone(TorchEffNet):
+        """timm-shaped surface: .classifier.in_features readable, both
+        .classifier and .global_pool replaceable by Identity, forward
+        returning the unpooled feature map once they are."""
+
+        def __init__(self):
+            super().__init__(ecfg)
+            self.classifier = torch.nn.Linear(32, 10)
+            self.global_pool = torch.nn.AdaptiveAvgPool2d(1)
+
+        def forward(self, x):
+            return self.classifier(self.global_pool(
+                TorchEffNet.forward(self, x)))
+
+    ref_cv = _import_with_stub_timm(
+        "cv_classifier", lambda name, pretrained=True: StubBackbone())
+    torch.manual_seed(21)
+    tcv = ref_cv.CvClassifier("stub_effnet", fc_dim=12, num_labels=5,
+                              pretrained=False).eval()
+
+    with torch.no_grad():
+        for mod in tcv.modules():
+            if isinstance(mod, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+                mod.running_mean.normal_(0, 0.3)
+                mod.running_var.uniform_(0.5, 2.0)
+    params, stats = cv_classifier_from_reference(tcv.state_dict(), ecfg)
+    ours = CvImageClassifier(ecfg, num_labels=5, fc_dim=12, policy=FP32)
+
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=(4, 3, 24, 24)).astype(np.float32)
+    label = rng.integers(0, 5, size=4)
+    xt = torch.from_numpy(x)
+    with torch.no_grad():
+        want_emb = tcv.predict_emb(xt).numpy()
+        want_cos = tcv(xt, is_test=True).numpy()
+        want_margin = tcv(xt, label=torch.from_numpy(label).long()).numpy()
+    vars_ = {"params": params, "batch_stats": stats}
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    got_emb = ours.apply(vars_, xj, method=ours.predict_emb)
+    got_cos = ours.apply(vars_, xj, is_test=True)
+    got_margin = ours.apply(vars_, xj, label=jnp.asarray(label))
+    _assert_close(got_emb, want_emb)
+    _assert_close(got_cos, want_cos)
+    np.testing.assert_allclose(np.asarray(got_margin), want_margin,
+                               rtol=1e-4, atol=64 * 1e-4)
+
+
+@pytest.mark.parametrize("use_bn", [False, True])
+def test_image_emb_golden_with_stub_timm(ref, use_bn):
+    """Golden parity against the reference's ACTUAL image_emb.py (ImageEmb:
+    timm backbone with reset_classifier(0) -> optional BatchNorm1d -> L2
+    normalize, image_emb.py:14-32), via the same stub-timm trick."""
+    from tests.test_efficientnet import TorchEffNet
+
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    from multimodalsimilar_tpu.models.reference_import import (
+        image_tower_from_reference)
+    from multimodalsimilar_tpu.models.vision import ImageTower
+
+    ecfg = EfficientNetConfig(**_TINY_EFFNET_KW)
+
+    class StubBackbone(TorchEffNet):
+        """timm num_classes=0 contract: after reset_classifier(0) the
+        forward returns pooled, flattened pre-logits [B, C]."""
+
+        def __init__(self):
+            super().__init__(ecfg)
+            self.classifier = torch.nn.Linear(32, 10)
+
+        def reset_classifier(self, num_classes):
+            assert num_classes == 0
+            self.classifier = torch.nn.Identity()
+
+        def forward(self, x):
+            h = TorchEffNet.forward(self, x).mean((2, 3))
+            return self.classifier(h)
+
+    ref_ie = _import_with_stub_timm("image_emb")
+    torch.manual_seed(31)
+    tie = ref_ie.ImageEmb(StubBackbone(), use_bn=use_bn).eval()
+    with torch.no_grad():
+        for mod in tie.modules():
+            if isinstance(mod, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+                mod.running_mean.normal_(0, 0.3)
+                mod.running_var.uniform_(0.5, 2.0)
+
+    params, stats = image_tower_from_reference(tie.state_dict(), ecfg,
+                                               use_bn=use_bn)
+    ours = ImageTower(ecfg, use_bn=use_bn, policy=FP32)
+    rng = np.random.default_rng(31)
+    x = rng.normal(size=(4, 3, 24, 24)).astype(np.float32)
+    with torch.no_grad():
+        want = tie(torch.from_numpy(x)).numpy()
+    got = ours.apply({"params": params, "batch_stats": stats},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _assert_close(got, want)
+
+
 def test_multilabel_train_loss_golden(ref, titles):
     """The v3_dist training loss — 10*CE(lv1) + 5*CE(lv2) + 1*CE(tag)
     (nlp_classifier_train_daodian_v3_dist.py:164-166) — and its gradients,
