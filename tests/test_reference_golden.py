@@ -10,9 +10,13 @@ assert our Flax models reproduce the reference modules' outputs (<1e-4) on
 titles from the reference's checked-in test.csv. If any semantic drifts from
 the real reference code, these fail.
 
-The CV/timm-dependent reference files (cv_classifier.py, image_emb.py) import
-timm, which is not installed here; their parity lives in
-test_reference_import.py against a structural torch restatement.
+The CV/timm-dependent reference files (cv_classifier.py, image_emb.py,
+multimodal_classifier.py) import timm/torchvision, which are not installed
+here; a minimal stub-module set (timm.create_model backed by the
+independently-written TorchEffNet) lets their REAL code run too, so every
+reference model module is golden-pinned — the only restated piece is the
+timm backbone internals themselves (pinned separately against a hardcoded
+B4 plan in test_efficientnet.py).
 """
 
 import csv
@@ -456,6 +460,27 @@ _TINY_EFFNET_KW = dict(stages=((1, 8, 1, 1, 3), (6, 16, 2, 2, 3)),
                        drop_path_rate=0.0)
 
 
+from tests.test_efficientnet import TorchEffNet as _TorchEffNet  # noqa: E402
+
+
+class _StubTimmBackbone(_TorchEffNet):
+    """timm-shaped torch backbone — module-level so torch.save can pickle
+    whole models holding it, the way production checkpoints were made:
+    .classifier.in_features readable, classifier/global_pool replaceable
+    by Identity, forward returning the unpooled feature map once they are."""
+
+    def __init__(self):
+        from multimodalsimilar_tpu.models.efficientnet import (
+            EfficientNetConfig)
+        super().__init__(EfficientNetConfig(**_TINY_EFFNET_KW))
+        self.classifier = torch.nn.Linear(32, 10)
+        self.global_pool = torch.nn.AdaptiveAvgPool2d(1)
+
+    def forward(self, x):
+        return self.classifier(self.global_pool(
+            _TorchEffNet.forward(self, x)))
+
+
 def test_cv_classifier_golden_with_stub_timm(ref):
     """Golden parity against the reference's ACTUAL cv_classifier.py — not a
     restatement of it. timm isn't installed, so a minimal stub provides
@@ -465,31 +490,14 @@ def test_cv_classifier_golden_with_stub_timm(ref):
     dropout/fc/bn wiring and ArcFace routing (cv_classifier.py:17-55) —
     runs the reference's real code and must match CvImageClassifier.
     """
-    from tests.test_efficientnet import TorchEffNet
-
     from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
     from multimodalsimilar_tpu.models.reference_import import (
         cv_classifier_from_reference)
     from multimodalsimilar_tpu.models.vision import CvImageClassifier
 
     ecfg = EfficientNetConfig(**_TINY_EFFNET_KW)
-
-    class StubBackbone(TorchEffNet):
-        """timm-shaped surface: .classifier.in_features readable, both
-        .classifier and .global_pool replaceable by Identity, forward
-        returning the unpooled feature map once they are."""
-
-        def __init__(self):
-            super().__init__(ecfg)
-            self.classifier = torch.nn.Linear(32, 10)
-            self.global_pool = torch.nn.AdaptiveAvgPool2d(1)
-
-        def forward(self, x):
-            return self.classifier(self.global_pool(
-                TorchEffNet.forward(self, x)))
-
     ref_cv = _import_with_stub_timm(
-        "cv_classifier", lambda name, pretrained=True: StubBackbone())
+        "cv_classifier", lambda name, pretrained=True: _StubTimmBackbone())
     torch.manual_seed(21)
     tcv = ref_cv.CvClassifier("stub_effnet", fc_dim=12, num_labels=5,
                               pretrained=False).eval()
@@ -570,6 +578,84 @@ def test_image_emb_golden_with_stub_timm(ref, use_bn):
     got = ours.apply({"params": params, "batch_stats": stats},
                      jnp.asarray(x.transpose(0, 2, 3, 1)))
     _assert_close(got, want)
+
+
+def test_multimodal_classifier_golden_with_stub_timm(ref, setup, titles,
+                                                     tmp_path):
+    """Golden parity against the reference's ACTUAL multimodal_classifier.py
+    — its torch.load of whole pickled sub-models (multimodal_classifier.py:
+    16-17), L2-normalize + concat fusion, and ArcFace(m=0.5) routing — by
+    pickling a stub-timm CvClassifier and a tiny NlpClassifier to disk the
+    way production checkpoints were made."""
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    from multimodalsimilar_tpu.models.multimodal import MultimodalClassifier
+    from multimodalsimilar_tpu.models.reference_import import (
+        multimodal_from_reference)
+
+    cfg, hf_cfg, t, j = setup
+    ecfg = EfficientNetConfig(**_TINY_EFFNET_KW)
+    ref_cv = _import_with_stub_timm(
+        "cv_classifier", lambda name, pretrained=True: _StubTimmBackbone())
+    ref_mm = _import_with_stub_timm("multimodal_classifier")
+    torch.manual_seed(41)
+    tcv = ref_cv.CvClassifier("stub", fc_dim=12, num_labels=5,
+                              pretrained=False).eval()
+    tnlp = ref["nlp_classifier"].NlpClassifier(BertModel(hf_cfg), 7).eval()
+    with torch.no_grad():
+        for mod in tcv.modules():
+            if isinstance(mod, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+                mod.running_mean.normal_(0, 0.3)
+                mod.running_var.uniform_(0.5, 2.0)
+    cv_path = str(tmp_path / "cv.pt")
+    nlp_path = str(tmp_path / "nlp.pt")
+    torch.save(tcv, cv_path)     # whole pickled modules, like production
+    torch.save(tnlp, nlp_path)
+    emb_size = 12 + cfg.hidden_size
+    # the reference targets torch < 2.6, where torch.load defaulted to
+    # weights_only=False (whole-module pickles); restore that default for
+    # its own torch.load calls (multimodal_classifier.py:16-17)
+    orig_load = torch.load
+    torch.load = lambda f, **kw: orig_load(
+        f, **{**kw, "weights_only": False})
+    try:
+        tmm = ref_mm.MultimodalClassifier("cpu", cv_path, nlp_path,
+                                          emb_size, 13).eval()
+    finally:
+        torch.load = orig_load
+
+    params, stats = multimodal_from_reference(tmm.state_dict(), cfg, ecfg)
+    ours = MultimodalClassifier(cfg, ecfg, num_labels=13,
+                                text_num_labels=7, image_num_labels=5,
+                                fc_dim=12, policy=FP32)
+    rng = np.random.default_rng(41)
+    B = t["input_ids"].shape[0]
+    x = rng.normal(size=(B, 3, 24, 24)).astype(np.float32)
+    label = rng.integers(0, 13, size=B)
+    with torch.no_grad():
+        want_emb = tmm.predict_emb(
+            torch.from_numpy(x), t["input_ids"],
+            query_token_type_ids=t["token_type_ids"],
+            query_attention_mask=t["attention_mask"]).numpy()
+        want_cos = tmm(torch.from_numpy(x), t["input_ids"],
+                       query_token_type_ids=t["token_type_ids"],
+                       query_attention_mask=t["attention_mask"],
+                       is_test=True).numpy()
+        want_margin = tmm(torch.from_numpy(x), t["input_ids"],
+                          query_token_type_ids=t["token_type_ids"],
+                          query_attention_mask=t["attention_mask"],
+                          label=torch.from_numpy(label).long()).numpy()
+    vars_ = {"params": params, "batch_stats": stats}
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    got_emb = ours.apply(vars_, xj, j["input_ids"], j["attention_mask"],
+                         j["token_type_ids"], method=ours.predict_emb)
+    got_cos = ours.apply(vars_, xj, j["input_ids"], j["attention_mask"],
+                         j["token_type_ids"], is_test=True)
+    got_margin = ours.apply(vars_, xj, j["input_ids"], j["attention_mask"],
+                            j["token_type_ids"], label=jnp.asarray(label))
+    _assert_close(got_emb, want_emb)
+    _assert_close(got_cos, want_cos)
+    np.testing.assert_allclose(np.asarray(got_margin), want_margin,
+                               rtol=1e-4, atol=64 * 1e-4)
 
 
 def test_multilabel_train_loss_golden(ref, titles):
