@@ -658,6 +658,86 @@ def test_multimodal_classifier_golden_with_stub_timm(ref, setup, titles,
                                rtol=1e-4, atol=64 * 1e-4)
 
 
+def test_train_trajectory_golden(ref, titles):
+    """30 optimizer steps of the reference loop vs ours on IDENTICAL
+    batches: losses must track step for step. The 1-step golden pins the
+    math; this pins the integration — optimizer state evolving across
+    steps, dual-group routing staying consistent, no slow semantic drift.
+    Float noise compounds through Adam, so the tolerance grows with step.
+    """
+    import jax
+    import optax
+
+    from multimodalsimilar_tpu.train.optim import dual_group_adamw
+    from multimodalsimilar_tpu.train.tasks import text_arcface_task
+
+    vocab = build_char_vocab(titles)
+    cfg = BertConfig.tiny(vocab_size=len(vocab) + 8,
+                          hidden_dropout=0.0, attention_dropout=0.0)
+    hf_cfg = HFBertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_act="gelu", attn_implementation="eager",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    tok = TextTokenizer.from_vocab(vocab)
+    batch = tok(titles, max_length=24)
+    t = {k: torch.from_numpy(v).long() for k, v in batch.items()}
+    rng = np.random.default_rng(17)
+    n_steps = 30
+    labels = rng.integers(0, 13, size=(n_steps,
+                                       batch["input_ids"].shape[0]))
+
+    torch.manual_seed(17)
+    tref = ref["nlp_classifier"].NlpClassifier(BertModel(hf_cfg), 13)
+    tref.train()
+    params = nlp_classifier_from_reference(
+        {k: v.detach().clone() for k, v in tref.state_dict().items()}, cfg)
+    opt_emb = torch.optim.AdamW(tref.emb_layer.parameters(), lr=5e-5)
+    opt_fc = torch.optim.AdamW(tref.classifier.parameters(), lr=1e-2)
+    ce = torch.nn.CrossEntropyLoss()
+    torch_losses = []
+    for s in range(n_steps):
+        lab = torch.from_numpy(labels[s]).long()
+        logits = tref(t["input_ids"],
+                      query_token_type_ids=t["token_type_ids"],
+                      query_attention_mask=t["attention_mask"], label=lab)
+        loss = ce(logits, lab)
+        opt_emb.zero_grad()
+        opt_fc.zero_grad()
+        loss.backward()
+        opt_emb.step()
+        opt_fc.step()
+        torch_losses.append(float(loss.detach()))
+    assert torch_losses[-1] < torch_losses[0]    # it actually learns
+
+    ours = NlpTextClassifier(cfg, num_labels=13, policy=FP32)
+    task = text_arcface_task(ours)
+    tx = dual_group_adamw(lambda s: 5e-5, lambda s: 1e-2,
+                          weight_decay=0.01)   # torch AdamW default wd
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        (loss, _), grads = jax.value_and_grad(
+            task.train_loss, has_aux=True)(params, None, batch,
+                                           jax.random.key(0),
+                                           ours.arcface.m)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    opt_state = tx.init(params)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    jax_losses = []
+    for s in range(n_steps):
+        jbs = dict(jb, labels=jnp.asarray(labels[s].astype(np.int32)))
+        params, opt_state, loss = step(params, opt_state, jbs)
+        jax_losses.append(float(loss))
+
+    for s, (a, b) in enumerate(zip(jax_losses, torch_losses)):
+        assert abs(a - b) <= 1e-3 + 2e-3 * s, (s, a, b)
+
+
 def test_multilabel_train_loss_golden(ref, titles):
     """The v3_dist training loss — 10*CE(lv1) + 5*CE(lv2) + 1*CE(tag)
     (nlp_classifier_train_daodian_v3_dist.py:164-166) — and its gradients,
