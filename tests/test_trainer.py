@@ -143,6 +143,49 @@ def test_grad_accum_matches_big_batch():
         s_big.params, s_acc.params)
 
 
+def test_fit_with_buckets_accum_and_curriculum(tmp_path):
+    """Integration capstone: full fit() with seq buckets (multiple compiled
+    step shapes), gradient accumulation, margin curriculum, mid-run eval
+    (drop_remainder=False partial batches) and checkpointing all at once —
+    the combinations the per-feature tests exercise separately."""
+    import optax
+
+    df = _toy_text_problem(96)
+    # force real length variation so buckets actually switch
+    df["spu_name"] = [s + "水" * (i % 7) for i, s in
+                      enumerate(df["spu_name"])]
+    tok = TextTokenizer.from_corpus(df["spu_name"])
+    model = NlpTextClassifier(BertConfig.tiny(), num_labels=4,
+                              policy=DTypePolicy.full_precision())
+    src = TextClassificationSource(df, tok, max_length=16,
+                                   seq_buckets=(10, 13))
+    mesh = create_mesh()
+    tx = optax.MultiSteps(
+        dual_group_adamw(linear_schedule_with_warmup(5e-4, 0, 100),
+                         linear_schedule_with_warmup(5e-2, 5, 100)),
+        every_k_schedule=2)
+    cfg = TrainerConfig(eval_every=5, save_every=7, log_every=10**9,
+                        checkpoint_dir=str(tmp_path / "ckpt"),
+                        metrics_path=str(tmp_path / "metrics.jsonl"),
+                        margin_init=0.2, margin_delta_per_epoch=0.04)
+    trainer = Trainer(text_arcface_task(model), tx, mesh, cfg)
+    state = trainer.fit(src, num_epochs=3, batch_size=16, eval_source=src)
+    assert state is not None
+    assert float(state.margin) == pytest.approx(0.2 + 3 * 0.04)
+    assert trainer.ckpt.latest_step() is not None
+    restored = trainer.ckpt.restore(template=state)
+    assert restored is not None
+    # the run logged both train and eval windows
+    import json as _json
+    lines = [
+        _json.loads(ln)
+        for ln in open(tmp_path / "metrics.jsonl", encoding="utf-8")]
+    assert any("eval/acc" in ln for ln in lines)
+    # and a second fit resumes cleanly from the checkpoint
+    state2 = trainer.fit(src, num_epochs=1, batch_size=16, resume=True)
+    assert int(state2.step) > int(state.step) - 20
+
+
 def test_fit_loss_decreases_and_checkpoints(tmp_path):
     df = _toy_text_problem(128)
     tok = TextTokenizer.from_corpus(df["spu_name"])
