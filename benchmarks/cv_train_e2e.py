@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def main(n=480, epochs=3, image_size=512, batch=24):
+def main(n=480, epochs=3, image_size=512, batch=24,
+         backbone="efficientnet_b4"):
     import cv2
 
     from multimodalsimilar_tpu.cli import _enable_compile_cache
@@ -55,7 +56,7 @@ def main(n=480, epochs=3, image_size=512, batch=24):
     df = pd.DataFrame({"goods_sku": [str(i) for i in range(n)],
                        "tag_new_id": rng.integers(0, 64, n)})
 
-    model = CvImageClassifier(backbone_config("efficientnet_b4"),
+    model = CvImageClassifier(backbone_config(backbone),
                               num_labels=64, fc_dim=512)
     mesh = create_mesh()
 
@@ -96,4 +97,4 @@ def main(n=480, epochs=3, image_size=512, batch=24):
 
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]))
+    main(*(int(a) if a.isdigit() else a for a in sys.argv[1:]))
