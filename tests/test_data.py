@@ -148,6 +148,21 @@ def test_bucket_parsing_accepts_all_spellings():
     assert src.seq_buckets == [8, 16]
 
 
+def test_pair_source_seq_buckets_shared():
+    """Pair batches trim BOTH sides to one shared covering bucket."""
+    df = _pair_df()
+    tok = TextTokenizer.from_corpus(df["title"])
+    src = PairTextSource(df, tok, max_length=16, seq_buckets=(6, 10))
+    for b in src.batches(8, seed=0):
+        sq = b["query_input_ids"].shape[1]
+        st = b["title_input_ids"].shape[1]
+        assert sq == st and sq in (6, 10, 16)
+        need = int(max(b["query_attention_mask"].sum(axis=1).max(),
+                       b["title_attention_mask"].sum(axis=1).max()))
+        assert sq >= need
+        break
+
+
 def test_pair_source_batch_keys():
     df = _pair_df()
     tok = TextTokenizer.from_corpus(df["title"])
