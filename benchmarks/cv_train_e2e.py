@@ -97,4 +97,9 @@ def main(n=480, epochs=3, image_size=512, batch=24,
 
 
 if __name__ == "__main__":
-    main(*(int(a) if a.isdigit() else a for a in sys.argv[1:]))
+    argv = sys.argv[1:]
+    # last arg may be a backbone name; everything else must parse as int
+    kw = {}
+    if argv and not argv[-1].lstrip("-").isdigit():
+        kw["backbone"] = argv.pop()
+    main(*(int(a) for a in argv), **kw)

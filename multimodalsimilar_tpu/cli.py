@@ -147,25 +147,38 @@ def _bert_config(preset: str, remat: bool = False):
     return make(remat=remat)
 
 
+def _opt_step_units(args, steps_per_epoch):
+    """(accum, optimizer steps per epoch, total optimizer steps).
+
+    Schedules advance once per OPTIMIZER step — under --grad_accum K the
+    inner transform (and its schedule counter) fires every K micro-steps,
+    so schedules must be built in optimizer-step units or warmup/decay
+    would stretch K-fold."""
+    accum = int(getattr(args, "grad_accum", 1) or 1)
+    per_epoch = max(steps_per_epoch // accum, 1)
+    return accum, per_epoch, args.epochs * per_epoch
+
+
 def _trainer(task, args, steps_per_epoch, mesh):
     from multimodalsimilar_tpu.train.optim import (
         adamp, cosine_warm_restarts, dual_group, dual_group_adamw,
         linear_schedule_with_warmup, timm_cosine_schedule)
     from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig
-    total = args.epochs * steps_per_epoch
+    accum, opt_steps_per_epoch, total = _opt_step_units(args,
+                                                        steps_per_epoch)
     if args.scheduler == "timm_cosine":
         t_initial = max(args.epochs - args.cooldown_epochs, 1)
         tower_sched = timm_cosine_schedule(
-            args.tower_lr, t_initial, steps_per_epoch, args.warmup_epochs,
-            args.warmup_lr_init, args.lr_min)
+            args.tower_lr, t_initial, opt_steps_per_epoch,
+            args.warmup_epochs, args.warmup_lr_init, args.lr_min)
         head_sched = timm_cosine_schedule(
-            args.head_lr, t_initial, steps_per_epoch, args.warmup_epochs,
-            args.warmup_lr_init, args.lr_min)
+            args.head_lr, t_initial, opt_steps_per_epoch,
+            args.warmup_epochs, args.warmup_lr_init, args.lr_min)
     elif args.scheduler == "cosine_warm_restarts":
         tower_sched = cosine_warm_restarts(args.tower_lr, args.t0_epochs,
-                                           steps_per_epoch)
+                                           opt_steps_per_epoch)
         head_sched = cosine_warm_restarts(args.head_lr, args.t0_epochs,
-                                          steps_per_epoch)
+                                          opt_steps_per_epoch)
     else:
         tower_sched = linear_schedule_with_warmup(args.tower_lr, 0, total)
         head_sched = linear_schedule_with_warmup(
@@ -179,13 +192,12 @@ def _trainer(task, args, steps_per_epoch, mesh):
         tx = dual_group(
             optax.adamw(tower_sched, weight_decay=args.weight_decay),
             optax.adamw(head_sched, weight_decay=args.head_weight_decay))
-    accum = int(getattr(args, "grad_accum", 1) or 1)
     if accum > 1:
         # the reference's _dist recipes train at global batch 8x128 / 2048
         # over DataParallel GPUs (nlp_classifier_train_daodian_v2_dist.py:32,
         # .._v3_dist.py:33); K accumulation micro-steps reproduce the same
         # effective batch on fewer chips. eval_every/save_every/log_every
-        # count micro-steps, and schedules advance per optimizer step.
+        # count micro-steps; schedules above are in optimizer-step units.
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     cfg = TrainerConfig(
         eval_every=args.eval_every, save_every=args.save_every,
@@ -710,15 +722,21 @@ def cmd_eval(args):
     trainer = Trainer(text_arcface_task(model),
                       dual_group_adamw(lambda s: 0.0, lambda s: 0.0), mesh,
                       TrainerConfig(log_every=10**9))
-    batch = next(src.batches(args.batch_size, shuffle=False))
+    # drop_remainder=False: shapes only — and datasets smaller than the
+    # batch size must not yield an empty iterator
+    batch = next(src.batches(args.batch_size, shuffle=False,
+                             drop_remainder=False))
     from multimodalsimilar_tpu.parallel.mesh import shard_batch
     state = trainer.init_state_from_device_batch(shard_batch(mesh, batch))
     if args.checkpoint:
         restored = CheckpointManager(args.checkpoint).restore(template=state)
         if restored is not None:
             state = restored
+    # drop_remainder=False: evaluate the WHOLE split (matching trainer.fit's
+    # in-loop eval), not just the full batches
     metrics = trainer.evaluate(state, src.batches(args.batch_size,
-                                                  shuffle=False))
+                                                  shuffle=False,
+                                                  drop_remainder=False))
     print(json.dumps({k: float(v) for k, v in metrics.items()}))
 
 

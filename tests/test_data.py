@@ -153,14 +153,16 @@ def test_pair_source_seq_buckets_shared():
     df = _pair_df()
     tok = TextTokenizer.from_corpus(df["title"])
     src = PairTextSource(df, tok, max_length=16, seq_buckets=(6, 10))
+    n_batches = 0
     for b in src.batches(8, seed=0):
+        n_batches += 1
         sq = b["query_input_ids"].shape[1]
         st = b["title_input_ids"].shape[1]
         assert sq == st and sq in (6, 10, 16)
         need = int(max(b["query_attention_mask"].sum(axis=1).max(),
                        b["title_attention_mask"].sum(axis=1).max()))
         assert sq >= need
-        break
+    assert n_batches > 1
 
 
 def test_pair_source_batch_keys():

@@ -228,6 +228,39 @@ def test_weighted_sampler_integration():
     assert len(batches) == 4
 
 
+def test_grad_accum_schedule_units():
+    """Schedules advance once per OPTIMIZER step: under MultiSteps(K) the
+    inner schedule counter moves every K micro-steps, so the CLI must size
+    schedules in optimizer-step units (review finding: micro-step-unit
+    schedules stretched warmup/decay K-fold)."""
+    import argparse
+
+    import optax
+
+    from multimodalsimilar_tpu.cli import _opt_step_units
+
+    a = argparse.Namespace(grad_accum=4, epochs=2)
+    assert _opt_step_units(a, 80) == (4, 20, 40)
+    a = argparse.Namespace(grad_accum=1, epochs=2)
+    assert _opt_step_units(a, 80) == (1, 80, 160)
+
+    # the premise: each MultiSteps firing consumes exactly ONE schedule step
+    total_opt = 5
+    sched = linear_schedule_with_warmup(1e-2, 0, total_opt)
+    tx = optax.MultiSteps(optax.sgd(sched), every_k_schedule=2)
+    params = {"w": jnp.ones(3)}
+    st = tx.init(params)
+    g = {"w": jnp.ones(3)}
+    fired = []
+    for _ in range(10):                     # 10 micro = 5 optimizer steps
+        up, st = tx.update(g, st, params)
+        u = float(up["w"][0])
+        if u != 0.0:
+            fired.append(u)
+    np.testing.assert_allclose(
+        fired, [-float(sched(t)) for t in range(total_opt)], rtol=1e-6)
+
+
 def test_grad_accum_state_checkpoints_mid_accumulation(tmp_path):
     """A MultiSteps opt_state (mini_step counter + acc_grads buffers) must
     round-trip through orbax so a resumed run continues the accumulation
