@@ -372,7 +372,8 @@ def cmd_train_multimodal(args):
     src = MultimodalSource(df, tok, args.img_root, args.text_col,
                            args.key_col, args.label_col, args.max_length,
                            args.image_size, train_aug=True,
-                           decode_cache=args.decode_cache, emit="uint8")
+                           decode_cache=args.decode_cache, emit="uint8",
+                           seq_buckets=_seq_buckets(args))
     model = MultimodalClassifier(
         _bert_config(args.bert_preset, remat=args.remat),
         backbone_config(args.backbone),
@@ -906,6 +907,9 @@ def build_parser() -> argparse.ArgumentParser:
     t_mm.add_argument("--backbone", default="efficientnet_b4")
     t_mm.add_argument("--decode_cache", default=None,
                       help="directory for a resized-uint8 decode cache")
+    t_mm.add_argument("--seq_buckets", default=None,
+                      help="comma list of shorter text seq buckets, "
+                           "e.g. 48,64")
     t_mm.set_defaults(fn=cmd_train_multimodal, batch_size=48, margin=0.5)
 
     t_ft = train.add_parser("fasttext", allow_abbrev=False)

@@ -232,9 +232,11 @@ class MultimodalSource:
                  max_length: int = 128, image_size: int = 380,
                  train_aug: bool = False,
                  decode_cache: Optional[str] = None,
-                 emit: str = "float32"):
+                 emit: str = "float32",
+                 seq_buckets: Optional[Sequence[int]] = None):
         self.text = TextClassificationSource(df, tokenizer, text_col,
-                                             label_col, max_length)
+                                             label_col, max_length,
+                                             seq_buckets=seq_buckets)
         self.image = ImageClassificationSource(
             df, img_root, key_col, label_col, image_size, train_aug,
             decode_cache=decode_cache, emit=emit)
