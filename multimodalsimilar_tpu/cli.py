@@ -416,7 +416,17 @@ def cmd_embed_incremental(args):
     sink = ParquetTableSink(args.table)
     kind = getattr(args, "kind", "text")
     if kind == "cv":
+        # goodssku_emb_cv_di.py is a FULL REBUILD despite the _di name: it
+        # re-reads every cached emb.txt for today's catalog and overwrites
+        # the table, so refreshed embeddings replace stale rows and
+        # departed SKUs drop out (:83-119)
+        from multimodalsimilar_tpu.pipelines.embed import rebuild_export
         embed_fn = _build_cv_embed_fn(args)
+        n = rebuild_export(df, embed_fn, sink, key_col=args.key_col,
+                           dt=args.dt)
+        print(json.dumps({"written": n, "table": args.table,
+                          "mode": "rebuild"}))
+        return
     elif kind == "fasttext":
         import pickle
         with open(args.fasttext_model, "rb") as f:
@@ -647,13 +657,18 @@ def cmd_similar_daodian(args):
 
 
 def _sku_to_spusn(area_df, emb, args):
-    """Embed by goods_sku (image folders) but key the result by spu_sn."""
-    sku_of = dict(zip(area_df[args.sku_col].astype(str),
-                      area_df[args.key_col]))
+    """Embed by goods_sku (image folders) but key the result by spu_sn.
+
+    Several spu_sns may share one goods_sku (same product listed twice) —
+    every spu_sn gets its sku's embedding, like the reference's per-row
+    loop (daodian_infer.py:256-288), not just the last one."""
+    skus = area_df[args.sku_col].astype(str).tolist()
+    spusns = area_df[args.key_col].tolist()
     by_sku = emb.embed_keys(
-        list(sku_of), lambda kk: [os.path.join(args.img_root, kk, f"{j}.jpg")
-                                  for j in range(8)])
-    return {sku_of[k]: v for k, v in by_sku.items()}
+        sorted(set(skus)),
+        lambda kk: [os.path.join(args.img_root, kk, f"{j}.jpg")
+                    for j in range(8)])
+    return {sp: by_sku[sk] for sk, sp in zip(skus, spusns) if sk in by_sku}
 
 
 def cmd_embed_bulk(args):
@@ -1052,7 +1067,9 @@ def build_parser() -> argparse.ArgumentParser:
     s_dd.add_argument("--redis_port", type=int, default=6379)
     s_dd.add_argument("--redis_db", type=int, default=15)
     s_dd.add_argument("--redis_password", default=None)
-    s_dd.add_argument("--exp_seconds", type=int, default=7 * 24 * 3600)
+    s_dd.add_argument("--exp_seconds", type=int, default=None,
+                      help="KV TTL; default 7d for v1 keys, 1.5d when "
+                           "--date_keyed (daodian_infer_v2_*.py:342)")
     s_dd.add_argument("--profile", default=None, metavar="DIR",
                 help="jax.profiler trace of the job to DIR")
     s_dd.set_defaults(fn=cmd_similar_daodian)

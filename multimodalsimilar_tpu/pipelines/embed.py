@@ -1,11 +1,20 @@
-"""Bulk and incremental embedding export jobs.
+"""Bulk, incremental, and rebuild embedding export jobs.
 
 * ``bulk_export``        <- goodssku_emb.py:145-202 — embed every key with
-  one or more embedders, outer-merge into one table, overwrite the warehouse.
-* ``incremental_export`` <- goodssku_emb_{bert,fasttext,cv}_di.py — daily
+  one or more embedders, outer-merge into one table, overwrite the
+  warehouse. The reference bulk job serializes RAW values: unnormalized,
+  ','-joined with no brackets (goodssku_emb.py:92-93,114-115,131-133) —
+  only the _di incremental variants normalize and bracket.
+* ``incremental_export`` <- goodssku_emb_{bert,fasttext}_di.py — daily
   delta: skip keys already in the table (goodssku_emb_bert_di.py:126-129),
-  embed the rest in batches, L2-normalize, serialize as '[x,y,...]' strings
-  (:85-87), append via the sink's overwrite-tmp semantics.
+  embed the rest, L2-normalize, serialize as '[x,y,...]' strings (:85-87),
+  write ONCE at the end (the reference buffers row-chunks in memory and
+  persists one table, :88-95,148-154 — per-chunk table rewrites would be
+  quadratic I/O).
+* ``rebuild_export``     <- goodssku_emb_cv_di.py — despite the _di name,
+  the CV job is a FULL REBUILD: it re-reads every cached emb.txt for
+  today's catalog and INSERT OVERWRITEs the whole table (:83-119), so
+  re-embedded SKUs refresh and departed SKUs drop out.
 """
 
 from __future__ import annotations
@@ -18,14 +27,17 @@ import pandas as pd
 from multimodalsimilar_tpu.pipelines.sinks import TableSink
 
 
-def format_embedding(vec: np.ndarray, normalize: bool = True) -> str:
-    """'[x,y,...]' string (goodssku_emb_bert_di.py:84-87)."""
+def format_embedding(vec: np.ndarray, normalize: bool = True,
+                     brackets: bool = True) -> str:
+    """'[x,y,...]' (goodssku_emb_bert_di.py:84-87) or the bulk job's raw
+    'x,y,...' (goodssku_emb.py:92-93) serialization."""
     v = np.asarray(vec, np.float32)
     if normalize:
         n = float(np.linalg.norm(v))
         if n > 0:
             v = v / n
-    return "[" + ",".join(str(float(x)) for x in v) + "]"
+    body = ",".join(str(float(x)) for x in v)
+    return f"[{body}]" if brackets else body
 
 
 def parse_embedding(s: str) -> np.ndarray:
@@ -46,25 +58,52 @@ def incremental_export(
     """Embed only keys missing from the sink; returns #rows written.
 
     ``embed_fn(sub_df) -> {key: vector}`` lets text/cv/fasttext jobs plug in
-    their embedder; buffered appends mirror the reference's chunks of 1000.
+    their embedder. Embedding runs in ``buffer_rows`` chunks (bounded
+    memory, like the reference's chunks of 1000) but the table is written
+    once at the end — appending per chunk would re-read and rewrite the
+    whole parquet each time.
     """
     existing = sink.existing_keys(key_col)
     todo = df[~df[key_col].astype(str).isin(existing)]
-    written = 0
+    rows = []
     for s in range(0, len(todo), buffer_rows):
         chunk = todo.iloc[s: s + buffer_rows]
-        embs = embed_fn(chunk)
-        rows = []
-        for key, vec in embs.items():
+        for key, vec in embed_fn(chunk).items():
             row = {key_col: str(key),
                    emb_col: format_embedding(vec, normalize)}
             if dt is not None:
                 row["dt"] = dt
             rows.append(row)
-        if rows:
-            sink.append(pd.DataFrame(rows))
-            written += len(rows)
-    return written
+    if rows:
+        sink.append(pd.DataFrame(rows))
+    return len(rows)
+
+
+def rebuild_export(
+    df: pd.DataFrame,
+    embed_fn: Callable[[pd.DataFrame], Dict[str, np.ndarray]],
+    sink: TableSink,
+    key_col: str = "goods_sku",
+    emb_col: str = "embedding",
+    dt: Optional[str] = None,
+    normalize: bool = True,
+    buffer_rows: int = 1000,
+) -> int:
+    """Embed EVERY key in today's catalog and overwrite the whole table
+    (goodssku_emb_cv_di.py semantics): refreshed embeddings replace stale
+    rows and keys absent from the catalog are dropped."""
+    rows = []
+    for s in range(0, len(df), buffer_rows):
+        chunk = df.iloc[s: s + buffer_rows]
+        for key, vec in embed_fn(chunk).items():
+            row = {key_col: str(key),
+                   emb_col: format_embedding(vec, normalize)}
+            if dt is not None:
+                row["dt"] = dt
+            rows.append(row)
+    sink.overwrite(pd.DataFrame(rows) if rows
+                   else pd.DataFrame(columns=[key_col, emb_col]))
+    return len(rows)
 
 
 def bulk_export(
@@ -72,17 +111,22 @@ def bulk_export(
     embedders: Dict[str, Callable[[pd.DataFrame], Dict[str, np.ndarray]]],
     sink: TableSink,
     key_col: str = "goods_sku",
-    normalize: bool = True,
+    normalize: bool = False,
+    brackets: bool = False,
 ) -> pd.DataFrame:
     """Run several embedders over all keys and outer-merge columns
     (goodssku_emb.py builds fasttext/bert/cv columns then outer-merges
-    :183-195). Overwrites the sink with the merged table."""
+    :183-195). Overwrites the sink with the merged table.
+
+    Defaults serialize the way the reference bulk job does — raw values,
+    no normalization, no brackets (:92-93,114-115,131-133); pass
+    normalize=True, brackets=True for the _di-style format instead."""
     merged: Optional[pd.DataFrame] = None
     for name, embed_fn in embedders.items():
         embs = embed_fn(df)
         part = pd.DataFrame(
             {key_col: [str(k) for k in embs],
-             f"{name}_emb": [format_embedding(v, normalize)
+             f"{name}_emb": [format_embedding(v, normalize, brackets)
                              for v in embs.values()]})
         merged = part if merged is None else merged.merge(
             part, on=key_col, how="outer")

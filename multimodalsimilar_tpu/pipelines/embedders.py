@@ -214,7 +214,11 @@ class ImageEmbedder:
             loaded = []
             for p in paths_for_key(key):
                 if not os.path.exists(p):
-                    continue  # sequentially-numbered images end here
+                    break  # sequentially-numbered images END at the first
+                    # gap (daodian_infer.py:269-280 stops at the first
+                    # unreadable {j}.jpg; a folder without 0.jpg yields
+                    # nothing and the key is skipped, like the reference's
+                    # per-row exception path)
                 img = I.load_eval(p, self.image_size, normalize_host=False)
                 if img is not None:
                     loaded.append(img)

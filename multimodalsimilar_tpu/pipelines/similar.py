@@ -44,6 +44,10 @@ def nlp_similar_job(df: pd.DataFrame, embed_texts, sink: KVSink,
                     text_col: str = "spu_name", key_col: str = "spu_sn",
                     k: int = 13, score_th: float = 0.9,
                     ttl_seconds: int = WEEK, mesh=None) -> int:
+    """Divergence kept ON PURPOSE: the reference loop (nlp_infer.py:161-163)
+    has no self/dedup check beyond skipping rank 0, so with duplicate
+    spu_sn rows it can write a key as its own neighbor; we always drop
+    same-key neighbors and dedup (see retrieval/filters.py docstring)."""
     emb = embed_texts(df[text_col].astype(str).tolist())
     engine = SimilarityEngine(emb, df[key_col].tolist(), metric="ip",
                               normalize=True, mesh=mesh)
@@ -80,7 +84,9 @@ def daodian_similar_job(
     cv_score_th: float = 0.15,
     ann_cnt_nlp: int = 100,
     ann_cnt_cv: int = 26,
-    ttl_seconds: int = WEEK,
+    ttl_seconds: Optional[int] = None,   # default: WEEK for v1 keys,
+                                         # DAY_AND_HALF when date-keyed
+                                         # (daodian_infer_v2_*.py:342)
     date_key: Optional[str] = None,   # 'yyyymmdd' -> v2 date-keyed writes
     dt_col: Optional[str] = None,     # with a target date: v2 history filter
     target_dt: Optional[str] = None,  # dt value neighbors must carry (raw
@@ -112,8 +118,19 @@ def daodian_similar_job(
     merged_all: Dict[str, List[str]] = {}
     key_fn = ((lambda s: f"{date_key}:{s}") if date_key
               else (lambda s: s))
+    if ttl_seconds is None:
+        ttl_seconds = DAY_AND_HALF if date_key else WEEK
     require_dt = target_dt if target_dt is not None else date_key
     windowed = bool(require_dt and dt_col)
+
+    def norm_dt(v):
+        """'2026-08-16', '20260816', or date objects all compare equal —
+        the reference mixes raw SQL dt values with compacted key dates
+        (daodian_infer_v2_recent_days.py:242 vs :342); comparing them
+        verbatim would silently filter every neighbor out."""
+        return "".join(ch for ch in str(v) if ch.isdigit())
+
+    require_dt = norm_dt(require_dt) if windowed else require_dt
     for area_id in df[area_col].unique():
         area = df[df[area_col] == area_id].reset_index(drop=True)
         # text side: sentence vectors over gen_title'd rows
@@ -125,7 +142,7 @@ def daodian_similar_job(
             k_text = len(area)
         text_engine = SimilarityEngine(
             text_emb, area[key_col].tolist(), area[lv1_col].tolist(),
-            dts=area[dt_col].tolist() if dt_col else None,
+            dts=([norm_dt(v) for v in area[dt_col]] if dt_col else None),
             metric="ip", normalize=True, mesh=mesh)
         # +1: the reference appends, then breaks once len > ann_cnt
         nlp_map = text_engine.similar_map(
@@ -148,7 +165,8 @@ def daodian_similar_job(
             cv_engine = SimilarityEngine(
                 cv_emb, cv_rows[key_col].tolist(),
                 cv_rows[lv2_col].tolist(),
-                dts=cv_rows[dt_col].tolist() if dt_col else None,
+                dts=([norm_dt(v) for v in cv_rows[dt_col]]
+                     if dt_col else None),
                 metric="ip", normalize=True, mesh=mesh)
             cv_map = cv_engine.similar_map(
                 k_cv,

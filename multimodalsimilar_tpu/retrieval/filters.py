@@ -18,6 +18,17 @@ All rules are evaluated as numpy mask algebra — no per-candidate Python.
 At warehouse scale (100k queries x k=100) filtering runs in ~0.5-1 s on one
 CPU where the per-candidate loop it replaced took a minute+; only the final
 group-by-row dict assembly touches Python objects, and only for survivors.
+
+Deliberate divergence on score TIES: the reference drops rank 0
+unconditionally (``I[i][1:]``) on the assumption that rank 0 is the query
+itself. When another row carries an IDENTICAL embedding (duplicate
+products sharing one cached emb.txt), FAISS's index tie-break can put the
+duplicate at rank 0 — the reference then drops the genuinely-similar
+duplicate and keeps the query ITSELF as its own neighbor. We instead drop
+the query row and same-key neighbors wherever they rank, keeping distinct
+duplicate items; on tie-free data the two are provably identical
+(differential-tested during review), and on ties ours is the non-buggy
+reading of the intent.
 """
 
 from __future__ import annotations

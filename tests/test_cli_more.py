@@ -48,3 +48,25 @@ def test_cli_embed_bulk(tmp_path, capsys):
     assert out["rows"] == 3
     t = pd.read_parquet(table)
     assert set(t.columns) == {"goods_sku", "bert_emb"}
+
+
+def test_sku_to_spusn_shared_goods_sku():
+    """Two spu_sns sharing one goods_sku BOTH get the sku's embedding
+    (review fix: the dict-zip collapse silently dropped all but the last)."""
+    import argparse
+
+    from multimodalsimilar_tpu.cli import _sku_to_spusn
+
+    class FakeEmb:
+        def embed_keys(self, keys, paths_for_key):
+            assert sorted(keys) == ["1", "2"]      # deduped sku list
+            return {k: np.full(3, float(k)) for k in keys}
+
+    df = pd.DataFrame({"spu_sn": ["a", "b", "c"],
+                       "sku": ["1", "1", "2"]})
+    args = argparse.Namespace(sku_col="sku", key_col="spu_sn",
+                              img_root="/nonexistent")
+    out = _sku_to_spusn(df, FakeEmb(), args)
+    assert set(out) == {"a", "b", "c"}
+    np.testing.assert_allclose(out["a"], out["b"])   # shared sku 1
+    np.testing.assert_allclose(out["c"], np.full(3, 2.0))

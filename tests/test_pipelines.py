@@ -216,6 +216,109 @@ def test_daodian_similar_job(tmp_path, text_embedder):
     assert kv.get("a1") is not None
 
 
+def test_daodian_v2_ttl_and_dt_format(text_embedder):
+    """Review fixes: date-keyed writes default to the reference's 1.5-day
+    TTL (daodian_infer_v2_*.py:342), and raw 'yyyy-mm-dd' dt values match a
+    compacted 'yyyymmdd' date_key (the reference mixes both formats)."""
+    kv = InMemoryKVSink()
+    df = pd.DataFrame({
+        "area_id": [1] * 4,
+        "spu_sn": ["a1", "a2", "a3", "a4"],
+        "title": ["苹果", "苹果", "苹果", "苹果"],
+        "first_level_category_id": [10] * 4,
+        "second_level_category_id": [11] * 4,
+        "dt": ["2026-08-16", "2026-08-16", "2026-08-15", "2026-08-15"]})
+    merged = daodian_similar_job(
+        df, text_embedder, lambda a: {}, kv,
+        nlp_score_th=0.5, date_key="20260816", dt_col="dt",
+        recent_days=2, ttl_seconds=None)
+    # only same-day neighbors survive the window despite the dash format
+    assert merged["a1"] == ["a2"]
+    assert "a3" not in merged["a1"]
+    assert 0 < kv.ttl("20260816:a1") <= int(1.5 * 24 * 3600)
+
+
+def test_rebuild_export_refreshes_and_drops():
+    """goodssku_emb_cv_di.py semantics: full overwrite — re-embedded keys
+    refresh, keys absent from today's catalog drop out."""
+    from multimodalsimilar_tpu.pipelines.embed import (
+        parse_embedding, rebuild_export)
+    sink = InMemoryTableSink()
+    df1 = pd.DataFrame({"goods_sku": ["1", "2"]})
+    vecs = {"1": np.array([1.0, 0.0]), "2": np.array([0.0, 1.0])}
+    embed = lambda sub: {k: vecs[k] for k in sub["goods_sku"]}  # noqa: E731
+    rebuild_export(df1, embed, sink, dt="2026-08-16")
+    assert sink.existing_keys("goods_sku") == {"1", "2"}
+    # day 2: sku 2 departed, sku 1 re-embedded with a NEW vector
+    vecs = {"1": np.array([0.6, 0.8])}
+    rebuild_export(pd.DataFrame({"goods_sku": ["1"]}), embed, sink,
+                   dt="2026-08-17")
+    table = sink.read()
+    assert sink.existing_keys("goods_sku") == {"1"}   # 2 dropped
+    np.testing.assert_allclose(
+        parse_embedding(table.embedding.iloc[0]), [0.6, 0.8], rtol=1e-6)
+
+
+def test_bulk_export_reference_raw_format(text_embedder):
+    """The bulk job writes RAW values: unnormalized, ','-joined, no
+    brackets (goodssku_emb.py:92-93,114-115,131-133); only the _di
+    incremental variants normalize and bracket."""
+    from multimodalsimilar_tpu.pipelines.embed import bulk_export
+    sink = InMemoryTableSink()
+    df = pd.DataFrame({"goods_sku": ["1"], "spu_name": ["商品1"]})
+
+    def embed_fn(sub):
+        return {"1": np.array([3.0, 4.0], np.float32)}
+
+    out = bulk_export(df, {"cv": embed_fn}, sink)
+    s = out["cv_emb"].iloc[0]
+    assert not s.startswith("[")                  # no brackets
+    np.testing.assert_allclose([float(x) for x in s.split(",")],
+                               [3.0, 4.0])       # unnormalized
+
+
+def test_multi_image_stops_at_first_gap(tmp_path, text_embedder):
+    """Sequentially-numbered image sets END at the first missing file
+    (daodian_infer.py:269-280); images after a gap are not averaged in,
+    and a folder without 0.jpg yields no embedding at all."""
+    import cv2
+
+    from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    from multimodalsimilar_tpu.models.vision import CvImageClassifier
+    from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    ecfg = EfficientNetConfig(stages=((1, 8, 1, 1, 3),), stem_channels=8,
+                              head_channels=16, drop_path_rate=0.0)
+    model = CvImageClassifier(ecfg, num_labels=2, fc_dim=4,
+                              policy=DTypePolicy.full_precision())
+    import jax
+    import jax.numpy as jnp
+    variables = model.init({"params": jax.random.key(0)},
+                           jnp.zeros((1, 16, 16, 3)),
+                           label=jnp.zeros(1, jnp.int32))
+    emb = ImageEmbedder(model, variables, image_size=16, batch_size=2)
+    root = str(tmp_path)
+    for key, present in (("k", [0, 1, 3]), ("nolead", [1, 2])):
+        os.makedirs(f"{root}/{key}")
+        for j in present:
+            cv2.imwrite(f"{root}/{key}/{j}.jpg",
+                        np.full((16, 16, 3), 40 * (j + 1), np.uint8))
+
+    def paths(kk):
+        return [f"{root}/{kk}/{j}.jpg" for j in range(8)]
+
+    out = emb.embed_keys(["k", "nolead"], paths)
+    assert "nolead" not in out                    # no 0.jpg -> skipped
+    # 'k' averaged images 0,1 only (3.jpg is after the gap): equal to
+    # embedding the same two images directly
+    direct = emb.embed_paths([f"{root}/k/0.jpg", f"{root}/k/1.jpg"])
+    want = np.mean([direct[f"{root}/k/0.jpg"], direct[f"{root}/k/1.jpg"]],
+                   axis=0)
+    np.testing.assert_allclose(out["k"], want, rtol=1e-4, atol=1e-5)
+
+
 def test_download_and_copy_kv(tmp_path):
     fetched = []
 
