@@ -87,6 +87,10 @@ def _add_common_train_flags(p):
     p.add_argument("--tower_lr", type=float, default=5e-5)
     p.add_argument("--head_lr", type=float, default=1e-2)
     p.add_argument("--head_warmup_frac", type=float, default=0.15)
+    p.add_argument("--tower_warmup_frac", type=float, default=0.0,
+                   help="linear-scheduler warmup fraction for the tower group\n"
+                        "(the single-optimizer pair recipe warms ALL params,\n"
+                        "nlp_st_train_daodian.py:153-156)")
     p.add_argument("--optimizer", choices=["adamw", "adamp"],
                    default="adamw",
                    help="adamp = timm recipe (cv_classifier_train.py:68)")
@@ -114,6 +118,10 @@ def _add_common_train_flags(p):
     p.add_argument("--save_every", type=int, default=1000)
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--weighted_sampling", action="store_true")
+    p.add_argument("--no_clean", action="store_true",
+                   help="tokenize raw titles without preprocess_for_infer — the\n"
+                        "v2/v3 recipes do (nlp_classifier_train_daodian_v2.py:52-53);\n"
+                        "the 796/daodian recipes clean (nlp_classifier_train.py:53)")
     p.add_argument("--margin", type=float, default=0.4)
     p.add_argument("--margin_delta_per_epoch", type=float, default=0.0)
     p.add_argument("--bert_preset", default="tiny",
@@ -180,7 +188,9 @@ def _trainer(task, args, steps_per_epoch, mesh):
         head_sched = cosine_warm_restarts(args.head_lr, args.t0_epochs,
                                           opt_steps_per_epoch)
     else:
-        tower_sched = linear_schedule_with_warmup(args.tower_lr, 0, total)
+        tower_sched = linear_schedule_with_warmup(
+            args.tower_lr,
+            getattr(args, "tower_warmup_frac", 0.0) * total, total)
         head_sched = linear_schedule_with_warmup(
             args.head_lr, args.head_warmup_frac * total, total)
     import optax
@@ -242,6 +252,7 @@ def cmd_train_nlp(args):
     tok = _tokenizer(args, save_dir=args.output, df=df)
     src = TextClassificationSource(df, tok, args.text_col, args.label_col,
                                    args.max_length,
+                                   clean=not args.no_clean,
                                    seq_buckets=_seq_buckets(args))
     num_labels = int(df[args.label_col].max()) + 1
     model = NlpTextClassifier(_bert_config(args.bert_preset,
@@ -255,7 +266,8 @@ def cmd_train_nlp(args):
     if args.eval_data:
         eval_src = TextClassificationSource(
             read_table(args.eval_data), tok, args.text_col, args.label_col,
-            args.max_length, seq_buckets=_seq_buckets(args))
+            args.max_length, clean=not args.no_clean,
+            seq_buckets=_seq_buckets(args))
     trainer.fit(src, args.epochs, args.batch_size, eval_src,
                 sampler_fn=_sampler_fn(args, df, args.label_col),
                 resume=args.resume)
@@ -274,6 +286,7 @@ def cmd_train_multilabel(args):
     cols = [args.lv1_col, args.lv2_col, args.tag_col]
     src = TextClassificationSource(df, tok, args.text_col, cols,
                                    args.max_length,
+                                   clean=not args.no_clean,
                                    seq_buckets=_seq_buckets(args))
     model = NlpMultilabelClassifier(
         _bert_config(args.bert_preset, remat=args.remat),
@@ -287,16 +300,24 @@ def cmd_train_multilabel(args):
         fused_loss=args.fused_loss)
 
     # label columns keep their own names in multi-label batches
-    class Renamed:
-        def batches(self, *a, **kw):
-            for b in src.batches(*a, **kw):
-                b["lv1_label"] = b.pop(args.lv1_col)
-                b["lv2_label"] = b.pop(args.lv2_col)
-                b["tag_label"] = b.pop(args.tag_col)
-                yield b
+    def renamed(source):
+        class Renamed:
+            def batches(self, *a, **kw):
+                for b in source.batches(*a, **kw):
+                    b["lv1_label"] = b.pop(args.lv1_col)
+                    b["lv2_label"] = b.pop(args.lv2_col)
+                    b["tag_label"] = b.pop(args.tag_col)
+                    yield b
+        return Renamed()
 
+    eval_src = None
+    if args.eval_data:
+        eval_src = renamed(TextClassificationSource(
+            read_table(args.eval_data), tok, args.text_col, cols,
+            args.max_length, clean=not args.no_clean,
+            seq_buckets=_seq_buckets(args)))
     trainer = _trainer(task, args, steps, mesh)
-    trainer.fit(Renamed(), args.epochs, args.batch_size,
+    trainer.fit(renamed(src), args.epochs, args.batch_size, eval_src,
                 sampler_fn=_sampler_fn(args, df, args.lv2_col),
                 resume=args.resume)
 
@@ -310,6 +331,11 @@ def cmd_train_cv(args):
     from multimodalsimilar_tpu.train.tasks import cv_arcface_task
 
     df = read_table(args.data, require=[args.key_col, args.label_col])
+    steps_per_epoch = max(len(df) // args.batch_size, 1)
+    if args.eval_every is None:
+        args.eval_every = steps_per_epoch
+    if args.save_every is None:
+        args.save_every = steps_per_epoch
     src = ImageClassificationSource(df, args.img_root, args.key_col,
                                     args.label_col, args.image_size,
                                     train_aug=True,
@@ -348,7 +374,16 @@ def cmd_train_pair(args):
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
     trainer = _trainer(pair_task(model), args, steps, mesh)
-    trainer.fit(src, args.epochs, args.batch_size, resume=args.resume)
+    eval_src = None
+    if args.eval_data:
+        eval_src = PairTextSource(read_table(args.eval_data), tok,
+                                  args.max_length, seed=args.seed,
+                                  seq_buckets=_seq_buckets(args))
+    # the reference class-balances anchors by inverse tag frequency
+    # (nlp_st_train_daodian.py:102-116,131-132)
+    trainer.fit(src, args.epochs, args.batch_size, eval_src,
+                sampler_fn=_sampler_fn(args, src.df, "tag_id"),
+                resume=args.resume)
 
 
 def _tokenizer_pair(args, df):
@@ -895,6 +930,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     t_cv = train.add_parser("cv", allow_abbrev=False)
     _add_common_train_flags(t_cv)
+    # the cv daodian reference evaluates and checkpoints once per EPOCH
+    # (cv_classifier_train_daodian.py:283,298-306) — resolved to
+    # steps-per-epoch in cmd_train_cv when left unset
+    t_cv.set_defaults(eval_every=None, save_every=None)
     t_cv.add_argument("--img_root", required=True)
     t_cv.add_argument("--key_col", default="goods_sku")
     t_cv.add_argument("--image_size", type=int, default=512)
@@ -911,7 +950,11 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common_train_flags(t_pair)
     t_pair.add_argument("--seq_buckets", default=None,
                         help="shared seq buckets for both pair sides, e.g. 32,48")
-    t_pair.set_defaults(fn=cmd_train_pair)
+    # the reference trains ALL params with ONE AdamW at 1e-3, warmup
+    # 0.25*total (nlp_st_train_daodian.py:152-156) — same lr both groups,
+    # same warmup both groups
+    t_pair.set_defaults(fn=cmd_train_pair, tower_lr=1e-3, head_lr=1e-3,
+                        tower_warmup_frac=0.25, head_warmup_frac=0.25)
 
     t_mm = train.add_parser("multimodal", allow_abbrev=False)
     _add_common_train_flags(t_mm)

@@ -143,9 +143,13 @@ def augment_resized(img: np.ndarray, rng: np.random.Generator
         img = cv2.warpAffine(np.ascontiguousarray(img), mat, (size, size),
                              borderMode=cv2.BORDER_REFLECT_101)
     if rng.uniform() < 0.5:
-        # albumentations RandomBrightness(limit=(0.09, 0.6)): scale by 1+beta
+        # albumentations RandomBrightness(limit=(0.09, 0.6)) in the
+        # reference's ToTensorV2-era version (>=0.4) is
+        # RandomBrightnessContrast(brightness_limit=...) with the default
+        # brightness_by_max=True: ADDITIVE img + beta*255, not a scale
+        # (the multiplicative reading only held for <=0.3 releases)
         beta = rng.uniform(0.09, 0.6)
-        img = np.clip(img.astype(np.float32) * (1.0 + beta), 0, 255
+        img = np.clip(img.astype(np.float32) + beta * 255.0, 0, 255
                       ).astype(np.uint8)
     return np.ascontiguousarray(img)
 

@@ -65,23 +65,47 @@ class PairSampler:
         self.df = df.reset_index(drop=True)
         self.rng = np.random.default_rng(seed)
         self.tag_th, self.lv2_th, self.lv1_th = tag_th, lv2_th, lv1_th
-        self._by_tag = self._index(df, "tag_id")
-        self._by_lv2 = self._index(df, "lv2_category_id")
-        self._by_lv1 = self._index(df, "lv1_category_id")
+        self._by_tag = self._index(self.df, "tag_id")
+        self._by_lv2 = self._index(self.df, "lv2_category_id")
+        self._by_lv1 = self._index(self.df, "lv1_category_id")
+        self._titles = self.df["title"].astype(str).values
+        # the reference excludes rows sharing the anchor's sku_sn_name from
+        # every POSITIVE bucket (nlp_st_datasets.py:40,46,52); without the
+        # column, excluding the anchor row itself is the closest reading
+        self._sku = (self.df["sku_sn_name"].values
+                     if "sku_sn_name" in self.df.columns else None)
 
     @staticmethod
     def _index(df: pd.DataFrame, col: str) -> Dict:
         return {k: np.asarray(v) for k, v in
                 df.groupby(col).indices.items()}
 
-    def _pick(self, candidates: np.ndarray, exclude_idx: int) -> Optional[int]:
-        if candidates is None or len(candidates) == 0:
+    def _not_anchor_sku(self, cands: Optional[np.ndarray], idx: int
+                        ) -> Optional[np.ndarray]:
+        """Positive-branch exclusion: drop rows sharing the anchor's
+        sku_sn_name (or the anchor row itself when the column is absent)."""
+        if cands is None or len(cands) == 0:
             return None
-        for _ in range(4):
-            j = int(self.rng.choice(candidates))
-            if j != exclude_idx:
-                return j
-        return None
+        if self._sku is not None:
+            out = cands[self._sku[cands] != self._sku[idx]]
+        else:
+            out = cands[cands != idx]
+        return out if len(out) else None
+
+    def _not_query_title(self, cands: Optional[np.ndarray], query: str
+                         ) -> Optional[np.ndarray]:
+        """Negative-branch exclusion: the reference filters
+        title != query (nlp_st_datasets.py:66,75,83) — a duplicate of the
+        anchor's own title must never be labeled dissimilar."""
+        if cands is None or len(cands) == 0:
+            return None
+        out = cands[self._titles[cands] != str(query)]
+        return out if len(out) else None
+
+    def _pick(self, cands: Optional[np.ndarray]) -> Optional[int]:
+        if cands is None or len(cands) == 0:
+            return None
+        return int(self.rng.choice(cands))
 
     def sample_pair(self, idx: int) -> Tuple[str, str, int]:
         """Return (query_title, pair_title, label) for anchor row idx."""
@@ -93,11 +117,17 @@ class PairSampler:
         if self.rng.uniform() > 0.5:           # positive
             r = self.rng.uniform()
             if r < self.lv1_th:
-                j = self._pick(self._by_lv1.get(lv1), idx)
+                j = self._pick(self._not_anchor_sku(self._by_lv1.get(lv1),
+                                                    idx))
             elif r < self.lv2_th or tag == -1:
-                j = self._pick(self._by_lv2.get(lv2), idx)
+                j = self._pick(self._not_anchor_sku(self._by_lv2.get(lv2),
+                                                    idx))
             elif r < self.tag_th:
-                j = self._pick(self._by_tag.get(tag), idx)
+                # same-tag branch requires a bucket of >2 non-anchor rows
+                # (nlp_st_datasets.py:53)
+                cands = self._not_anchor_sku(self._by_tag.get(tag), idx)
+                j = self._pick(cands) if cands is not None \
+                    and len(cands) > 2 else None
             else:
                 j = None
             label = 1
@@ -109,17 +139,18 @@ class PairSampler:
             if r < self.lv1_th and tag != -1:
                 cands = self._by_lv2.get(lv2)
                 if cands is not None:
-                    mask = self.df["tag_id"].values[cands] != tag
-                    j = self._pick(cands[mask], idx)
+                    cands = cands[self.df["tag_id"].values[cands] != tag]
+                    j = self._pick(self._not_query_title(cands, query))
             elif r < self.lv2_th:
                 cands = self._by_lv1.get(lv1)
                 if cands is not None:
-                    mask = self.df["lv2_category_id"].values[cands] != lv2
-                    j = self._pick(cands[mask], idx)
+                    cands = cands[
+                        self.df["lv2_category_id"].values[cands] != lv2]
+                    j = self._pick(self._not_query_title(cands, query))
             elif r < self.tag_th:
                 all_idx = np.arange(len(self.df))
-                mask = self.df["lv1_category_id"].values != lv1
-                j = self._pick(all_idx[mask], idx)
+                cands = all_idx[self.df["lv1_category_id"].values != lv1]
+                j = self._pick(self._not_query_title(cands, query))
             label = 0
             if j is not None:
                 title = self.df.iloc[j]["title"]

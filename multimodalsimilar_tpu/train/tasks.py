@@ -37,6 +37,12 @@ class Task:
     train_loss: Callable
     eval_metrics: Callable
     has_batch_stats: bool = False
+    # False for tasks whose loss ignores the Trainer's margin state (the
+    # multilabel heads carry fixed per-level margins; the pair loss has no
+    # margin at all) — the Trainer fails loud if a margin curriculum is
+    # configured for such a task instead of logging a curriculum that
+    # never reaches the loss
+    dynamic_margin: bool = True
 
 
 def _ce(logits, labels):
@@ -154,7 +160,8 @@ def multilabel_arcface_task(model, weights=(10.0, 5.0, 1.0),
                 "lv1_acc": _acc(l1, batch["lv1_label"]),
                 "lv2_acc": _acc(l2, batch["lv2_label"])}
 
-    return Task(model, init, train_loss, eval_metrics)
+    return Task(model, init, train_loss, eval_metrics,
+                dynamic_margin=False)
 
 
 def cv_arcface_task(model) -> Task:
@@ -243,4 +250,5 @@ def pair_task(model) -> Task:
         return {"acc": _acc(logits, batch["labels"]),
                 "loss": _ce(logits, batch["labels"])}
 
-    return Task(model, init, train_loss, eval_metrics)
+    return Task(model, init, train_loss, eval_metrics,
+                dynamic_margin=False)

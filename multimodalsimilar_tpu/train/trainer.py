@@ -155,6 +155,13 @@ class Trainer:
         """
         from multimodalsimilar_tpu.utils.profiling import StepTimer
         cfg = self.config
+        if cfg.margin_delta_per_epoch and not getattr(
+                self.task, "dynamic_margin", True):
+            raise ValueError(
+                "margin_delta_per_epoch is configured but this task's loss "
+                "ignores the Trainer's margin state (multilabel heads carry "
+                "fixed per-level margins; the pair loss has none) — the "
+                "curriculum would be logged but never reach the loss")
         rng = jax.random.key(cfg.seed + 1)
         state = None
         resume_requested = resume and self.ckpt is not None \

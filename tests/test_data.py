@@ -90,6 +90,67 @@ def test_pair_sampler_labels_respect_hierarchy():
     assert pos > 30 and neg > 30
 
 
+def test_pair_sampler_reference_exclusions():
+    """Review fixes pinned: negatives never carry the anchor's own title
+    (nlp_st_datasets.py:66,75,83), positives never come from rows sharing
+    the anchor's sku_sn_name (:40,46,52), and the same-tag branch needs a
+    bucket of >2 non-anchor rows (:53)."""
+    n = 60
+    df = pd.DataFrame({
+        # duplicate titles across DIFFERENT tags in the same lv2 bucket —
+        # the case that used to produce (T, T, 0) pairs
+        "title": [f"t{i % 10}" for i in range(n)],
+        "sku_sn_name": [f"s{i % 10}" for i in range(n)],
+        "tag_id": np.arange(n) % 6,
+        "lv2_category_id": np.arange(n) % 3,
+        "lv1_category_id": np.arange(n) % 2})
+    ps = PairSampler(df, seed=3)
+    saw_neg = 0
+    for i in range(200):
+        q, t, label = ps.sample_pair(i % n)
+        if label == 0:
+            saw_neg += 1
+            assert t != q            # never "this string is unlike itself"
+        else:
+            # positives: pair row never shares the anchor's sku_sn_name
+            # (self-pair fallback q==t is the one exception)
+            if t != q:
+                anchor_sku = df["sku_sn_name"].iloc[i % n]
+                pair_skus = set(
+                    df[df["title"] == t]["sku_sn_name"]) - {anchor_sku}
+                assert pair_skus, (q, t)
+    assert saw_neg > 40
+
+    # same-tag positive branch: a 2-row bucket must fall back to self-pair
+    tiny = pd.DataFrame({
+        "title": ["a", "b", "c"], "sku_sn_name": ["1", "2", "3"],
+        "tag_id": [7, 7, 7], "lv2_category_id": [0, 1, 2],
+        "lv1_category_id": [0, 1, 2]})
+    ps2 = PairSampler(tiny, seed=0)
+    for _ in range(60):
+        q, t, label = ps2.sample_pair(0)
+        if label == 1:
+            # lv1/lv2 buckets are singletons; the tag bucket has only 2
+            # non-anchor rows, below the reference's >2 requirement
+            assert t == q
+
+
+def test_brightness_is_additive():
+    """albumentations>=0.4 RandomBrightness adds beta*255 (brightness_by_max)
+    rather than scaling — on a black image a multiplicative version would be
+    a no-op, the reference's additive one lifts every pixel by >=23."""
+    from multimodalsimilar_tpu.data.images import augment_resized
+    img = np.zeros((16, 16, 3), np.uint8)
+    changed = 0
+    for seed in range(12):
+        out = augment_resized(img.copy(), np.random.default_rng(seed))
+        if out.any():
+            changed += 1
+            assert out.min() >= 22           # uniform additive lift
+            assert out.max() == out.min()    # same shift everywhere
+    assert changed >= 3                      # p=0.5 across 12 seeds
+
+
 def test_text_source_static_shapes():
     df = pd.DataFrame({"spu_name": [f"商品{i}号" for i in range(37)],
                        "labels": np.arange(37) % 5})

@@ -228,6 +228,32 @@ def test_weighted_sampler_integration():
     assert len(batches) == 4
 
 
+def test_margin_curriculum_rejected_for_static_margin_tasks():
+    """multilabel/pair losses ignore the Trainer's margin state — a
+    configured curriculum must fail loud, not log a margin that never
+    reaches the loss (review finding)."""
+    from multimodalsimilar_tpu.data.datasets import PairTextSource
+    from multimodalsimilar_tpu.models.classifiers import SiamesePairModel
+    from multimodalsimilar_tpu.train.tasks import pair_task
+
+    df = _toy_text_problem(16).rename(columns={"spu_name": "title"})
+    df["sku_sn_name"] = [f"s{i}" for i in range(len(df))]
+    df["tag_id"] = df["labels"]
+    df["lv2_category_id"] = df["labels"]
+    df["lv1_category_id"] = df["labels"] % 2
+    tok = TextTokenizer.from_corpus(df["title"])
+    src = PairTextSource(df, tok, max_length=12)
+    model = SiamesePairModel(BertConfig.tiny(),
+                             policy=DTypePolicy.full_precision())
+    trainer = Trainer(pair_task(model),
+                      dual_group_adamw(lambda s: 1e-3, lambda s: 1e-3),
+                      create_mesh(),
+                      TrainerConfig(log_every=10**9,
+                                    margin_delta_per_epoch=0.04))
+    with pytest.raises(ValueError, match="margin"):
+        trainer.fit(src, num_epochs=1, batch_size=8)
+
+
 def test_grad_accum_schedule_units():
     """Schedules advance once per OPTIMIZER step: under MultiSteps(K) the
     inner schedule counter moves every K micro-steps, so the CLI must size
