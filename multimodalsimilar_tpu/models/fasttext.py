@@ -33,10 +33,27 @@ EOS = "</s>"
 
 
 def _fnv1a(s: str) -> int:
+    """fastText's FNV-1a: XORs each UTF-8 byte SIGN-EXTENDED to uint32
+    (dictionary.cc hash() does ``uint32_t(int8_t(c))``) — bytes >= 0x80,
+    i.e. every byte of a Chinese character, get the 0xFFFFFF00 high bits.
+    Plain zero-extension diverges from fastText on all non-ASCII words."""
     h = 2166136261
     for b in s.encode("utf-8"):
+        if b >= 0x80:
+            b |= 0xFFFFFF00
         h = (h ^ b) * 16777619 & 0xFFFFFFFF
     return h
+
+
+def _bigram_bucket(h1: int, h2: int, bucket: int) -> int:
+    """fastText addWordNgrams: the uint32 hashes are stored as int32 and
+    sign-extended to uint64 before ``h*116049371 + h2`` (dictionary.cc)."""
+
+    def as_u64(h):                     # uint64(int32(h))
+        return h | 0xFFFFFFFF00000000 if h >= 0x80000000 else h
+
+    h = (as_u64(h1) * 116049371 + as_u64(h2)) & 0xFFFFFFFFFFFFFFFF
+    return h % bucket
 
 
 @dataclasses.dataclass
@@ -83,7 +100,7 @@ class FastTextVocab:
         if word_ngrams >= 2:
             hashes = [_fnv1a(t) for t in toks]
             for i in range(len(toks) - 1):
-                h = (hashes[i] * 116049371 + hashes[i + 1]) % self.bucket
+                h = _bigram_bucket(hashes[i], hashes[i + 1], self.bucket)
                 ids.append(self.nwords + h)
         return ids
 
@@ -104,6 +121,12 @@ class FastTextVocab:
             except Exception:
                 object.__setattr__(self, "_native_failed", True)
         if native is not None:
+            # normalize Unicode whitespace to ASCII spaces first: the C
+            # splitter handles ASCII space classes only, while Python
+            # str.split() (used at vocab build) splits on all of
+            # str.isspace() — full-width U+3000 spaces are common in
+            # Chinese product titles
+            lines = [" ".join(str(l).split()) for l in lines]
             return native.encode_batch(lines, max_tokens, word_ngrams)
         B = len(lines)
         ids = np.zeros((B, max_tokens), np.int32)
@@ -141,8 +164,11 @@ def logits_fn(params: Dict, ids: jnp.ndarray, mask: jnp.ndarray
 
 def sentence_vector(params: Dict, ids: jnp.ndarray, mask: jnp.ndarray
                     ) -> jnp.ndarray:
-    """get_sentence_vector semantics: average of per-token vectors, each
-    divided by its L2 norm (zero-norm tokens contribute zeros)."""
+    """fastText getSentenceVector's UNSUPERVISED branch: average of
+    per-token vectors, each divided by its L2 norm. NB the production
+    serving path uses a SUPERVISED model, whose getSentenceVector is the
+    plain mean of input rows (fasttext.cc model==sup branch) — that is
+    ``hidden_mean``, which FastTextClassifier.get_sentence_vector uses."""
     vecs = params["input"][ids]
     norm = jnp.sqrt(jnp.sum(jnp.square(vecs), -1, keepdims=True))
     unit = jnp.where(norm > 0, vecs / jnp.maximum(norm, 1e-12), 0.0)
@@ -174,8 +200,13 @@ class FastTextClassifier:
         return [self.labels[i] for i in self.predict(texts)]
 
     def get_sentence_vector(self, texts: Sequence[str]) -> np.ndarray:
+        """Supervised-model getSentenceVector = plain mean of input rows
+        (words + bigram buckets), NO per-token normalization — fastText's
+        fasttext.cc takes this branch for model==sup, the model the
+        serving path loads (daodian_infer.py:214,352). The per-token-unit
+        variant is the unsupervised branch (see sentence_vector)."""
         ids, mask = self._encode(texts)
-        return np.asarray(sentence_vector(self.params, ids, mask))
+        return np.asarray(hidden_mean(self.params, ids, mask))
 
     def test(self, texts: Sequence[str], labels: Sequence) -> Tuple[int,
                                                                     float,

@@ -236,10 +236,10 @@ def efficientnet_params_from_timm(state_dict: Mapping[str, "np.ndarray"],
     sd = {k: _np(v) for k, v in state_dict.items()}
 
     def conv(prefix, depthwise=False):
-        w = sd[f"{prefix}.weight"]
-        if depthwise:  # [C,1,k,k] -> [k,k,1,C]
-            return {"kernel": w.transpose(2, 3, 1, 0)}
-        return {"kernel": w.transpose(2, 3, 1, 0)}
+        # one permutation covers both: OIHW -> HWIO, and the depthwise
+        # [C,1,k,k] -> [k,k,1,C] case is the SAME transpose(2, 3, 1, 0)
+        del depthwise
+        return {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0)}
 
     def conv_b(prefix):
         return {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0),

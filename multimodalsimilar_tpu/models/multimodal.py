@@ -26,9 +26,7 @@ from multimodalsimilar_tpu.ops.arcface import ArcFaceParams
 from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
 
 
-def _l2(x):
-    return x / jnp.maximum(
-        jnp.sqrt(jnp.sum(jnp.square(x), -1, keepdims=True)), 1e-12)
+from multimodalsimilar_tpu.ops.arcface import l2_normalize as _l2  # noqa: E402
 
 
 class MultimodalClassifier(nn.Module):

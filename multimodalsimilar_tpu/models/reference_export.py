@@ -38,8 +38,17 @@ def _np32(x) -> np.ndarray:
 
 
 def bert_params_to_torch(params: Mapping, config: BertConfig,
-                         prefix: str = "") -> Dict[str, np.ndarray]:
-    """Inverse of hf_import.bert_params_from_torch (unfused layout)."""
+                         prefix: str = "",
+                         include_position_ids: bool = False
+                         ) -> Dict[str, np.ndarray]:
+    """Inverse of hf_import.bert_params_from_torch (unfused layout).
+
+    ``include_position_ids=True`` also emits the
+    ``embeddings.position_ids`` arange buffer — transformers < 4.31 kept
+    it as a persistent buffer, so strict loading into a BertModel from
+    that era (the reference's vintage) needs the key; newer versions
+    would reject it as unexpected, hence the flag.
+    """
     H = config.hidden_size
     nh = config.num_heads
     hd = H // nh
@@ -54,6 +63,9 @@ def bert_params_to_torch(params: Mapping, config: BertConfig,
         out[f"{prefix}{name}.weight"] = _np32(tree["scale"])
         out[f"{prefix}{name}.bias"] = _np32(tree["bias"])
 
+    if include_position_ids:
+        out[f"{prefix}embeddings.position_ids"] = np.arange(
+            config.max_position_embeddings, dtype=np.int64)[None]
     out[f"{prefix}embeddings.word_embeddings.weight"] = _np32(
         p["word_embeddings"]["embedding"])
     out[f"{prefix}embeddings.position_embeddings.weight"] = _np32(

@@ -82,8 +82,8 @@ class ImageTower(nn.Module):
                                  dtype=self.policy.reduce_dtype,
                                  param_dtype=self.policy.param_dtype,
                                  name="bn_layer")(feats)
-        norm = jnp.sqrt(jnp.sum(jnp.square(feats), -1, keepdims=True))
-        return feats / jnp.maximum(norm, 1e-12)
+        from multimodalsimilar_tpu.ops.arcface import l2_normalize
+        return l2_normalize(feats)
 
 
 class CvImageClassifier(nn.Module):

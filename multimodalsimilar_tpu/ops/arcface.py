@@ -68,10 +68,17 @@ class ArcFaceParams:
         return self
 
 
-def _l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    # Matches torch F.normalize(p=2, eps=1e-12): divide by max(norm, eps).
+def l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """THE row-normalization helper — matches torch F.normalize(p=2,
+    eps=1e-12): divide by max(norm, eps). Every L2 normalize in the
+    package (ArcFace inputs/weights, tower outputs, fusion) goes through
+    this one definition so an eps/dtype change can't drift between
+    copies."""
     norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
     return x / jnp.maximum(norm, _EPS)
+
+
+_l2_normalize = l2_normalize      # internal alias, kept for call sites
 
 
 def cosine_logits(x: jnp.ndarray, weight: jnp.ndarray,

@@ -31,6 +31,9 @@ _EPS = 1e-12
 
 
 def _norm_rows(v):
+    # same contract as ops.arcface.l2_normalize (torch F.normalize) in the
+    # fused-kernel rsqrt form; equal to within one ulp for norm >= eps and
+    # pinned against the plain path by this module's parity tests
     return v * jax.lax.rsqrt(
         jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), _EPS * _EPS))
 
@@ -129,10 +132,10 @@ def _bwd(s, easy_margin, tile_c, res, g):
     def tile_grad(t_idx, w_tile):
         wn32 = w_tile.astype(jnp.float32)
 
-        def tile_loss_contrib(xn_in, w_in):
+        def tile_loss_contrib(xn_in, w_in, m_in):
             """This tile's contribution to (sumexp-part, target-part) of the
-            loss, as a function of *normalized x* and raw tile weights —
-            differentiable, [B,tile] only."""
+            loss, as a function of *normalized x*, raw tile weights, and the
+            margin — differentiable, [B,tile] only."""
             wn = _norm_rows(w_in)
             cosine = jnp.dot(xn_in, wn.T,
                              preferred_element_type=jnp.float32)
@@ -141,7 +144,7 @@ def _bwd(s, easy_margin, tile_c, res, g):
             is_target = col == label[:, None]
             valid = col < c
             logits = _margin_tile(cosine, is_target,
-                                  m, s, easy_margin)
+                                  m_in, s, easy_margin)
             exp_part = jnp.sum(
                 jnp.where(valid, jnp.exp(logits - run_max[:, None]), 0.0),
                 axis=1) / run_sum
@@ -153,29 +156,32 @@ def _bwd(s, easy_margin, tile_c, res, g):
             # as softmax weights, which is what exp_part's grad yields)
             return exp_part, target_part
 
-        def scalarized(xn_in, w_in):
-            e, t = tile_loss_contrib(xn_in, w_in)
+        def scalarized(xn_in, w_in, m_in):
+            e, t = tile_loss_contrib(xn_in, w_in, m_in)
             # d lse / d logits within the tile = softmax = d(e)/d(logits)
             # (e is already normalized by the global run_sum); total loss
             # cotangent: g * (d e_term) - g * (d target term)
             return jnp.sum(g * e) - jnp.sum(g * t)
 
-        return jax.grad(scalarized, argnums=(0, 1))(xn, wn32)
+        return jax.grad(scalarized, argnums=(0, 1, 2))(xn, wn32, m)
 
     def body(carry, inp):
-        dxn_acc = carry
+        dxn_acc, dm_acc = carry
         t_idx, w_tile = inp
-        dxn, dw_tile = tile_grad(t_idx, w_tile)
-        return dxn_acc + dxn, dw_tile
+        dxn, dw_tile, dm = tile_grad(t_idx, w_tile)
+        return (dxn_acc + dxn, dm_acc + dm), dw_tile
 
-    dxn_total, dw_tiles = jax.lax.scan(
-        body, jnp.zeros_like(xn), (jnp.arange(n_tiles), tiles))
+    (dxn_total, dm_total), dw_tiles = jax.lax.scan(
+        body, (jnp.zeros_like(xn), jnp.zeros((), jnp.float32)),
+        (jnp.arange(n_tiles), tiles))
     dw = dw_tiles.reshape(-1, wp.shape[1])[:weight.shape[0]]
 
     # chain dxn -> dx through the row normalization of x
     _, nvjp = jax.vjp(lambda v: _norm_rows(v), x32)
     dx = nvjp(dxn_total)[0].astype(x.dtype)
-    return dx, dw.astype(weight.dtype), None, jnp.zeros(())
+    # dm: only the target entries' phi depends on the margin, and the
+    # per-tile grad above chains softmax - onehot through it exactly
+    return dx, dw.astype(weight.dtype), None, dm_total
 
 
 arcface_ce_loss.defvjp(_fwd, _bwd)

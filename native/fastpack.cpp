@@ -18,11 +18,13 @@
 
 namespace {
 
-// FNV-1a 32-bit over the word's UTF-8 bytes (fastText's hash).
+// FNV-1a 32-bit over the word's UTF-8 bytes. fastText XORs each byte
+// SIGN-EXTENDED (dictionary.cc: uint32_t(int8_t(c))) — bytes >= 0x80
+// (every byte of a CJK char) carry the 0xFFFFFF00 high bits.
 uint32_t fnv1a(const char* s, size_t len) {
     uint32_t h = 2166136261u;
     for (size_t i = 0; i < len; ++i) {
-        h ^= static_cast<uint8_t>(s[i]);
+        h ^= static_cast<uint32_t>(static_cast<int8_t>(s[i]));
         h *= 16777619u;
     }
     return h;
@@ -126,7 +128,11 @@ void ft_encode_batch(void* vp, const char** lines, int32_t n_lines,
                 hashes.push_back(fnv1a(t.data(), t.size()));
             for (size_t i = 0; i + 1 < toks.size() && pos < max_tokens;
                  ++i) {
-                uint64_t h = (uint64_t)hashes[i] * 116049371ull + hashes[i + 1];
+                // fastText stores hashes as int32 and sign-extends them to
+                // uint64 in addWordNgrams (dictionary.cc)
+                uint64_t h1 = (uint64_t)(int64_t)(int32_t)hashes[i];
+                uint64_t h2 = (uint64_t)(int64_t)(int32_t)hashes[i + 1];
+                uint64_t h = h1 * 116049371ull + h2;
                 row_ids[pos] = (int32_t)(v->nwords + (int64_t)(h % v->bucket));
                 row_mask[pos] = 1.0f;
                 ++pos;

@@ -53,6 +53,23 @@ def test_grads_match_naive(problem, tile_c):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_margin_grad_matches_naive(problem):
+    """d loss / d m must be the true gradient (review finding: the custom
+    VJP used to return a silent zero cotangent for the margin)."""
+    x, w, label = problem
+
+    def naive(m):
+        return jnp.mean(_naive_loss(x, w, label, m))
+
+    def fused(m):
+        return jnp.mean(arcface_ce_loss(x, w, label, m, 64.0, False, 64))
+
+    gm0 = jax.grad(naive)(jnp.asarray(0.37))
+    gm1 = jax.grad(fused)(jnp.asarray(0.37))
+    assert float(jnp.abs(gm0)) > 1e-3      # the margin genuinely matters
+    np.testing.assert_allclose(float(gm1), float(gm0), rtol=1e-4)
+
+
 def test_jit_and_dynamic_margin(problem):
     x, w, label = problem
     f = jax.jit(lambda m: jnp.mean(arcface_ce_loss(x, w, label, m)))

@@ -36,7 +36,7 @@ def test_train_supervised_learns_toy_problem():
         d = rng.choice(drink, 2)
         texts.append(" ".join(d) + " 冰镇")
         labels.append("__label__drink")
-    model = train_supervised(texts, labels, dim=16, epochs=10,
+    model = train_supervised(texts, labels, dim=16, epochs=20,
                              bucket=2000, batch_size=64)
     n, p, r = model.test(texts[:100], labels[:100])
     assert n == 100 and p > 0.95
@@ -64,3 +64,27 @@ def test_sentence_vector_unit_token_mean():
     out = np.asarray(sentence_vector(params, ids, mask))[0]
     # tokens normalized to unit then averaged over 3 (zero vec contributes 0)
     np.testing.assert_allclose(out, [1 / 3, 1 / 3], rtol=1e-6)
+
+
+def test_fnv1a_sign_extension_matches_fasttext():
+    """fastText XORs sign-extended bytes (dictionary.cc uint32_t(int8_t(c)))
+    — non-ASCII hashes diverge under plain zero-extension. '红色' pins the
+    real fastText value; ASCII goldens above are extension-invariant."""
+    assert _fnv1a("红色") == 1319368805
+
+
+def test_native_encoder_matches_python_incl_unicode_space():
+    """The native packer must produce byte-identical ids to the Python
+    path, including full-width U+3000 spaces (review finding: the C
+    splitter only knew ASCII whitespace; lines are now normalized)."""
+    lines = ["红色　连衣裙", "苹果 牛奶", "foobar baz 红色"]
+    v = FastTextVocab.build(lines)
+    ids_n, mask_n = v.encode_batch(lines, 16)
+    v2 = FastTextVocab(dict(v.words), v.bucket, v.min_count)
+    object.__setattr__(v2, "_native_failed", True)   # force Python path
+    ids_p, mask_p = v2.encode_batch(lines, 16)
+    if getattr(v, "_native", None) is None:
+        import pytest
+        pytest.skip("native packer unavailable on this host")
+    np.testing.assert_array_equal(ids_n, ids_p)
+    np.testing.assert_array_equal(mask_n, mask_p)
