@@ -87,6 +87,9 @@ class TextTokenizer:
                 pass
 
         def encode(texts: Sequence[str], max_length: int):
+            if max_length < 3:      # [CLS] + >=1 char + [SEP]
+                raise ValueError(
+                    f"max_length must be >= 3, got {max_length}")
             B = len(texts)
             ids = np.full((B, max_length), pad, np.int32)
             mask = np.zeros((B, max_length), np.int32)

@@ -26,12 +26,21 @@ _tried = False
 
 
 def _build() -> bool:
+    # build to a temp path and rename: a concurrent process must never
+    # dlopen a half-written .so (and a killed build must not leave a
+    # corrupt file that shadows future rebuilds)
+    tmp = f"{_LIB}.build.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", "-o", _LIB,
+            ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", "-o", tmp,
              _SRC], check=True, capture_output=True)
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -51,7 +60,15 @@ def load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_LIB)
         except OSError:
-            return None
+            # a stale/corrupt .so (e.g. from an interrupted build of an
+            # older scheme) should not disable the native path forever —
+            # rebuild once and retry
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                return None
         lib.ft_vocab_create.restype = ctypes.c_void_p
         lib.ft_vocab_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
@@ -126,11 +143,18 @@ class NativeCharEncoder:
                                                   unk, cls_id, sep)
 
     def encode_batch(self, lines: Sequence[str], max_length: int):
+        if max_length < 3:
+            # [CLS] + >=1 char + [SEP] minimum; the C packer writes CLS/SEP
+            # unconditionally (a 0-length buffer would be a heap overrun)
+            raise ValueError(f"max_length must be >= 3, got {max_length}")
         n = len(lines)
         ids = np.zeros((n, max_length), np.int32)
         mask = np.zeros((n, max_length), np.int32)
         types = np.zeros((n, max_length), np.int32)
-        arr, keep = _c_strings(list(lines))
+        # strip ALL Unicode whitespace like the Python path and
+        # build_char_vocab (`if not ch.isspace()`) — the C splitter only
+        # knows ASCII space classes (U+3000 would become an UNK token)
+        arr, keep = _c_strings(["".join(l.split()) for l in lines])
         self.lib.char_encode_batch(
             self._handle, arr, n, max_length,
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -38,7 +38,18 @@ def init_distributed(coordinator_address: Optional[str] = None,
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
-    except (ValueError, RuntimeError) as e:  # single-process / already init
+    except (ValueError, RuntimeError) as e:
+        # degrade quietly ONLY for the benign cases (already initialized by
+        # the environment, or a plain single-process run with no cluster
+        # arguments). A real multi-host bring-up failure — explicit
+        # coordinator that cannot be reached, port clash — must not fall
+        # back to N independent single-host jobs doing duplicated work with
+        # exit code 0.
+        already = "already initialized" in str(e).lower()
+        requested_cluster = coordinator_address is not None \
+            or num_processes not in (None, 1)
+        if requested_cluster and not already:
+            raise
         print(f"jax.distributed not initialized ({e}); single-process mode",
               flush=True)
 
@@ -84,16 +95,36 @@ def shard_batch(mesh: Mesh, batch):
     Arrays whose leading dim is not divisible by the data axis are replicated
     (scalars, metadata). This is the single host->device transfer point of a
     training/inference step.
+
+    Multi-host: each process passes its HOST-LOCAL batch slice (what a
+    per-host data loader naturally produces); the slices are assembled into
+    one global array spanning the mesh via
+    ``multihost_utils.host_local_array_to_global_array`` — a bare
+    ``device_put`` with a cross-process sharding would instead require the
+    identical global batch on every host and crash on per-host loaders.
     """
     data_size = mesh.shape[DATA_AXIS]
     sharded = batch_sharding(mesh)
     repl = replicated(mesh)
+    multi_host = jax.process_count() > 1
 
-    def put(x):
-        x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % data_size == 0:
-            return jax.device_put(x, sharded)
-        return jax.device_put(x, repl)
+    if multi_host:
+        from jax.experimental import multihost_utils
+
+        def put(x):
+            x = np.asarray(x)
+            if x.ndim >= 1 and x.shape[0] % max(
+                    data_size // jax.process_count(), 1) == 0:
+                return multihost_utils.host_local_array_to_global_array(
+                    x, mesh, P(DATA_AXIS))
+            return multihost_utils.host_local_array_to_global_array(
+                x, mesh, P())
+    else:
+        def put(x):
+            x = np.asarray(x)
+            if x.ndim >= 1 and x.shape[0] % data_size == 0:
+                return jax.device_put(x, sharded)
+            return jax.device_put(x, repl)
 
     return jax.tree_util.tree_map(put, batch)
 

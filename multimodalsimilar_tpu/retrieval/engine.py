@@ -25,7 +25,7 @@ from multimodalsimilar_tpu.parallel.mesh import DATA_AXIS
 from multimodalsimilar_tpu.retrieval.filters import (
     FilterRules, filter_neighbors, merge_neighbor_maps)
 from multimodalsimilar_tpu.retrieval.knn import (
-    knn_search, l2_normalize_rows, pad_corpus, sharded_knn_search)
+    knn_search, pad_corpus, sharded_knn_search)
 
 
 class SimilarityEngine:
@@ -46,9 +46,14 @@ class SimilarityEngine:
         self.n = emb.shape[0]
         self._normalized = normalize
         if normalize:
-            emb = np.asarray(jax.device_get(
-                l2_normalize_rows(jax.numpy.asarray(emb))))
+            # host numpy, not a device round-trip: through the relay two
+            # dispatches + a full-corpus download per engine cost more than
+            # the normalize itself (the daodian loop builds one engine per
+            # area)
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.maximum(norms, 1e-12)
         self._emb = emb
+        self._corpus_dev = None       # cached device corpus (+ true_n)
 
     # -- device search ----------------------------------------------------
 
@@ -66,20 +71,29 @@ class SimilarityEngine:
         else:
             q = np.asarray(queries, np.float32)
             if self._normalized:
-                q = np.asarray(jax.device_get(
-                    l2_normalize_rows(jax.numpy.asarray(q))))
+                norms = np.linalg.norm(q, axis=1, keepdims=True)
+                q = q / np.maximum(norms, 1e-12)
         sharded = self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1
-        if sharded:
-            corpus, true_n = pad_corpus(self._emb,
-                                        self.mesh.shape[DATA_AXIS],
-                                        self.metric)
-            corpus_dev = jax.numpy.asarray(corpus)
-        else:
-            corpus_dev = jax.numpy.asarray(self._emb)
         k_eff = min(k, self.n)
         if len(q) == 0 or self.n == 0:
             return (np.zeros((len(q), k_eff), np.float32),
                     np.zeros((len(q), k_eff), np.int32))
+        # corpus uploaded ONCE per engine, not per search call — repeated
+        # searches (self-search + external queries, windowed sweeps) were
+        # re-transferring the full [N, D] corpus through the relay each time
+        if self._corpus_dev is None:
+            if sharded:
+                from multimodalsimilar_tpu.retrieval.knn import _next_pow2
+                n_dev = self.mesh.shape[DATA_AXIS]
+                # bucket the padded length so similarly-sized per-area
+                # corpora reuse one compiled sharded program
+                corpus, true_n = pad_corpus(
+                    self._emb, n_dev, self.metric,
+                    target_rows=_next_pow2(self.n, lo=512))
+                self._corpus_dev = (jax.numpy.asarray(corpus), true_n)
+            else:
+                self._corpus_dev = (jax.numpy.asarray(self._emb), self.n)
+        corpus_dev, true_n = self._corpus_dev
         vals_parts, idx_parts = [], []
         for s in range(0, len(q), self.QUERY_CHUNK):
             chunk = jax.numpy.asarray(q[s: s + self.QUERY_CHUNK])

@@ -37,8 +37,8 @@ def l2_normalize_rows(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return x / jnp.maximum(norm, eps)
 
 
-def _scores(queries: jnp.ndarray, corpus_block: jnp.ndarray, metric: str,
-            sq_norm_block: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+def _scores(queries: jnp.ndarray, corpus_block: jnp.ndarray, metric: str
+            ) -> jnp.ndarray:
     """[Q, B] similarity: higher = better (L2 negated internally)."""
     dots = jnp.dot(queries, corpus_block.T,
                    preferred_element_type=jnp.float32)
@@ -46,8 +46,7 @@ def _scores(queries: jnp.ndarray, corpus_block: jnp.ndarray, metric: str,
         return dots
     if metric == "l2":
         qn = jnp.sum(jnp.square(queries), -1, keepdims=True)
-        xn = (sq_norm_block if sq_norm_block is not None
-              else jnp.sum(jnp.square(corpus_block), -1))
+        xn = jnp.sum(jnp.square(corpus_block), -1)
         return -(qn - 2.0 * dots + xn[None, :])
     raise ValueError(f"unknown metric {metric!r}")
 
@@ -204,6 +203,43 @@ def _knn_search(corpus: jnp.ndarray, queries: jnp.ndarray,
     return vals, idx
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_search_fn(mesh: Mesh, k_out: int, local_k: int, metric: str,
+                       block_rows: int, n_dev: int, rows: int, n: int):
+    """Cached compiled sharded search: one program per (mesh, shape)
+    configuration, with ``limit`` (the true corpus length) TRACED so
+    per-area corpus-size changes reuse the same executable — building the
+    shard_map + jit inside sharded_knn_search re-traced every call
+    (measured ~0.47 s/call vs 2 ms warm; through the remote-compile relay
+    a fresh compile per area)."""
+
+    def local(x_shard, q, limit):
+        i_dev = jax.lax.axis_index(DATA_AXIS)
+        # blockwise within the shard: per-device memory is [Q, block_rows],
+        # never [Q, rows] (same bound as the single-chip scan)
+        v, gi = _scan_topk(x_shard, q, limit - i_dev * rows, local_k,
+                           metric, block_rows, index_base=i_dev * rows,
+                           fill_idx=n)
+        v_all = jax.lax.all_gather(v, DATA_AXIS)    # [D, Q, local_k]
+        i_all = jax.lax.all_gather(gi, DATA_AXIS)
+        v_flat = jnp.moveaxis(v_all, 0, 1).reshape(q.shape[0],
+                                                   n_dev * local_k)
+        i_flat = jnp.moveaxis(i_all, 0, 1).reshape(q.shape[0],
+                                                   n_dev * local_k)
+        order = jnp.lexsort((i_flat, -v_flat), axis=-1)[:, :k_out]
+        vals = jnp.take_along_axis(v_flat, order, -1)
+        idx = jnp.take_along_axis(i_flat, order, -1)
+        return vals, idx
+
+    # check_vma=False: outputs are value-identical on every device after the
+    # all_gather + merge, but the varying-axes analysis can't prove it.
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(None, None), P()),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False))
+
+
 def sharded_knn_search(mesh: Mesh, corpus: jax.Array, queries: jax.Array,
                        k: int, metric: str = "ip",
                        true_n: Optional[int] = None,
@@ -231,45 +267,25 @@ def sharded_knn_search(mesh: Mesh, corpus: jax.Array, queries: jax.Array,
 
     block_rows = min(block_rows_hint or
                      _default_block_rows(queries.shape[0]), rows)
-
-    def local(x_shard, q):
-        i_dev = jax.lax.axis_index(DATA_AXIS)
-        # blockwise within the shard: per-device memory is [Q, block_rows],
-        # never [Q, rows] (same bound as the single-chip scan)
-        v, gi = _scan_topk(x_shard, q, limit - i_dev * rows, local_k,
-                           metric, block_rows, index_base=i_dev * rows,
-                           fill_idx=n)
-        v_all = jax.lax.all_gather(v, DATA_AXIS)    # [D, Q, local_k]
-        i_all = jax.lax.all_gather(gi, DATA_AXIS)
-        v_flat = jnp.moveaxis(v_all, 0, 1).reshape(q.shape[0],
-                                                   n_dev * local_k)
-        i_flat = jnp.moveaxis(i_all, 0, 1).reshape(q.shape[0],
-                                                   n_dev * local_k)
-        order = jnp.lexsort((i_flat, -v_flat), axis=-1)[:, :k_out]
-        vals = jnp.take_along_axis(v_flat, order, -1)
-        idx = jnp.take_along_axis(i_flat, order, -1)
-        return vals, idx
-
-    # check_vma=False: outputs are value-identical on every device after the
-    # all_gather + merge, but the varying-axes analysis can't prove it.
-    fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(DATA_AXIS, None), P(None, None)),
-                       out_specs=(P(None, None), P(None, None)),
-                       check_vma=False)
-    vals, idx = jax.jit(fn)(corpus, queries)
+    fn = _sharded_search_fn(mesh, k_out, local_k, metric, block_rows,
+                            n_dev, rows, n)
+    vals, idx = fn(corpus, queries, jnp.asarray(limit, jnp.int32))
     if metric == "l2":
         vals = -vals
     return vals, idx
 
 
-def pad_corpus(corpus: np.ndarray, n_dev: int, metric: str = "ip"
-               ) -> Tuple[np.ndarray, int]:
-    """Pad corpus rows to a multiple of n_dev with rows that can never win
-    (zeros for IP after the index mask — callers must drop idx >= n; for
-    simplicity we use +inf-distance rows for L2 and zero rows for IP and
-    filter by the returned true length)."""
+def pad_corpus(corpus: np.ndarray, n_dev: int, metric: str = "ip",
+               target_rows: Optional[int] = None) -> Tuple[np.ndarray, int]:
+    """Pad corpus rows to a multiple of n_dev (at least ``target_rows`` when
+    given — bucketed targets let similarly-sized corpora share one compiled
+    sharded program) with rows that can never win (zeros for IP after the
+    index mask — callers must drop idx >= n; +inf-distance rows for L2) and
+    filter by the returned true length."""
     n = corpus.shape[0]
-    pad = (-n) % n_dev
+    want = max(n, target_rows or 0)
+    want += (-want) % n_dev
+    pad = want - n
     if pad == 0:
         return corpus, n
     fill = np.zeros((pad, corpus.shape[1]), corpus.dtype)

@@ -63,10 +63,11 @@ def main(pid: int, coordinator: str):
     }
     half = B // 2
     local = {k: v[pid * half:(pid + 1) * half] for k, v in batch.items()}
-    device_batch = {
-        k: multihost_utils.host_local_array_to_global_array(
-            v, mesh, P("data"))
-        for k, v in local.items()}
+    # the production transfer point itself: shard_batch assembles each
+    # process's host-local slice into one global batch-sharded array
+    # (review fix — a bare device_put would crash on per-host loaders)
+    from multimodalsimilar_tpu.parallel.mesh import shard_batch
+    device_batch = shard_batch(mesh, local)
 
     state = trainer.init_state_from_device_batch(device_batch)
     losses = []

@@ -201,3 +201,23 @@ def test_sharded_knn_block_padding_not_aliased_as_neighbors():
         true_n=48, block_rows_hint=4)
     np.testing.assert_array_equal(np.asarray(got_i), want_i)
     np.testing.assert_allclose(np.asarray(got_v), want_v, rtol=1e-5)
+
+
+def test_sharded_search_program_is_cached():
+    """Review fix: the shard_map+jit used to be rebuilt per call (~0.5 s
+    retrace each; a remote compile per area through the relay). Same-config
+    calls must now hit one cached compiled program."""
+    from multimodalsimilar_tpu.retrieval.knn import _sharded_search_fn
+
+    mesh = create_mesh()
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(128, 8)).astype(np.float32)
+    q = rng.normal(size=(4, 8)).astype(np.float32)
+    _sharded_search_fn.cache_clear()
+    for true_n in (100, 90, 100):       # varying true length, same shapes
+        sharded_knn_search(mesh, jnp.asarray(corpus), jnp.asarray(q), 5,
+                           "ip", true_n=true_n)
+    info = _sharded_search_fn.cache_info()
+    # true_n is traced; only k_out differs when min(k, true_n) changes —
+    # here k=5 < both true_ns, so ONE program serves all three calls
+    assert info.misses == 1 and info.hits == 2
