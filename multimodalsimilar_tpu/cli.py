@@ -51,7 +51,7 @@ def _mesh(args=None):
     return create_mesh(model=mp)
 
 
-def _tokenizer(args, save_dir=None, df=None):
+def _tokenizer(args, save_dir=None, df=None, text_col=None):
     """--tokenizer: HF name/dir, or a vocab.txt from a previous train run.
     Without it, a char vocab is derived from the data — and persisted to
     {output}/vocab.txt at train time so embed/eval/similar jobs reuse the
@@ -69,7 +69,8 @@ def _tokenizer(args, save_dir=None, df=None):
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
         save_path = os.path.join(save_dir, "vocab.txt")
-    return TextTokenizer.from_corpus(df[args.text_col].astype(str),
+    col = text_col or args.text_col
+    return TextTokenizer.from_corpus(df[col].astype(str),
                                      save_vocab_path=save_path)
 
 
@@ -146,6 +147,21 @@ def _add_common_train_flags(p):
                         "the _dist recipes' 1024/2048 global batches on "
                         "one chip)")
     p.add_argument("--seed", type=int, default=0)
+
+
+def _restore_required(checkpoint_dir, template=None):
+    """Restore or die with a one-line error — CheckpointManager.restore()
+    returns None for an empty or mistyped directory (mkdir -p makes any
+    path exist), which used to surface later as a bare NoneType
+    TypeError."""
+    from multimodalsimilar_tpu.data.datasets import InputError
+    from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
+    state = CheckpointManager(checkpoint_dir).restore(template=template)
+    if state is None:
+        raise InputError(f"no checkpoint found under {checkpoint_dir} "
+                         f"(expected an orbax directory written by "
+                         f"cli train / import-checkpoint)")
+    return state
 
 
 def _bert_config(preset: str, remat: bool = False):
@@ -323,6 +339,11 @@ def cmd_train_multilabel(args):
 
 
 def cmd_train_cv(args):
+    if args.fused_loss or args.remat:
+        raise SystemExit(
+            "train cv: --fused_loss/--remat apply to the BERT-tower text "
+            "recipes; the cv task has neither — refusing to silently "
+            "ignore them")
     from multimodalsimilar_tpu.data.datasets import (
         ImageClassificationSource, read_table)
     from multimodalsimilar_tpu.models.vision import (
@@ -360,6 +381,10 @@ def cmd_train_cv(args):
 
 
 def cmd_train_pair(args):
+    if args.fused_loss:
+        raise SystemExit("train pair: --fused_loss needs an ArcFace head; "
+                         "the pair loss is 2-class CE — refusing to "
+                         "silently ignore it")
     from multimodalsimilar_tpu.data.datasets import (
         PairTextSource, read_table)
     from multimodalsimilar_tpu.models.classifiers import SiamesePairModel
@@ -387,13 +412,17 @@ def cmd_train_pair(args):
 
 
 def _tokenizer_pair(args, df):
-    from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
-    if args.tokenizer:
-        return TextTokenizer.from_hf(args.tokenizer)
-    return TextTokenizer.from_corpus(df["title"].astype(str))
+    # full train->serve contract like the other train commands: vocab.txt
+    # --tokenizer values load as vocab files, and a derived char vocab is
+    # persisted to {output}/vocab.txt so serve jobs can reuse the token ids
+    return _tokenizer(args, save_dir=args.output, df=df, text_col="title")
 
 
 def cmd_train_multimodal(args):
+    if args.fused_loss:
+        raise SystemExit("train multimodal: --fused_loss is not wired for "
+                         "the fused-tower task — refusing to silently "
+                         "ignore it")
     from multimodalsimilar_tpu.data.datasets import (
         MultimodalSource, read_table)
     from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
@@ -402,13 +431,13 @@ def cmd_train_multimodal(args):
     from multimodalsimilar_tpu.train.tasks import multimodal_arcface_task
 
     df = read_table(args.data)
-    tok = (TextTokenizer.from_hf(args.tokenizer) if args.tokenizer
-           else TextTokenizer.from_corpus(df[args.text_col].astype(str)))
+    tok = _tokenizer(args, save_dir=args.output, df=df)
     src = MultimodalSource(df, tok, args.img_root, args.text_col,
                            args.key_col, args.label_col, args.max_length,
                            args.image_size, train_aug=True,
                            decode_cache=args.decode_cache, emit="uint8",
-                           seq_buckets=_seq_buckets(args))
+                           seq_buckets=_seq_buckets(args),
+                           clean=not args.no_clean)
     model = MultimodalClassifier(
         _bert_config(args.bert_preset, remat=args.remat),
         backbone_config(args.backbone),
@@ -416,7 +445,16 @@ def cmd_train_multimodal(args):
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
     trainer = _trainer(multimodal_arcface_task(model), args, steps, mesh)
-    trainer.fit(src, args.epochs, args.batch_size, resume=args.resume)
+    eval_src = None
+    if args.eval_data:
+        eval_src = MultimodalSource(
+            read_table(args.eval_data), tok, args.img_root, args.text_col,
+            args.key_col, args.label_col, args.max_length, args.image_size,
+            decode_cache=args.decode_cache, emit="uint8",
+            seq_buckets=_seq_buckets(args), clean=not args.no_clean)
+    trainer.fit(src, args.epochs, args.batch_size, eval_src,
+                sampler_fn=_sampler_fn(args, df, args.label_col),
+                resume=args.resume)
 
 
 def cmd_train_fasttext(args):
@@ -496,7 +534,7 @@ def _build_cv_embed_fn(args):
         label=jnp.zeros(1, jnp.int32)))(x)
     if args.checkpoint:
         from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
-        state = CheckpointManager(args.checkpoint).restore()
+        state = _restore_required(args.checkpoint)
         variables = {"params": state["params"],
                      "batch_stats": state.get("batch_stats", {})}
     from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
@@ -543,6 +581,7 @@ def _build_embed_fn(args):
         tok = TextTokenizer.from_corpus(df[args.text_col].astype(str))
     from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
     model = NlpTextClassifier(_bert_config(args.bert_preset), args.num_labels,
+                              pool=getattr(args, "pool", "cls"),
                               policy=DTypePolicy.inference())
     sample = tok(["x"], args.max_length)
     # init under jit: eager flax init dispatches one device round-trip per
@@ -553,7 +592,7 @@ def _build_embed_fn(args):
             jnp.asarray(sample["input_ids"]))
     if args.checkpoint:
         from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
-        state = CheckpointManager(args.checkpoint).restore()
+        state = _restore_required(args.checkpoint)
         variables = {"params": state["params"]}
         if state.get("batch_stats"):
             variables["batch_stats"] = state["batch_stats"]
@@ -573,6 +612,15 @@ def cmd_similar_nlp(args):
     from multimodalsimilar_tpu.data.datasets import read_table
     from multimodalsimilar_tpu.pipelines.similar import nlp_similar_job
     df = read_table(args.data)
+    if args.dt:
+        # the reference pulls rows WHERE dt=--dt in SQL (nlp_infer.py:112);
+        # with a pre-extracted table the equivalent is a dt-column filter
+        if "dt" not in df.columns:
+            raise SystemExit("--dt given but the input table has no 'dt' "
+                             "column to select on (the reference applies "
+                             "dt in its SQL pull) — drop the flag or add "
+                             "the column")
+        df = df[df["dt"].astype(str) == str(args.dt)].reset_index(drop=True)
     sink = _kv_sink(args)
     embed_fn = _build_embed_fn_texts(args)
     n = nlp_similar_job(df, embed_fn, sink, text_col=args.text_col,
@@ -606,20 +654,76 @@ def _kv_sink(args):
     return InMemoryKVSink()
 
 
+def _fused_embeddings(args, df):
+    """Compute fused 2560-d embeddings in-process from a multimodal
+    checkpoint — what the reference job does (multimodal_infer.py:119-134
+    torch.loads the model and embeds per row). Returns (embeddings,
+    surviving row positions): rows whose image fails to load are skipped
+    like the reference's per-row try/except."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalsimilar_tpu.data import images as I
+    from multimodalsimilar_tpu.models.multimodal import MultimodalClassifier
+    from multimodalsimilar_tpu.models.vision import backbone_config
+    from multimodalsimilar_tpu.pipelines.embedders import MultimodalEmbedder
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    tok = _tokenizer(args, df=df)
+    model = MultimodalClassifier(
+        _bert_config(args.bert_preset), backbone_config(args.backbone),
+        num_labels=args.num_labels, fc_dim=args.fc_dim,
+        policy=DTypePolicy.inference())
+    sample = tok(["x"], args.max_length)
+    variables = jax.jit(lambda im, ii: model.init(
+        {"params": jax.random.key(0)}, im, ii,
+        label=jnp.zeros(ii.shape[0], jnp.int32)))(
+            jnp.zeros((1, args.image_size, args.image_size, 3)),
+            jnp.asarray(sample["input_ids"]))
+    state = _restore_required(args.checkpoint)
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+    embedder = MultimodalEmbedder(model, variables, tok, args.max_length,
+                                  args.image_size, args.batch_size)
+    imgs, keep, texts = [], [], []
+    for pos, (_, row) in enumerate(df.iterrows()):
+        img = I.load_eval(
+            os.path.join(args.img_root, f"{row[args.key_col]}.jpg"),
+            args.image_size, normalize_host=False)
+        if img is None:
+            continue
+        imgs.append(img)
+        keep.append(pos)
+        texts.append(str(row[args.text_col]))
+    if not keep:
+        raise SystemExit(f"no readable images under {args.img_root} for "
+                         f"any row — check --img_root/--key_col")
+    return embedder(np.stack(imgs), texts), keep
+
+
 def cmd_similar_multimodal(args):
     """multimodal_infer capability: fused embeddings, un-normalized L2
-    top-k, dj_similar:{spu_sn} writes."""
+    top-k, dj_similar:{spu_sn} writes. With --checkpoint the fused
+    embeddings are computed in-process (the reference's pattern); without
+    it, a precomputed --embedding_col is read from the table."""
     import numpy as np
     from multimodalsimilar_tpu.data.datasets import read_table
     from multimodalsimilar_tpu.pipelines.embed import parse_embedding
     from multimodalsimilar_tpu.pipelines.similar import multimodal_similar_job
     df = read_table(args.data)
-    if args.embedding_col in df.columns:
+    if args.checkpoint:
+        emb, keep = _fused_embeddings(args, df)
+        df = df.iloc[keep].reset_index(drop=True)
+    elif args.embedding_col in df.columns:
         emb = np.stack([parse_embedding(s) for s in df[args.embedding_col]])
     else:
         raise SystemExit(
-            f"--embedding_col {args.embedding_col!r} not in table; run the "
-            "embed job first or point at a table with fused embeddings")
+            f"--embedding_col {args.embedding_col!r} not in table — pass "
+            "--checkpoint (+ --img_root) to compute fused embeddings "
+            "in-process like the reference job, or point at a table with "
+            "precomputed fused embeddings")
     sink = _kv_sink(args)
     n = multimodal_similar_job(df, emb, sink, key_col=args.key_col,
                                k=args.k, ttl_seconds=args.exp_seconds,
@@ -650,7 +754,7 @@ def cmd_similar_daodian(args):
             CvImageClassifier, backbone_config)
         from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
         from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
-        state = CheckpointManager(args.cv_checkpoint).restore()
+        state = _restore_required(args.cv_checkpoint)
         model = CvImageClassifier(
             backbone_config(args.backbone),
             num_labels=args.cv_num_labels, fc_dim=args.fc_dim)
@@ -767,8 +871,13 @@ def cmd_eval(args):
     src = TextClassificationSource(df, tok, args.text_col, args.label_col,
                                    args.max_length,
                                    seq_buckets=_seq_buckets(args))
-    model = NlpTextClassifier(_bert_config(args.bert_preset),
-                              int(df[args.label_col].max()) + 1)
+    # --num_labels: the head size must match the CHECKPOINT, not whatever
+    # labels happen to appear in this eval split (a split missing the top
+    # training label would otherwise build a smaller head and fail restore)
+    num_labels = (args.num_labels if args.num_labels
+                  else int(df[args.label_col].max()) + 1)
+    model = NlpTextClassifier(_bert_config(args.bert_preset), num_labels,
+                              pool=args.pool)
     mesh = _mesh(args)
     trainer = Trainer(text_arcface_task(model),
                       dual_group_adamw(lambda s: 0.0, lambda s: 0.0), mesh,
@@ -780,9 +889,14 @@ def cmd_eval(args):
     from multimodalsimilar_tpu.parallel.mesh import shard_batch
     state = trainer.init_state_from_device_batch(shard_batch(mesh, batch))
     if args.checkpoint:
-        restored = CheckpointManager(args.checkpoint).restore(template=state)
-        if restored is not None:
-            state = restored
+        # raw (template-free) restore, then graft params/batch_stats: eval
+        # needs no optimizer state, and a template built with one optimizer
+        # cannot restore checkpoints from another (--optimizer adamp,
+        # --grad_accum, or import-checkpoint outputs)
+        restored = _restore_required(args.checkpoint)
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats") or state.batch_stats)
     # drop_remainder=False: evaluate the WHOLE split (matching trainer.fit's
     # in-loop eval), not just the full batches
     metrics = trainer.evaluate(state, src.batches(args.batch_size,
@@ -998,6 +1112,9 @@ def build_parser() -> argparse.ArgumentParser:
     e_inc.add_argument("--checkpoint")
     e_inc.add_argument("--bert_preset", default="tiny")
     e_inc.add_argument("--num_labels", type=int, default=2)
+    e_inc.add_argument("--pool", default="cls",
+                     choices=["cls", "mean"],
+                     help="must match the trained model")
     e_inc.add_argument("--max_length", type=int, default=80)
     e_inc.add_argument("--batch_size", type=int, default=256)
     e_inc.add_argument("--length_buckets", default=None,
@@ -1020,6 +1137,9 @@ def build_parser() -> argparse.ArgumentParser:
     e_bulk.add_argument("--checkpoint")
     e_bulk.add_argument("--bert_preset", default="tiny")
     e_bulk.add_argument("--num_labels", type=int, default=2)
+    e_bulk.add_argument("--pool", default="cls",
+                     choices=["cls", "mean"],
+                     help="must match the trained model")
     e_bulk.add_argument("--max_length", type=int, default=80)
     e_bulk.add_argument("--batch_size", type=int, default=256)
     e_bulk.add_argument("--length_buckets", default=None,
@@ -1048,6 +1168,9 @@ def build_parser() -> argparse.ArgumentParser:
     s_nlp.add_argument("--checkpoint")
     s_nlp.add_argument("--bert_preset", default="tiny")
     s_nlp.add_argument("--num_labels", type=int, default=2)
+    s_nlp.add_argument("--pool", default="cls",
+                     choices=["cls", "mean"],
+                     help="must match the trained model")
     s_nlp.add_argument("--max_length", type=int, default=128)
     s_nlp.add_argument("--batch_size", type=int, default=256)
     s_nlp.add_argument("--length_buckets", default=None,
@@ -1070,6 +1193,20 @@ def build_parser() -> argparse.ArgumentParser:
     s_mm.add_argument("--data", required=True,
                       help="table with spu_sn + fused embedding strings")
     s_mm.add_argument("--embedding_col", default="multimodal_emb")
+    s_mm.add_argument("--checkpoint",
+                      help="multimodal orbax checkpoint: compute fused "
+                           "embeddings in-process (multimodal_infer.py "
+                           "pattern)")
+    s_mm.add_argument("--tokenizer")
+    s_mm.add_argument("--text_col", default="spu_name")
+    s_mm.add_argument("--img_root", default="./goodssku_image_2")
+    s_mm.add_argument("--image_size", type=int, default=380)
+    s_mm.add_argument("--fc_dim", type=int, default=512)
+    s_mm.add_argument("--backbone", default="efficientnet_b4")
+    s_mm.add_argument("--bert_preset", default="tiny")
+    s_mm.add_argument("--num_labels", type=int, default=2)
+    s_mm.add_argument("--max_length", type=int, default=128)
+    s_mm.add_argument("--batch_size", type=int, default=48)
     s_mm.add_argument("--key_col", default="spu_sn")
     s_mm.add_argument("--k", type=int, default=13)
     s_mm.add_argument("--redis_host", default=None)
@@ -1139,6 +1276,14 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--label_col", default="labels")
     ev.add_argument("--max_length", type=int, default=128)
     ev.add_argument("--batch_size", type=int, default=256)
+    ev.add_argument("--num_labels", type=int, default=None,
+                    help="head size of the CHECKPOINT (default: derived "
+                         "from this split, which breaks if the split "
+                         "lacks the top label)")
+    ev.add_argument("--pool", default="cls",
+                    choices=["cls", "mean"],
+                    help="must match the trained model (--pool at train "
+                         "time)")
     ev.add_argument("--seq_buckets", default=None,
                     help="comma list of shorter seq buckets, e.g. 48,64")
     ev.add_argument("--bert_preset", default="tiny")
@@ -1205,8 +1350,40 @@ def _enable_compile_cache():
         print(f"compilation cache disabled ({e})", file=sys.stderr)
 
 
+def _inject_yaml_argv(argv):
+    """Expand ``--config file.yaml`` into argv tokens BEFORE parsing, so a
+    YAML file can satisfy required flags (--data, --table, ...) — applying
+    the YAML only after parse_args meant every required flag still had to
+    be duplicated on the command line. Explicit flags still win: keys
+    already present in argv are not injected."""
+    cfg_path = None
+    for i, tok in enumerate(argv):
+        if tok == "--config" and i + 1 < len(argv):
+            cfg_path = argv[i + 1]
+        elif tok.startswith("--config="):
+            cfg_path = tok.split("=", 1)[1]
+    if not cfg_path:
+        return argv
+    import yaml
+    with open(cfg_path) as f:
+        cfg = yaml.safe_load(f) or {}
+    extra = []
+    for k, v in cfg.items():
+        explicit = any(t == f"--{k}" or t.startswith(f"--{k}=")
+                       for t in argv)
+        if explicit or v is None:
+            continue
+        if isinstance(v, bool):
+            if v:
+                extra.append(f"--{k}")
+        else:
+            extra.extend([f"--{k}", str(v)])
+    return list(argv) + extra
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    argv = _inject_yaml_argv(argv)
     parser = build_parser()
     args = parser.parse_args(argv)
     _apply_yaml_config(args, argv)

@@ -233,9 +233,11 @@ class MultimodalSource:
                  train_aug: bool = False,
                  decode_cache: Optional[str] = None,
                  emit: str = "float32",
-                 seq_buckets: Optional[Sequence[int]] = None):
+                 seq_buckets: Optional[Sequence[int]] = None,
+                 clean: bool = True):
         self.text = TextClassificationSource(df, tokenizer, text_col,
                                              label_col, max_length,
+                                             clean=clean,
                                              seq_buckets=seq_buckets)
         self.image = ImageClassificationSource(
             df, img_root, key_col, label_col, image_size, train_aug,

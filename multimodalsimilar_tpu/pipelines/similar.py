@@ -34,8 +34,11 @@ DAY_AND_HALF = int(1.5 * 24 * 3600)
 def write_neighbor_map(sink: KVSink, neighbor_map: Dict[str, List[str]],
                        ttl_seconds: int, key_fn: Callable[[str], str]
                        ) -> int:
-    """CSV-string values, empty lists skipped (nlp_infer.py:159-171)."""
-    items = {key_fn(k): ",".join(v) for k, v in neighbor_map.items() if v}
+    """CSV-string values, empty lists skipped (nlp_infer.py:159-171).
+    Keys/neighbors are stringified — integer spu_sn columns (pandas reads
+    numeric ids as int64) must serialize like the reference's str keys."""
+    items = {key_fn(str(k)): ",".join(str(x) for x in v)
+             for k, v in neighbor_map.items() if v}
     sink.set_many(items, ttl_seconds)
     return len(items)
 

@@ -127,3 +127,27 @@ def test_cli_train_multimodal(tmp_path):
           "--max_length", "8", "--eval_every", "1000000",
           "--save_every", "2"])
     assert os.listdir(os.path.join(out, "ckpt"))
+    # train->serve contract (review fix): the derived char vocab persists
+    assert os.path.exists(os.path.join(out, "vocab.txt"))
+    # in-process fused serving (multimodal_infer.py pattern, review fix):
+    # the multimodal pipeline is now runnable end-to-end from the CLI
+    import json as _json
+
+    import pytest  # noqa: F401
+    capture = []
+    import builtins
+    orig_print = builtins.print
+    builtins.print = lambda *a, **k: capture.append(a[0] if a else "")
+    try:
+        main(["similar", "multimodal", "--data", data,
+              "--checkpoint", os.path.join(out, "ckpt"),
+              "--tokenizer", os.path.join(out, "vocab.txt"),
+              "--img_root", img_root, "--image_size", "16",
+              "--fc_dim", "8", "--backbone", "tiny",
+              "--num_labels", "2", "--text_col", "spu_name",
+              "--key_col", "spu_sn", "--max_length", "8",
+              "--batch_size", "8", "--k", "3"])
+    finally:
+        builtins.print = orig_print
+    written = _json.loads(capture[-1])["written"]
+    assert written > 0

@@ -95,3 +95,44 @@ def test_explicit_equals_form_beats_yaml(tmp_path):
     assert args.batch_size == 256      # YAML fills the rest
     with pytest.raises(SystemExit):    # abbreviation refused, not matched
         parser.parse_args(["train", "nlp", "--data", "x", "--epoch", "5"])
+
+
+def test_yaml_config_satisfies_required_flags(tmp_path):
+    """Review fix: --config used to be applied AFTER parse_args, so
+    required flags (--data, ...) could never come from the YAML despite
+    the module docstring's promise. They now inject pre-parse."""
+    import pandas as pd
+    import yaml
+
+    from multimodalsimilar_tpu.cli import main
+
+    data = str(tmp_path / "d.csv")
+    pd.DataFrame({"spu_name": [f"商品{i}" for i in range(24)],
+                  "labels": [i % 3 for i in range(24)]}).to_csv(
+        data, index=False)
+    cfg = {"data": data, "output": str(tmp_path / "out"),
+           "batch_size": 8, "epochs": 1, "max_length": 8,
+           "eval_every": 10**9, "save_every": 4, "log_every": 10**9,
+           "no_clean": True}
+    cfg_path = str(tmp_path / "job.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    main(["train", "nlp", "--config", cfg_path])       # no --data on argv
+    import os
+    assert os.listdir(os.path.join(str(tmp_path / "out"), "ckpt"))
+
+
+def test_unsupported_flags_fail_loud(tmp_path):
+    """--fused_loss/--remat on tasks that cannot honor them must error,
+    not silently no-op (review finding)."""
+    import pandas as pd
+    import pytest
+
+    from multimodalsimilar_tpu.cli import main
+
+    data = str(tmp_path / "d.csv")
+    pd.DataFrame({"goods_sku": ["1"], "tag_new_id": [0]}).to_csv(
+        data, index=False)
+    with pytest.raises(SystemExit, match="fused_loss"):
+        main(["train", "cv", "--data", data, "--img_root", str(tmp_path),
+              "--fused_loss"])
