@@ -91,7 +91,12 @@ def decode_image(path: str, min_size: Optional[int] = None
         import cv2
         flags = cv2.IMREAD_COLOR
         if min_size:
-            dims = image_dims(path)
+            # JPEG only: IMREAD_REDUCED_* is an exact DCT low-pass for
+            # JPEGs but a full-decode-plus-resize for PNGs — chaining that
+            # with our own resize would double-resample PNG pixels
+            with open(path, "rb") as _f:
+                is_jpeg = _f.read(2) == b"\xff\xd8"
+            dims = image_dims(path) if is_jpeg else None
             if dims:
                 short = min(dims)
                 for factor, flag in ((8, cv2.IMREAD_REDUCED_COLOR_8),
@@ -193,20 +198,31 @@ class DecodedCache:
         self.size = size
         self.record = size * size * 3
         meta_path = os.path.join(directory, "meta.json")
+        meta = None
         if os.path.exists(meta_path):
-            meta = json.load(open(meta_path))
+            try:
+                meta = json.load(open(meta_path))
+            except (json.JSONDecodeError, OSError):
+                meta = None      # torn meta from a crash: rewrite below
+        if meta is not None:
             if meta["size"] != size:
                 raise ValueError(
                     f"DecodedCache at {directory} holds {meta['size']}px "
                     f"images, requested {size}px — use a separate directory")
         else:
-            json.dump({"size": size, "format": "rgb-uint8"},
-                      open(meta_path, "w"))
+            # atomic like the rest of the class's crash discipline: a kill
+            # mid-json.dump must not brick the directory
+            tmp = f"{meta_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"size": size, "format": "rgb-uint8"}, f)
+            os.replace(tmp, meta_path)
         self._keys_path = os.path.join(directory, "keys.txt")
         self._data_path = os.path.join(directory, "data.bin")
         # keys.txt lines are "key\tslot": the slot is the record-aligned
         # data.bin offset claimed under the flock at append time.
         self._index = {}
+        self._keys_offset = 0     # how far into keys.txt we have indexed
+        self._lock = threading.Lock()
         if os.path.exists(self._keys_path):
             with open(self._keys_path, "rb") as f:
                 raw = f.read()
@@ -217,13 +233,34 @@ class DecodedCache:
                 with open(self._keys_path, "ab") as f:
                     f.write(b"\t#\n")
                 raw += b"\t#\n"
-            for line in raw.decode("utf-8", "replace").splitlines():
-                key, _, slot = line.rpartition("\t")
-                if key and slot.isdigit():
-                    self._index[key] = int(slot)
-        self._lock = threading.Lock()
+            self._ingest_keys(raw)
         self._read_fd = os.open(self._data_path,
                                 os.O_RDONLY | os.O_CREAT, 0o644)
+
+    def _ingest_keys(self, raw: bytes) -> None:
+        for line in raw.decode("utf-8", "replace").splitlines():
+            key, _, slot = line.rpartition("\t")
+            if key and slot.isdigit():
+                self._index[key] = int(slot)
+        self._keys_offset += len(raw)
+
+    def _refresh_index(self) -> None:
+        """Incrementally ingest keys appended by OTHER processes sharing
+        this directory (multi-host training, parallel CLI jobs) — the
+        index only knew this process's own writes, so shared caches
+        silently degraded to decode-once-per-process."""
+        try:
+            end = os.path.getsize(self._keys_path)
+        except OSError:
+            return
+        if end <= self._keys_offset:
+            return
+        with open(self._keys_path, "rb") as f:
+            f.seek(self._keys_offset)
+            raw = f.read()
+        if raw and not raw.endswith(b"\n"):
+            raw = raw[: raw.rfind(b"\n") + 1]   # skip a mid-append tail
+        self._ingest_keys(raw)
 
     def __len__(self):
         return len(self._index)
@@ -231,7 +268,11 @@ class DecodedCache:
     def get(self, key: str) -> Optional[np.ndarray]:
         slot = self._index.get(key)
         if slot is None:
-            return None
+            with self._lock:
+                self._refresh_index()        # another process may have it
+            slot = self._index.get(key)
+            if slot is None:
+                return None
         buf = os.pread(self._read_fd, self.record, slot * self.record)
         if len(buf) != self.record:
             return None                      # torn write from a crash
@@ -246,6 +287,8 @@ class DecodedCache:
             raise ValueError(f"cache key may not contain tab/newline: {key!r}")
         payload = np.ascontiguousarray(img).tobytes()
         with self._lock:
+            if key not in self._index:
+                self._refresh_index()        # avoid cross-process dupes
             if key in self._index:
                 return
             fd = os.open(self._data_path, os.O_WRONLY | os.O_CREAT, 0o644)
@@ -264,6 +307,13 @@ class DecodedCache:
             self._index[key] = slot
 
     def close(self):
+        # deregister first: instances are process-wide singletons per
+        # (dir, size), so a closed instance must never be handed to the
+        # next DecodedCache.open (its dead fd would poison every user)
+        with self._instances_lock:
+            for k, v in list(self._instances.items()):
+                if v is self:
+                    del self._instances[k]
         os.close(self._read_fd)
 
 

@@ -28,14 +28,21 @@ class CheckpointManager:
     def save(self, step: int, state: Any, force: bool = False):
         if step == self._last_saved and not force:
             return
+        # force=True MUST rewrite even at the same step: the margin
+        # curriculum mutates state AFTER the last periodic save of an epoch
+        # (trainer.fit updates margin at epoch end, then force-saves), so
+        # skipping the rewrite would resume with a stale margin — the exact
+        # bug the forced end-of-run save was added to fix.
         # orbax refuses to save a step that already exists (its force= kwarg
         # only bypasses should_save_fn and still raises on collisions in
-        # this version), so a forced end-of-run save at the same step as the
-        # last periodic save must delete first. This leaves a small window
-        # (kill between delete and save loses that one step); the window is
-        # confined to the final save of a run, and the replacement write
-        # itself is atomic (orbax tmp-dir + finalize).
-        if force and step in (self._mgr.all_steps() or []):
+        # this version), so any collision — the forced end-of-run save, or
+        # a fresh (non --resume) run re-using a populated checkpoint_dir —
+        # must delete first. This leaves a small window (kill between
+        # delete and save loses that one step) but the steps before it
+        # survive, and the replacement write itself is atomic (orbax
+        # tmp-dir + finalize). Crashing on the collision instead would kill
+        # the run after real training work.
+        if step in (self._mgr.all_steps() or []):
             self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()

@@ -45,8 +45,14 @@ class MetricLogger:
             try:
                 from torch.utils.tensorboard import SummaryWriter
                 self._tb = SummaryWriter(tensorboard_dir)
-            except Exception:
-                pass
+            except Exception as e:
+                # JSONL logging continues either way, but the user asked
+                # for TB scalars — say why they won't appear instead of
+                # leaving an empty directory with no explanation
+                import sys
+                print(f"tensorboard_dir={tensorboard_dir!r} requested but "
+                      f"SummaryWriter unavailable ({e}); JSONL metrics "
+                      f"only", file=sys.stderr, flush=True)
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = ""):
         rec = {"step": step}

@@ -73,3 +73,32 @@ def test_daodian_date_keyed_writes():
                         recent_days=1, ttl_seconds=int(1.5 * 24 * 3600))
     assert kv.get("20260816:a") == "b"
     assert 0 < kv.ttl("20260816:a") <= 1.5 * 24 * 3600
+
+
+def test_prefetch_producer_stops_when_consumer_abandons():
+    """Abandoning the generator (exception/break in the training loop) must
+    release the producer thread instead of leaving it blocked on a full
+    queue forever (review finding)."""
+    import threading
+    import time
+
+    from multimodalsimilar_tpu.data.prefetch import prefetch_to_device
+    from multimodalsimilar_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    produced = []
+
+    def batches():
+        for i in range(100):
+            produced.append(i)
+            yield {"x": np.full((8, 2), i, np.float32)}
+
+    before = threading.active_count()
+    it = prefetch_to_device(batches(), mesh, buffer_size=2)
+    next(it)
+    it.close()                      # abandon mid-stream
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(produced) < 100      # producer stopped early

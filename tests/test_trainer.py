@@ -393,3 +393,27 @@ def test_fit_resume_with_model_parallel_heads(tmp_path):
     assert int(s2.step) == 4
     cs = NamedSharding(mesh, P(MODEL_AXIS, None))
     assert s2.params["head"]["weight"].sharding.is_equivalent_to(cs, ndim=2)
+
+
+def test_fresh_run_into_populated_checkpoint_dir(tmp_path):
+    """A non-resume rerun pointed at a populated checkpoint_dir must
+    overwrite colliding steps, not crash mid-run on orbax's
+    step-already-exists error (review finding)."""
+    df = _toy_text_problem(64)
+    tok = TextTokenizer.from_corpus(df["spu_name"])
+    model = NlpTextClassifier(BertConfig.tiny(), num_labels=4,
+                              policy=DTypePolicy.full_precision())
+    src = TextClassificationSource(df, tok, max_length=12)
+    mesh = create_mesh()
+
+    def make_trainer():
+        tx = dual_group_adamw(lambda s: 1e-3, lambda s: 1e-2)
+        return Trainer(text_arcface_task(model), tx, mesh,
+                       TrainerConfig(eval_every=10**9, save_every=2,
+                                     log_every=10**9,
+                                     checkpoint_dir=str(tmp_path / "ckpt")))
+
+    s1 = make_trainer().fit(src, num_epochs=1, batch_size=32)
+    # fresh run (resume left False) into the same directory
+    s2 = make_trainer().fit(src, num_epochs=1, batch_size=32)
+    assert int(s2.step) == int(s1.step)
