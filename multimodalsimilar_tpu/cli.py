@@ -614,13 +614,23 @@ def cmd_similar_nlp(args):
     df = read_table(args.data)
     if args.dt:
         # the reference pulls rows WHERE dt=--dt in SQL (nlp_infer.py:112);
-        # with a pre-extracted table the equivalent is a dt-column filter
+        # with a pre-extracted table the equivalent is a dt-column filter.
+        # Compare digit-normalized ('2026-08-16' == '20260816' == int dt)
+        # like daodian_similar_job's norm_dt — verbatim comparison would
+        # silently select nothing across formats.
         if "dt" not in df.columns:
             raise SystemExit("--dt given but the input table has no 'dt' "
                              "column to select on (the reference applies "
                              "dt in its SQL pull) — drop the flag or add "
                              "the column")
-        df = df[df["dt"].astype(str) == str(args.dt)].reset_index(drop=True)
+
+        def norm(v):
+            return "".join(ch for ch in str(v) if ch.isdigit())
+
+        df = df[df["dt"].map(norm) == norm(args.dt)].reset_index(drop=True)
+        if not len(df):
+            raise SystemExit(f"--dt {args.dt}: no rows match in the input "
+                             f"table")
     sink = _kv_sink(args)
     embed_fn = _build_embed_fn_texts(args)
     n = nlp_similar_job(df, embed_fn, sink, text_col=args.text_col,
@@ -660,8 +670,6 @@ def _fused_embeddings(args, df):
     torch.loads the model and embeds per row). Returns (embeddings,
     surviving row positions): rows whose image fails to load are skipped
     like the reference's per-row try/except."""
-    import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from multimodalsimilar_tpu.data import images as I
@@ -675,32 +683,38 @@ def _fused_embeddings(args, df):
         _bert_config(args.bert_preset), backbone_config(args.backbone),
         num_labels=args.num_labels, fc_dim=args.fc_dim,
         policy=DTypePolicy.inference())
-    sample = tok(["x"], args.max_length)
-    variables = jax.jit(lambda im, ii: model.init(
-        {"params": jax.random.key(0)}, im, ii,
-        label=jnp.zeros(ii.shape[0], jnp.int32)))(
-            jnp.zeros((1, args.image_size, args.image_size, 3)),
-            jnp.asarray(sample["input_ids"]))
+    # no init here: the checkpoint is mandatory on this path, and a jitted
+    # init of a fused B4+BERT tower costs minutes of relay compile for a
+    # result the restore would discard wholesale
     state = _restore_required(args.checkpoint)
     variables = {"params": state["params"]}
     if state.get("batch_stats"):
         variables["batch_stats"] = state["batch_stats"]
     embedder = MultimodalEmbedder(model, variables, tok, args.max_length,
                                   args.image_size, args.batch_size)
-    imgs, keep, texts = [], [], []
-    for pos, (_, row) in enumerate(df.iterrows()):
-        img = I.load_eval(
-            os.path.join(args.img_root, f"{row[args.key_col]}.jpg"),
-            args.image_size, normalize_host=False)
-        if img is None:
-            continue
-        imgs.append(img)
-        keep.append(pos)
-        texts.append(str(row[args.text_col]))
+    # decode + embed in bounded chunks: a warehouse-scale table must not
+    # hold every decoded image in host RAM at once (~433 KB per 380px row)
+    chunk_rows = max(args.batch_size, 1) * 8
+    keys = df[args.key_col].astype(str).tolist()
+    texts_all = df[args.text_col].astype(str).tolist()
+    out_parts, keep = [], []
+    for s in range(0, len(df), chunk_rows):
+        imgs, texts = [], []
+        for pos in range(s, min(s + chunk_rows, len(df))):
+            img = I.load_eval(
+                os.path.join(args.img_root, f"{keys[pos]}.jpg"),
+                args.image_size, normalize_host=False)
+            if img is None:
+                continue
+            imgs.append(img)
+            keep.append(pos)
+            texts.append(texts_all[pos])
+        if imgs:
+            out_parts.append(embedder(np.stack(imgs), texts))
     if not keep:
         raise SystemExit(f"no readable images under {args.img_root} for "
                          f"any row — check --img_root/--key_col")
-    return embedder(np.stack(imgs), texts), keep
+    return np.concatenate(out_parts), keep
 
 
 def cmd_similar_multimodal(args):
@@ -867,7 +881,7 @@ def cmd_eval(args):
     from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig
 
     df = read_table(args.data)
-    tok = _tokenizer(args)
+    tok = _tokenizer(args, df=df)
     src = TextClassificationSource(df, tok, args.text_col, args.label_col,
                                    args.max_length,
                                    seq_buckets=_seq_buckets(args))
@@ -1371,11 +1385,15 @@ def _inject_yaml_argv(argv):
     for k, v in cfg.items():
         explicit = any(t == f"--{k}" or t.startswith(f"--{k}=")
                        for t in argv)
-        if explicit or v is None:
+        if explicit or v is None or k == "config":
             continue
         if isinstance(v, bool):
             if v:
                 extra.append(f"--{k}")
+        elif isinstance(v, (list, tuple)):
+            # YAML lists (seq_buckets: [48, 64]) inject as the comma form
+            # the flags parse — str(list) would reach int() as '[48'
+            extra.extend([f"--{k}", ",".join(str(x) for x in v)])
         else:
             extra.extend([f"--{k}", str(v)])
     return list(argv) + extra

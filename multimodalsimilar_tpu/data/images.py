@@ -42,13 +42,17 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def image_dims(path: str) -> Optional[tuple]:
+def image_dims(path: str, jpeg_only: bool = False) -> Optional[tuple]:
     """(height, width) from the file header alone (JPEG SOF / PNG IHDR);
-    None when the format is unknown or the header is malformed."""
+    None when the format is unknown or the header is malformed.
+    ``jpeg_only=True`` also returns None for PNGs (the reduced-decode
+    caller needs JPEG dims specifically, in one header read)."""
     try:
         with open(path, "rb") as f:
             head = f.read(32)
             if head[:8] == b"\x89PNG\r\n\x1a\n":         # PNG: IHDR is fixed
+                if jpeg_only:
+                    return None
                 w, h = struct.unpack(">II", head[16:24])
                 return (h, w)
             if head[:2] == b"\xff\xd8":                   # JPEG: scan for SOF
@@ -94,9 +98,7 @@ def decode_image(path: str, min_size: Optional[int] = None
             # JPEG only: IMREAD_REDUCED_* is an exact DCT low-pass for
             # JPEGs but a full-decode-plus-resize for PNGs — chaining that
             # with our own resize would double-resample PNG pixels
-            with open(path, "rb") as _f:
-                is_jpeg = _f.read(2) == b"\xff\xd8"
-            dims = image_dims(path) if is_jpeg else None
+            dims = image_dims(path, jpeg_only=True)
             if dims:
                 short = min(dims)
                 for factor, flag in ((8, cv2.IMREAD_REDUCED_COLOR_8),
@@ -210,6 +212,15 @@ class DecodedCache:
                     f"DecodedCache at {directory} holds {meta['size']}px "
                     f"images, requested {size}px — use a separate directory")
         else:
+            data_bin = os.path.join(directory, "data.bin")
+            if os.path.exists(data_bin) and os.path.getsize(data_bin) > 0:
+                # torn meta but EXISTING data: we cannot know its record
+                # size — re-stamping with the caller's size could pread
+                # misaligned garbage into training. Fail with instructions.
+                raise ValueError(
+                    f"DecodedCache at {directory}: meta.json is unreadable "
+                    f"but data.bin is non-empty — delete the directory to "
+                    f"rebuild")
             # atomic like the rest of the class's crash discipline: a kill
             # mid-json.dump must not brick the directory
             tmp = f"{meta_path}.tmp.{os.getpid()}"

@@ -24,6 +24,7 @@ class CheckpointManager:
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
         self._last_saved = -1
+        self._written: set = set()   # steps saved by THIS instance
 
     def save(self, step: int, state: Any, force: bool = False):
         if step == self._last_saved and not force:
@@ -42,11 +43,19 @@ class CheckpointManager:
         # survive, and the replacement write itself is atomic (orbax
         # tmp-dir + finalize). Crashing on the collision instead would kill
         # the run after real training work.
-        if step in (self._mgr.all_steps() or []):
+        existing = list(self._mgr.all_steps() or [])
+        if step in existing:
             self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
         self._last_saved = step
+        self._written.add(step)
+        # a fresh (non-resume) run into a populated directory must not leave
+        # a LATER step from the previous run shadowing this run's progress —
+        # latest_step()/--resume/serving would silently pick the old model
+        for s in existing:
+            if s > step and s not in self._written:
+                self._mgr.delete(s)
 
     def restore(self, step: Optional[int] = None, template: Any = None):
         step = step if step is not None else self._mgr.latest_step()
