@@ -17,7 +17,13 @@ import json
 import sys
 import time
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main(n=100_000, k=100):
