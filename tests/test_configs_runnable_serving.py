@@ -1,0 +1,163 @@
+"""Every shipped SERVING config runs end-to-end, like the train matrix.
+
+Builds tiny artifacts once (an nlp checkpoint+vocab via `cli train`, a cv
+checkpoint, a pickled fastText model, synthetic images), then drives each
+similar_*/embed_*.yaml through the real CLI with size/backbone overridden
+on the command line (explicit flags beat YAML). In-memory KV sinks are
+used (no --redis_host), table sinks write parquet under tmp.
+"""
+
+import glob
+import json
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodalsimilar_tpu.cli import main
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs")
+
+SERVING = ["similar_nlp", "similar_daodian_v1",
+           "similar_daodian_v2_recent_days", "embed_bulk",
+           "embed_incremental_bert"]
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory, capsys_disabled=None):
+    root = tmp_path_factory.mktemp("serving_cfg")
+    n = 24
+    labels = np.arange(n) % 3
+    markers = "甲乙丙"
+    df = pd.DataFrame({
+        "spu_sn": [f"s{i}" for i in range(n)],
+        "goods_sku": [str(i) for i in range(n)],
+        "sku": [str(i) for i in range(n)],
+        "spu_name": [markers[k] * 3 + f"商品{i}"
+                     for i, k in enumerate(labels)],
+        "title": [markers[k] * 3 + f"商品{i}"
+                  for i, k in enumerate(labels)],
+        "labels": labels,
+        "area_id": (np.arange(n) % 2) + 1,
+        "first_level_category_id": labels % 2,
+        "second_level_category_id": labels,
+        "tag_new_id": labels,
+        "dt": ["2026-08-16" if i % 2 == 0 else "2026-08-15"
+               for i in range(n)],
+    })
+    data = str(root / "catalog.csv")
+    df.to_csv(data, index=False)
+
+    # nlp checkpoint + vocab via the real train path
+    out_nlp = str(root / "out_nlp")
+    main(["train", "nlp", "--data", data, "--output", out_nlp,
+          "--batch_size", "8", "--epochs", "1", "--max_length", "10",
+          "--eval_every", "1000000", "--save_every", "3",
+          "--log_every", "1000000"])
+
+    # cv checkpoint + images (keyed by goods_sku AND sku: same str(i))
+    import cv2
+    img_root = str(root / "imgs")
+    os.makedirs(img_root)
+    for i in range(n):
+        # flat {key}.jpg for embed jobs and {key}/{j}.jpg for daodian
+        cv2.imwrite(os.path.join(img_root, f"{i}.jpg"),
+                    np.full((14, 14, 3), 60 + 5 * int(labels[i]), np.uint8))
+        os.makedirs(os.path.join(img_root, str(i)))
+        cv2.imwrite(os.path.join(img_root, str(i), "0.jpg"),
+                    np.full((14, 14, 3), 60 + 5 * int(labels[i]), np.uint8))
+    out_cv = str(root / "out_cv")
+    main(["train", "cv", "--data", data, "--img_root", img_root,
+          "--output", out_cv, "--backbone", "tiny", "--image_size", "16",
+          "--fc_dim", "8", "--label_col", "tag_new_id",
+          "--batch_size", "8", "--epochs", "1",
+          "--eval_every", "1000000", "--save_every", "3",
+          "--log_every", "1000000"])
+
+    # pickled fastText model
+    from multimodalsimilar_tpu.models.fasttext import train_supervised
+    ft = train_supervised(df["spu_name"].tolist(), labels.tolist(),
+                          dim=8, epochs=2)
+    ft_path = str(root / "ft.pkl")
+    with open(ft_path, "wb") as f:
+        pickle.dump(ft, f)
+
+    return dict(root=root, data=data, img_root=img_root,
+                nlp_ckpt=os.path.join(out_nlp, "ckpt"),
+                vocab=os.path.join(out_nlp, "vocab.txt"),
+                cv_ckpt=os.path.join(out_cv, "ckpt"), ft=ft_path)
+
+
+def _run(argv, capsys):
+    main(argv)
+    out = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    return json.loads(out[-1])
+
+
+def test_similar_nlp_config(artifacts, capsys):
+    cfg = os.path.join(CONFIG_DIR, "similar_nlp.yaml")
+    res = _run(["similar", "nlp", "--config", cfg,
+                "--data", artifacts["data"],
+                "--tokenizer", artifacts["vocab"],
+                "--checkpoint", artifacts["nlp_ckpt"],
+                "--bert_preset", "tiny", "--num_labels", "3",
+                "--max_length", "10", "--batch_size", "8",
+                "--score_th", "0.5", "--k", "3"], capsys)
+    assert res["written"] > 0
+
+
+@pytest.mark.parametrize("name", ["similar_daodian_v1",
+                                  "similar_daodian_v2_recent_days"])
+def test_similar_daodian_configs(artifacts, name, capsys):
+    cfg = os.path.join(CONFIG_DIR, f"{name}.yaml")
+    argv = ["similar", "daodian", "--config", cfg,
+            "--data", artifacts["data"],
+            "--fasttext_model", artifacts["ft"],
+            "--cv_checkpoint", artifacts["cv_ckpt"],
+            "--img_root", artifacts["img_root"],
+            "--backbone", "tiny", "--image_size", "16", "--fc_dim", "8",
+            "--cv_num_labels", "3"]
+    if "v2" in name:
+        argv += ["--dt", "2026-08-16"]
+    res = _run(argv, capsys)
+    assert res["skus"] >= 0          # tiny corpora may filter everything
+
+
+def test_embed_incremental_bert_config(artifacts, capsys, tmp_path):
+    cfg = os.path.join(CONFIG_DIR, "embed_incremental_bert.yaml")
+    table = str(tmp_path / "w.parquet")
+    res = _run(["embed", "incremental", "--config", cfg,
+                "--data", artifacts["data"], "--table", table,
+                "--tokenizer", artifacts["vocab"],
+                "--checkpoint", artifacts["nlp_ckpt"],
+                "--bert_preset", "tiny", "--num_labels", "3",
+                "--max_length", "10", "--batch_size", "8",
+                "--dt", "2026-08-16"], capsys)
+    assert res["written"] == 24
+    assert os.path.exists(table)
+
+
+def test_embed_bulk_config(artifacts, capsys, tmp_path):
+    cfg = os.path.join(CONFIG_DIR, "embed_bulk.yaml")
+    table = str(tmp_path / "bulk.parquet")
+    res = _run(["embed", "bulk", "--config", cfg,
+                "--data", artifacts["data"], "--table", table,
+                "--tokenizer", artifacts["vocab"],
+                "--checkpoint", artifacts["nlp_ckpt"],
+                "--fasttext_model", artifacts["ft"],
+                "--bert_preset", "tiny", "--num_labels", "3",
+                "--max_length", "10", "--batch_size", "8",
+                "--kinds", "bert,fasttext"], capsys)
+    assert res["rows"] if "rows" in res else res
+    out = pd.read_parquet(table)
+    assert len(out) == 24 and "bert_emb" in out.columns
+
+
+def test_all_serving_configs_covered():
+    shipped = {os.path.splitext(os.path.basename(p))[0]
+               for p in glob.glob(os.path.join(CONFIG_DIR, "*.yaml"))
+               if not os.path.basename(p).startswith("train_")}
+    assert shipped == set(SERVING)
