@@ -170,6 +170,49 @@ class QuantBertEncoderModel(nn.Module):
                 "pooler_output": jnp.tanh(pooled)}
 
 
+class QuantTextEmbModel(nn.Module):
+    """int8 text tower for serving: QuantBertEncoderModel + the same
+    pooling as TextTower (models/towers.py) — drop-in for TextEmbedder's
+    ``predict_emb`` contract. CLI: ``embed ... --int8`` / ``similar nlp
+    --int8`` (converts a trained float checkpoint on load via
+    ``quantize_text_tower_params``)."""
+
+    config: BertConfig
+    pool: str = "cls"
+    policy: DTypePolicy = DTypePolicy.inference()
+
+    @nn.compact
+    def predict_emb(self, input_ids, attention_mask=None,
+                    token_type_ids=None, deterministic: bool = True):
+        out = QuantBertEncoderModel(self.config, self.policy,
+                                    name="encoder")(
+            input_ids, attention_mask, token_type_ids)
+        if self.pool == "cls":
+            return out["pooler_output"]
+        if self.pool != "mean":
+            raise ValueError(f"unknown pool {self.pool!r}")
+        # inference-only module: TextTower's dropout is a no-op here
+        h = out["last_hidden_state"].astype(self.policy.reduce_dtype)
+        if attention_mask is None:
+            attention_mask = jnp.ones(input_ids.shape, jnp.int32)
+        mask = attention_mask.astype(h.dtype)[:, :, None]
+        total = jnp.sum(h * mask, axis=1)
+        denom = jnp.sum(attention_mask.astype(h.dtype), axis=1,
+                        keepdims=True)
+        return total / denom
+
+    def __call__(self, *args, **kwargs):
+        return self.predict_emb(*args, **kwargs)
+
+
+def quantize_text_tower_params(classifier_params: Dict) -> Dict:
+    """NlpTextClassifier params ({tower: {encoder: ...}, head: ...}) ->
+    QuantTextEmbModel params ({encoder: quantized}); the ArcFace head is
+    dropped (embedding-serving only)."""
+    return {"encoder":
+            quantize_bert_params(classifier_params["tower"]["encoder"])}
+
+
 class _QuantLayer(nn.Module):
     config: BertConfig
     policy: DTypePolicy

@@ -93,9 +93,15 @@ def _topk_kernel(q_ref, x_ref, vals_ref, idx_ref, run_v, run_i, *,
                                     "interpret"))
 def pallas_topk(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
                 metric: str = "ip", block_rows: int = 512,
-                tile_b: int = 128, interpret: bool = False
+                tile_b: int = 128, interpret: bool = None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k scores/indices with FAISS ordering (see knn_search)."""
+    """Exact top-k scores/indices with FAISS ordering (see knn_search).
+
+    ``interpret=None`` auto-selects: compiled Mosaic on TPU, interpreter
+    elsewhere (so the SimilarityEngine backend='pallas' path stays
+    testable on the CPU mesh)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     n, d = corpus.shape
     b = queries.shape[0]
     k = min(k, n)

@@ -54,18 +54,24 @@ def incremental_export(
     dt: Optional[str] = None,
     normalize: bool = True,
     buffer_rows: int = 1000,
+    flush_rows: int = 50_000,
 ) -> int:
     """Embed only keys missing from the sink; returns #rows written.
 
     ``embed_fn(sub_df) -> {key: vector}`` lets text/cv/fasttext jobs plug in
     their embedder. Embedding runs in ``buffer_rows`` chunks (bounded
-    memory, like the reference's chunks of 1000) but the table is written
-    once at the end — appending per chunk would re-read and rewrite the
-    whole parquet each time.
+    memory, like the reference's chunks of 1000); the table is flushed to
+    the sink every ``flush_rows`` accumulated rows rather than once at the
+    end — per-chunk appends would re-read and rewrite the whole parquet
+    each time (quadratic I/O), while a single final write holds every
+    embedding of a first-run backfill in RAM and loses the whole run on a
+    late crash. Periodic flushes bound memory AND keep the job resumable:
+    a retry's ``existing_keys`` pre-filter skips everything already
+    flushed.
     """
     existing = sink.existing_keys(key_col)
     todo = df[~df[key_col].astype(str).isin(existing)]
-    rows = []
+    rows, written = [], 0
     for s in range(0, len(todo), buffer_rows):
         chunk = todo.iloc[s: s + buffer_rows]
         for key, vec in embed_fn(chunk).items():
@@ -74,9 +80,14 @@ def incremental_export(
             if dt is not None:
                 row["dt"] = dt
             rows.append(row)
+        if len(rows) >= flush_rows:
+            sink.append(pd.DataFrame(rows))
+            written += len(rows)
+            rows = []
     if rows:
         sink.append(pd.DataFrame(rows))
-    return len(rows)
+        written += len(rows)
+    return written
 
 
 def rebuild_export(

@@ -33,10 +33,26 @@ class SimilarityEngine:
                  categories: Optional[Sequence] = None,
                  dts: Optional[Sequence] = None,
                  metric: str = "ip", normalize: bool = True,
-                 mesh=None):
+                 mesh=None, backend: str = "xla"):
         """``normalize=True`` reproduces faiss.normalize_L2 before indexing
         (cosine similarity); the fused-L2 job passes normalize=False,
-        metric='l2'."""
+        metric='l2'.
+
+        ``backend`` selects the k-NN kernel: 'xla' (default, the blockwise
+        lax.scan) or 'pallas' (ops/topk.py streaming-VMEM kernel — exact
+        same results, but measured ~5x SLOWER through this harness's
+        remote Mosaic path and 5-7 min/compile; opt-in for direct-attach
+        TPUs where Mosaic overheads don't apply). 'pallas' is single-chip
+        only (no sharded path).
+        """
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"backend must be 'xla' or 'pallas', "
+                             f"got {backend!r}")
+        if backend == "pallas" and mesh is not None \
+                and mesh.shape.get(DATA_AXIS, 1) > 1:
+            raise ValueError("backend='pallas' has no corpus-sharded path; "
+                             "drop the mesh or use backend='xla'")
+        self.backend = backend
         emb = np.asarray(embeddings, np.float32)
         self.keys = list(keys)
         self.categories = categories
@@ -100,6 +116,10 @@ class SimilarityEngine:
             if sharded:
                 v, i = sharded_knn_search(self.mesh, corpus_dev, chunk, k,
                                           self.metric, true_n=true_n)
+            elif self.backend == "pallas":
+                from multimodalsimilar_tpu.ops.topk import pallas_topk
+                v, i = pallas_topk(corpus_dev, chunk, min(k, self.n),
+                                   self.metric)
             else:
                 v, i = knn_search(corpus_dev, chunk, k, self.metric)
             vals_parts.append(np.asarray(v))

@@ -24,7 +24,6 @@ class CheckpointManager:
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
         self._last_saved = -1
-        self._written: set = set()   # steps saved by THIS instance
 
     def save(self, step: int, state: Any, force: bool = False):
         if step == self._last_saved and not force:
@@ -36,26 +35,22 @@ class CheckpointManager:
         # bug the forced end-of-run save was added to fix.
         # orbax refuses to save a step that already exists (its force= kwarg
         # only bypasses should_save_fn and still raises on collisions in
-        # this version), so any collision — the forced end-of-run save, or
-        # a fresh (non --resume) run re-using a populated checkpoint_dir —
-        # must delete first. This leaves a small window (kill between
-        # delete and save loses that one step) but the steps before it
-        # survive, and the replacement write itself is atomic (orbax
-        # tmp-dir + finalize). Crashing on the collision instead would kill
-        # the run after real training work.
-        existing = list(self._mgr.all_steps() or [])
-        if step in existing:
+        # this version), so the forced end-of-run save must delete first.
+        # This is the ONLY collision case left: fresh runs into a populated
+        # directory fail fast at fit() start (Trainer raises unless
+        # overwrite=True, which calls clear() once, explicitly) — save()
+        # itself never infers destructive cleanup of another run's work.
+        if step in (self._mgr.all_steps() or []):
             self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
         self._last_saved = step
-        self._written.add(step)
-        # a fresh (non-resume) run into a populated directory must not leave
-        # a LATER step from the previous run shadowing this run's progress —
-        # latest_step()/--resume/serving would silently pick the old model
-        for s in existing:
-            if s > step and s not in self._written:
-                self._mgr.delete(s)
+
+    def clear(self):
+        """Delete every stored step — the explicit, opt-in path for
+        re-using a populated directory (Trainer ``overwrite=True``)."""
+        for s in list(self._mgr.all_steps() or []):
+            self._mgr.delete(s)
 
     def restore(self, step: Optional[int] = None, template: Any = None):
         step = step if step is not None else self._mgr.latest_step()

@@ -61,6 +61,16 @@ class TrainerConfig:
     # are the only reference weights wide enough to want it. Loss/grads are
     # invariant (tests/test_sharding.py); GSPMD inserts the collectives.
     model_parallel_heads: bool = False
+    # Micro-steps per optimizer step (optax.MultiSteps' every_k_schedule).
+    # eval_every/save_every/log_every count OPTIMIZER steps and fire on
+    # accumulation boundaries, so "--grad_accum 8 --eval_every 1000" means
+    # every 1000 optimizer steps — the same cadence the reference's
+    # DataParallel runs get from their step counters.
+    grad_accum: int = 1
+    # A fresh (non-resume) fit() into a populated checkpoint_dir refuses to
+    # run unless this is set — it would otherwise overwrite/confuse the
+    # previous run's checkpoints.
+    overwrite: bool = False
     seed: int = 0
 
 
@@ -166,6 +176,20 @@ class Trainer:
         state = None
         resume_requested = resume and self.ckpt is not None \
             and self.ckpt.latest_step() is not None
+        if self.ckpt is not None and not resume \
+                and self.ckpt.latest_step() is not None:
+            # fail fast BEFORE any training work: a forgotten --resume (or
+            # two jobs sharing a directory) must not destroy the previous
+            # run's checkpoints as a side effect of this run's first save
+            if not cfg.overwrite:
+                raise ValueError(
+                    f"checkpoint_dir {self.ckpt.directory!r} already holds "
+                    f"checkpoints (latest step {self.ckpt.latest_step()}). "
+                    f"Pass resume=True (--resume) to continue that run, "
+                    f"overwrite=True (--overwrite) to discard it, or point "
+                    f"at a fresh directory.")
+            self.ckpt.clear()
+        accum = max(int(cfg.grad_accum or 1), 1)
         timer = StepTimer(skip_first=2)   # steady state: exclude compile
         profiling = False
         for epoch in range(num_epochs):
@@ -184,7 +208,11 @@ class Trainer:
                                             {"resumed": 1.0})
                 state, metrics = self._train_step(state, batch, rng)
                 timer.tick()
-                step = int(state.step)
+                step = int(state.step)        # micro-steps (ckpt key)
+                # cadence fires on accumulation boundaries, counted in
+                # optimizer steps — identical to micro-steps at accum=1
+                opt_step = step // accum
+                boundary = step % accum == 0
                 if cfg.profile_dir:
                     if step == cfg.profile_start_step and not profiling:
                         jax.profiler.start_trace(cfg.profile_dir)
@@ -194,7 +222,7 @@ class Trainer:
                         jax.profiler.stop_trace()
                         profiling = False
                         cfg = dataclasses.replace(cfg, profile_dir=None)
-                if step % cfg.log_every == 0:
+                if boundary and opt_step % cfg.log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     # steady-state throughput (StepTimer skips compile steps)
                     summary = timer.summary(batch_size)
@@ -202,15 +230,19 @@ class Trainer:
                         m["examples_per_sec"] = summary["examples_per_sec"]
                         m["step_ms_p50"] = summary["p50_ms"]
                     m["margin"] = float(state.margin)
+                    if accum > 1:
+                        m["opt_step"] = float(opt_step)
                     self.logger.log(step, m, prefix="train/")
-                if eval_source is not None and step % cfg.eval_every == 0:
+                if eval_source is not None and boundary \
+                        and opt_step % cfg.eval_every == 0:
                     # drop_remainder=False: evaluate the whole split (the
                     # final partial batch compiles once and is cached)
                     ev = self.evaluate(state, eval_source.batches(
                         eval_batch_size or batch_size, shuffle=False,
                         drop_remainder=False))
                     self.logger.log(step, ev, prefix="eval/")
-                if self.ckpt and step % cfg.save_every == 0:
+                if self.ckpt and boundary \
+                        and opt_step % cfg.save_every == 0:
                     self.ckpt.save(step, state)
             if cfg.margin_delta_per_epoch:
                 state = self.update_margin(state,

@@ -50,6 +50,33 @@ def test_cli_embed_bulk(tmp_path, capsys):
     assert set(t.columns) == {"goods_sku", "bert_emb"}
 
 
+def test_cli_embed_bulk_int8(tmp_path, capsys):
+    """embed bulk --int8: the quantized tower runs the same job end-to-end
+    and its embeddings stay close to the float tower's (PTQ parity)."""
+    import numpy as np
+    from multimodalsimilar_tpu.pipelines.embed import parse_embedding
+    df = pd.DataFrame({"goods_sku": ["1", "2", "3"],
+                       "spu_name": ["商品一", "商品二", "商品三"]})
+    data = str(tmp_path / "skus.csv")
+    df.to_csv(data, index=False)
+
+    def run(table, *extra):
+        main(["embed", "bulk", "--data", data, "--table", table,
+              "--max_length", "12", "--batch_size", "4", *extra])
+        capsys.readouterr()
+        t = pd.read_parquet(table).set_index("goods_sku")
+        return {k: parse_embedding(v)
+                for k, v in t["bert_emb"].items()}
+
+    f32 = run(str(tmp_path / "f32.parquet"))
+    q8 = run(str(tmp_path / "int8.parquet"), "--int8")
+    assert set(q8) == set(f32)
+    for k in f32:
+        a, b = f32[k], q8[k]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.999, (k, cos)
+
+
 def test_sku_to_spusn_shared_goods_sku():
     """Two spu_sns sharing one goods_sku BOTH get the sku's embedding
     (review fix: the dict-zip collapse silently dropped all but the last)."""

@@ -117,6 +117,30 @@ def test_engine_end_to_end_nlp_job():
         assert set(out[key]) == want
 
 
+def test_engine_pallas_backend_matches_xla():
+    """similar --pallas_topk: backend='pallas' returns exactly the XLA
+    scan's results (interpret mode off-TPU; same production call path)."""
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(130, 16)).astype(np.float32)
+    keys = list(range(130))
+    xla = SimilarityEngine(emb, keys, metric="ip").search(k=7)
+    pls = SimilarityEngine(emb, keys, metric="ip",
+                           backend="pallas").search(k=7)
+    np.testing.assert_array_equal(xla[1], pls[1])
+    np.testing.assert_allclose(xla[0], pls[0], rtol=1e-4, atol=1e-4)
+
+
+def test_engine_pallas_backend_rejects_sharded_mesh():
+    mesh = create_mesh()
+    emb = np.eye(8, dtype=np.float32)
+    if mesh.shape["data"] > 1:
+        with pytest.raises(ValueError, match="no corpus-sharded path"):
+            SimilarityEngine(emb, list(range(8)), mesh=mesh,
+                             backend="pallas")
+    with pytest.raises(ValueError, match="backend must be"):
+        SimilarityEngine(emb, list(range(8)), backend="mosaic")
+
+
 def test_engine_sharded_matches_single():
     mesh = create_mesh()
     rng = np.random.default_rng(4)
