@@ -154,7 +154,8 @@ class Trainer:
     def fit(self, train_source, num_epochs: int, batch_size: int,
             eval_source=None, eval_batch_size: Optional[int] = None,
             sampler_fn=None, shuffle: bool = True,
-            resume: bool = False) -> TrainState:
+            resume: bool = False,
+            initial_state: Optional[TrainState] = None) -> TrainState:
         """Run the full training recipe.
 
         ``sampler_fn(epoch) -> WeightedSampler | None`` plugs in the
@@ -162,6 +163,12 @@ class Trainer:
         ``resume=True`` restores the latest checkpoint from
         ``checkpoint_dir`` and continues (the reference resumes by editing
         torch.load calls into the script, cv_classifier_train.py:33).
+        ``initial_state`` warm-starts from a given TrainState instead of a
+        fresh init (the reference's torch.load warm starts, e.g.
+        multimodal tower loading; also the convergence-parity harness,
+        which starts our Trainer and the reference loop from bridged
+        identical weights). A checkpoint restore (``resume=True``) still
+        takes precedence.
         """
         from multimodalsimilar_tpu.utils.profiling import StepTimer
         cfg = self.config
@@ -199,7 +206,10 @@ class Trainer:
                                       sampler=sampler)
             for batch in prefetch_to_device(it, self.mesh):
                 if state is None:
-                    state = self.init_state_from_device_batch(batch)
+                    if initial_state is not None:
+                        state = self._place_state(initial_state)
+                    else:
+                        state = self.init_state_from_device_batch(batch)
                     if resume_requested:
                         restored = self.ckpt.restore(template=state)
                         if restored is not None:
