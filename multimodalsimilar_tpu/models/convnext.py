@@ -48,11 +48,15 @@ class ConvNeXtConfig:
 
     @classmethod
     def variant(cls, name: str, **kw) -> "ConvNeXtConfig":
+        # kw overrides the preset (e.g. resolution=384)
         if name == "convnext_test":  # tiny test config
-            return cls(depths=(1, 1, 2, 1), dims=(8, 16, 32, 64),
-                       resolution=32, **kw)
-        depths, dims = _VARIANTS[name]
-        return cls(depths=depths, dims=dims, **kw)
+            base = dict(depths=(1, 1, 2, 1), dims=(8, 16, 32, 64),
+                        resolution=32)
+        else:
+            depths, dims = _VARIANTS[name]
+            base = dict(depths=depths, dims=dims)
+        base.update(kw)
+        return cls(**base)
 
     @property
     def num_features(self) -> int:

@@ -88,8 +88,10 @@ class EfficientNetConfig:
         if name == "tiny":  # 3-block test/smoke backbone, not a real B-variant
             return cls.tiny()
         w, d, res, drop = _VARIANTS[name]
-        return cls(width_mult=w, depth_mult=d, resolution=res, dropout=drop,
-                   **kw)
+        base = dict(width_mult=w, depth_mult=d, resolution=res,
+                    dropout=drop)
+        base.update(kw)            # kw overrides the preset
+        return cls(**base)
 
     @classmethod
     def b4(cls, **kw) -> "EfficientNetConfig":

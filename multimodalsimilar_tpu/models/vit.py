@@ -43,12 +43,17 @@ class ViTConfig:
 
     @classmethod
     def variant(cls, name: str, **kw) -> "ViTConfig":
+        # kw overrides the preset (variant('vit_small', resolution=384)
+        # is the CNN-native-resolution serving point, PERF.md shootout)
         if name == "vit_test":  # 2-layer test config
-            return cls(hidden_size=32, num_layers=2, num_heads=4,
-                       mlp_dim=64, patch_size=8, resolution=32, **kw)
-        h, l, nh, mlp, p, res = _VARIANTS[name]
-        return cls(hidden_size=h, num_layers=l, num_heads=nh, mlp_dim=mlp,
-                   patch_size=p, resolution=res, **kw)
+            base = dict(hidden_size=32, num_layers=2, num_heads=4,
+                        mlp_dim=64, patch_size=8, resolution=32)
+        else:
+            h, l, nh, mlp, p, res = _VARIANTS[name]
+            base = dict(hidden_size=h, num_layers=l, num_heads=nh,
+                        mlp_dim=mlp, patch_size=p, resolution=res)
+        base.update(kw)
+        return cls(**base)
 
     @property
     def num_features(self) -> int:
