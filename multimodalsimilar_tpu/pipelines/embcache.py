@@ -1,0 +1,226 @@
+"""Packed on-disk embedding cache (the emb.txt replacement).
+
+The reference caches one embedding per SKU as a TEXT file next to the
+images — np.savetxt on write, np.loadtxt on read (daodian_infer.py:259-285;
+goodssku_emb_cv_di.py re-reads every emb.txt for the day's catalog). At
+warehouse key counts that is minutes of host time spent parsing decimal
+floats out of 100k+ tiny files. ``EmbeddingCache`` stores fixed-dim
+float32 records packed in one data.bin with a keys.txt index — the same
+crash discipline as data.images.DecodedCache (atomic meta.json, flock'd
+record-aligned appends, torn-tail tolerance, cross-process index refresh)
+applied to embeddings. Measured ≥10x read throughput vs the text path at
+100k keys (PERF.md "Packed embedding cache"; benchmarks/embcache_bench.py).
+
+Reference compatibility: ``import_emb_txt`` ingests an existing emb.txt
+tree, ``export_emb_txt`` writes one back in the exact layout the
+reference's jobs read (np.savetxt float-per-line next to the images) —
+and ``pipelines.embedders.ImageEmbedder`` migrates organically when given
+both a cache and a legacy ``cache_path_for_key`` (cache miss -> read
+emb.txt -> backfill the cache).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Callable, Dict, Iterable, Optional, Sequence
+
+import numpy as np
+
+
+class EmbeddingCache:
+    """One fixed-dim f32 record per key; see module docstring."""
+
+    _instances: dict = {}
+    _instances_lock = threading.Lock()
+
+    @classmethod
+    def open(cls, directory: str, dim: int) -> "EmbeddingCache":
+        key = (os.path.realpath(directory), dim)
+        with cls._instances_lock:
+            inst = cls._instances.get(key)
+            if inst is None:
+                inst = cls._instances[key] = cls(directory, dim)
+            return inst
+
+    def __init__(self, directory: str, dim: int):
+        os.makedirs(directory, exist_ok=True)
+        self.dim = int(dim)
+        self.record = self.dim * 4            # float32
+        meta_path = os.path.join(directory, "meta.json")
+        meta = None
+        if os.path.exists(meta_path):
+            try:
+                meta = json.load(open(meta_path))
+            except (json.JSONDecodeError, OSError):
+                meta = None                   # torn meta: rewrite below
+        if meta is not None:
+            if meta["dim"] != self.dim:
+                raise ValueError(
+                    f"EmbeddingCache at {directory} holds {meta['dim']}-d "
+                    f"embeddings, requested {self.dim}-d — use a separate "
+                    f"directory")
+        else:
+            data_bin = os.path.join(directory, "data.bin")
+            if os.path.exists(data_bin) and os.path.getsize(data_bin) > 0:
+                raise ValueError(
+                    f"EmbeddingCache at {directory}: meta.json is "
+                    f"unreadable but data.bin is non-empty — delete the "
+                    f"directory to rebuild")
+            tmp = f"{meta_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"dim": self.dim, "format": "f32-v1"}, f)
+            os.replace(tmp, meta_path)
+        self._keys_path = os.path.join(directory, "keys.txt")
+        self._data_path = os.path.join(directory, "data.bin")
+        self._index: Dict[str, int] = {}
+        self._keys_offset = 0
+        self._lock = threading.Lock()
+        if os.path.exists(self._keys_path):
+            with open(self._keys_path, "rb") as f:
+                raw = f.read()
+            if raw and not raw.endswith(b"\n"):
+                # torn final line: poison it so it never mis-maps
+                with open(self._keys_path, "ab") as f:
+                    f.write(b"\t#\n")
+                raw += b"\t#\n"
+            self._ingest_keys(raw)
+        self._read_fd = os.open(self._data_path,
+                                os.O_RDONLY | os.O_CREAT, 0o644)
+
+    # -- index ------------------------------------------------------------
+
+    def _ingest_keys(self, raw: bytes) -> None:
+        for line in raw.decode("utf-8", "replace").splitlines():
+            key, _, slot = line.rpartition("\t")
+            if key and slot.isdigit():
+                self._index[key] = int(slot)
+        self._keys_offset += len(raw)
+
+    def _refresh_index(self) -> None:
+        try:
+            end = os.path.getsize(self._keys_path)
+        except OSError:
+            return
+        if end <= self._keys_offset:
+            return
+        with open(self._keys_path, "rb") as f:
+            f.seek(self._keys_offset)
+            raw = f.read()
+        if raw and not raw.endswith(b"\n"):
+            raw = raw[: raw.rfind(b"\n") + 1]
+        self._ingest_keys(raw)
+
+    def __len__(self):
+        return len(self._index)
+
+    def __contains__(self, key: str) -> bool:
+        return self.get(key) is not None
+
+    def keys(self) -> Iterable[str]:
+        with self._lock:
+            self._refresh_index()
+        return list(self._index)
+
+    # -- records ----------------------------------------------------------
+
+    def get(self, key: str) -> Optional[np.ndarray]:
+        slot = self._index.get(key)
+        if slot is None:
+            with self._lock:
+                self._refresh_index()
+            slot = self._index.get(key)
+            if slot is None:
+                return None
+        buf = os.pread(self._read_fd, self.record, slot * self.record)
+        if len(buf) != self.record:
+            return None                       # torn write from a crash
+        return np.frombuffer(buf, np.float32).copy()
+
+    def get_many(self, keys: Sequence[str]) -> Dict[str, np.ndarray]:
+        out = {}
+        for k in keys:
+            v = self.get(k)
+            if v is not None:
+                out[k] = v
+        return out
+
+    def put(self, key: str, vec: np.ndarray) -> None:
+        import fcntl
+        v = np.ascontiguousarray(vec, np.float32)
+        if v.shape != (self.dim,):
+            raise ValueError(f"expected a ({self.dim},) vector, "
+                             f"got {v.shape}")
+        if "\t" in key or "\n" in key:
+            raise ValueError(f"cache key may not contain tab/newline: "
+                             f"{key!r}")
+        payload = v.tobytes()
+        with self._lock:
+            if key not in self._index:
+                self._refresh_index()
+            if key in self._index:
+                return
+            fd = os.open(self._data_path, os.O_WRONLY | os.O_CREAT, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                end = os.fstat(fd).st_size
+                slot = end // self.record     # re-align past a torn tail
+                off, done = slot * self.record, 0
+                while done < len(payload):
+                    done += os.pwrite(fd, payload[done:], off + done)
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+            with open(self._keys_path, "a") as k:
+                k.write(f"{key}\t{slot}\n")
+            self._index[key] = slot
+
+    def put_many(self, items: Dict[str, np.ndarray]) -> None:
+        for k, v in items.items():
+            self.put(k, v)
+
+    def close(self):
+        with self._instances_lock:
+            for k, v in list(self._instances.items()):
+                if v is self:
+                    del self._instances[k]
+        os.close(self._read_fd)
+
+    # -- emb.txt compatibility --------------------------------------------
+
+    def import_emb_txt(self, cache_path_for_key: Callable[[str], str],
+                       keys: Sequence[str]) -> int:
+        """Ingest an existing reference-layout emb.txt tree
+        (daodian_infer.py:259-285: np.loadtxt per key). Returns #imported;
+        keys without a readable emb.txt (or already cached) are skipped."""
+        n = 0
+        for key in keys:
+            if self._index.get(key) is not None:
+                continue
+            path = cache_path_for_key(key)
+            if not os.path.exists(path):
+                continue
+            try:
+                vec = np.loadtxt(path).astype(np.float32).reshape(-1)
+            except (ValueError, OSError):
+                continue
+            if vec.shape == (self.dim,):
+                self.put(key, vec)
+                n += 1
+        return n
+
+    def export_emb_txt(self, cache_path_for_key: Callable[[str], str],
+                       keys: Optional[Sequence[str]] = None) -> int:
+        """Write the reference's exact emb.txt layout back out (np.savetxt
+        float-per-line) so its own jobs can read this cache's contents."""
+        n = 0
+        for key in (self.keys() if keys is None else keys):
+            vec = self.get(key)
+            if vec is None:
+                continue
+            path = cache_path_for_key(key)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.savetxt(path, vec)
+            n += 1
+        return n

@@ -147,16 +147,22 @@ class ImageEmbedder:
 
     ``paths_for_key(key) -> [path, ...]`` lists candidate images (the
     reference reads {sku}/0.jpg..7.jpg, daodian_infer.py:266-281); their
-    embeddings are averaged. Cache layout matches the reference: one
-    ``emb.txt`` (np.savetxt) next to the images.
+    embeddings are averaged. Default cache layout matches the reference:
+    one ``emb.txt`` (np.savetxt) next to the images. Passing ``cache``
+    (an ``embcache.EmbeddingCache``) uses the packed store instead —
+    ≥10x faster reads at warehouse key counts — and when BOTH are given,
+    a cache miss falls back to the legacy emb.txt and backfills the
+    packed store (organic migration; no recompute, no extra command).
     """
 
     def __init__(self, model, variables, image_size: int = 512,
                  batch_size: int = 64,
-                 cache_path_for_key: Optional[Callable[[str], str]] = None):
+                 cache_path_for_key: Optional[Callable[[str], str]] = None,
+                 cache=None):
         self.image_size = image_size
         self.batch_size = batch_size
         self.cache_path_for_key = cache_path_for_key
+        self.cache = cache
 
         from multimodalsimilar_tpu.models.vision import device_normalize
 
@@ -203,10 +209,18 @@ class ImageEmbedder:
         result: Dict[str, np.ndarray] = {}
         to_decode: List[str] = []      # keys needing compute
         for key in keys:
-            cache = (self.cache_path_for_key(key)
-                     if self.cache_path_for_key else None)
-            if cache and os.path.exists(cache):
-                result[key] = np.loadtxt(cache).astype(np.float32)
+            if self.cache is not None:
+                hit = self.cache.get(key)
+                if hit is not None:
+                    result[key] = hit
+                    continue
+            txt = (self.cache_path_for_key(key)
+                   if self.cache_path_for_key else None)
+            if txt and os.path.exists(txt):
+                emb = np.loadtxt(txt).astype(np.float32)
+                result[key] = emb
+                if self.cache is not None:   # migrate legacy emb.txt in
+                    self.cache.put(key, emb.reshape(-1))
             else:
                 to_decode.append(key)
 
@@ -262,11 +276,12 @@ class ImageEmbedder:
             for key in pending:
                 emb = (sums[key] / counts[key]).astype(np.float32)
                 result[key] = emb
-                cache = (self.cache_path_for_key(key)
-                         if self.cache_path_for_key else None)
-                if cache:
-                    os.makedirs(os.path.dirname(cache), exist_ok=True)
-                    np.savetxt(cache, emb)
+                if self.cache is not None:
+                    self.cache.put(key, emb.reshape(-1))
+                elif self.cache_path_for_key:
+                    txt = self.cache_path_for_key(key)
+                    os.makedirs(os.path.dirname(txt), exist_ok=True)
+                    np.savetxt(txt, emb)
         return result
 
 
