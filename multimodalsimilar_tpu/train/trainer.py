@@ -277,6 +277,28 @@ class Trainer:
     _HEAD_NAMES = frozenset({"head", "lv1_head", "lv2_head", "tag_head",
                              "classifier"})
 
+    def state_shardings(self, state) -> TrainState:
+        """The sharding tree _place_state applies — exposed so AOT tooling
+        (benchmarks/multichip_projection.py) can lower the train step over
+        abstract ShapeDtypeStructs with the production placements without
+        materializing reference-scale state. ``state`` may hold arrays OR
+        ShapeDtypeStructs (only .ndim/.shape are read)."""
+        model_n = self.mesh.shape.get(MODEL_AXIS, 1)
+        repl = replicated(self.mesh)
+        if not self.config.model_parallel_heads or model_n <= 1:
+            return jax.tree_util.tree_map(lambda _: repl, state)
+        cs = MeshRules(self.mesh).class_sharded
+
+        def rule(path, x):
+            names = {str(getattr(k, "key", getattr(k, "name", k)))
+                     for k in path}
+            if names & self._HEAD_NAMES and getattr(x, "ndim", 0) == 2 \
+                    and x.shape[0] % model_n == 0:
+                return cs
+            return repl
+
+        return jax.tree_util.tree_map_with_path(rule, state)
+
     def _place_state(self, state: TrainState) -> TrainState:
         """Put the state on the mesh: everything replicated except — with
         ``model_parallel_heads`` on a mesh with a real model axis — ArcFace

@@ -195,6 +195,72 @@ def test_train_step_hlo_collectives():
     assert mp.count("all-gather") > 0          # sharded head -> full softmax
 
 
+def test_state_shardings_matches_place_state():
+    """Trainer.state_shardings (the AOT-lowering hook used by
+    benchmarks/multichip_projection.py) must return exactly the shardings
+    _place_state applies — head weights class-sharded iff divisible,
+    everything else replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodalsimilar_tpu.models.bert import BertConfig
+    from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
+    from multimodalsimilar_tpu.parallel.mesh import MODEL_AXIS, shard_batch
+    from multimodalsimilar_tpu.train.optim import dual_group_adamw
+    from multimodalsimilar_tpu.train.tasks import text_arcface_task
+    from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    mesh = create_mesh(data=4, model=2)
+    model = NlpTextClassifier(BertConfig.tiny(), num_labels=8,
+                              policy=DTypePolicy.full_precision())
+    trainer = Trainer(text_arcface_task(model),
+                      dual_group_adamw(lambda s: 1e-3, lambda s: 1e-2),
+                      mesh, TrainerConfig(model_parallel_heads=True))
+    rng = np.random.default_rng(0)
+    batch = shard_batch(mesh, {
+        "input_ids": rng.integers(1, 128, size=(8, 12)).astype(np.int32),
+        "attention_mask": np.ones((8, 12), np.int32),
+        "labels": rng.integers(0, 8, size=(8,)).astype(np.int32)})
+    state = trainer.init_state_from_device_batch(batch)
+    shardings = trainer.state_shardings(state)
+    cs = NamedSharding(mesh, P(MODEL_AXIS, None))
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(shardings)[0])
+    flat_x = dict(jax.tree_util.tree_flatten_with_path(state)[0])
+    assert flat_s.keys() == flat_x.keys()
+    for path, want in flat_s.items():
+        got = flat_x[path].sharding
+        assert got.is_equivalent_to(want, ndim=flat_x[path].ndim), path
+    # the head weight really is the class-sharded one
+    head_paths = [p for p in flat_s
+                  if "head" in jax.tree_util.keystr(p)
+                  and flat_x[p].ndim == 2]
+    assert head_paths
+    for p in head_paths:
+        assert flat_s[p].is_equivalent_to(cs, ndim=2), p
+
+
+def test_hlo_collective_parser():
+    """multichip_projection's HLO parser: variadic tuple all-reduce bytes
+    and replica-group sizes extracted correctly."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "mcp", os.path.join(os.path.dirname(__file__), "..",
+                            "benchmarks", "multichip_projection.py"))
+    mcp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mcp)
+    hlo = """
+  %all-reduce.1 = (f32[4,8]{1,0}, bf16[16]{0}) all-reduce(f32[4,8] %a, bf16[16] %b), replica_groups={{0,1,2,3},{4,5,6,7}}, to_apply=%add
+  %all-gather.2 = f32[32,8]{1,0} all-gather(f32[16,8] %c), replica_groups={{0,4},{1,5},{2,6},{3,7}}, dimensions={0}
+"""
+    colls = mcp.collect_collectives(hlo)
+    assert [c["op"] for c in colls] == ["all-reduce", "all-gather"]
+    assert colls[0]["bytes"] == 4 * 8 * 4 + 16 * 2
+    assert colls[0]["group_size"] == 4
+    assert colls[1]["bytes"] == 32 * 8 * 4
+    assert colls[1]["group_size"] == 2
+
+
 def test_model_parallel_composes_with_grad_accum():
     """--model_parallel + --grad_accum together: the path-wise placement
     rule must also shard MultiSteps' accumulated-grad buffers for the head
