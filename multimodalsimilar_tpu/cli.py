@@ -262,6 +262,22 @@ def _seq_buckets(args):
 
 
 
+def _pad_for_model_parallel(num_labels, args):
+    """(head_size, num_valid): pad a class count up to a --model_parallel
+    multiple (XLA shards require divisible dims; 10205 = 5*13*157 shares
+    no factor with an 8-chip model axis). Pad classes are masked to -inf
+    in the task loss/eval (train/tasks._mask_pad) — loss and accuracy are
+    identical to the unpadded head."""
+    mp = int(getattr(args, "model_parallel", 1) or 1)
+    if mp <= 1 or num_labels % mp == 0:
+        return num_labels, None
+    padded = -(-num_labels // mp) * mp
+    print(f"--model_parallel {mp}: padding head {num_labels} -> {padded} "
+          f"classes ({padded - num_labels} masked pad classes)",
+          file=sys.stderr)
+    return padded, num_labels
+
+
 def cmd_train_nlp(args):
     import pandas as pd
     from multimodalsimilar_tpu.data.datasets import (
@@ -276,14 +292,17 @@ def cmd_train_nlp(args):
                                    args.max_length,
                                    clean=not args.no_clean,
                                    seq_buckets=_seq_buckets(args))
-    num_labels = int(df[args.label_col].max()) + 1
+    num_labels, num_valid = _pad_for_model_parallel(
+        int(df[args.label_col].max()) + 1, args)
     model = NlpTextClassifier(_bert_config(args.bert_preset,
                                        remat=args.remat), num_labels,
                               arcface=ArcFaceParams(m=args.margin),
                               pool=getattr(args, "pool", "cls"))
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
-    trainer = _trainer(text_arcface_task(model, fused_loss=args.fused_loss), args, steps, mesh)
+    trainer = _trainer(text_arcface_task(model, fused_loss=args.fused_loss,
+                                         num_valid=num_valid),
+                       args, steps, mesh)
     eval_src = None
     if args.eval_data:
         eval_src = TextClassificationSource(
@@ -310,16 +329,20 @@ def cmd_train_multilabel(args):
                                    args.max_length,
                                    clean=not args.no_clean,
                                    seq_buckets=_seq_buckets(args))
+    lv1, v1 = _pad_for_model_parallel(int(df[args.lv1_col].max()) + 1,
+                                      args)
+    lv2, v2 = _pad_for_model_parallel(int(df[args.lv2_col].max()) + 1,
+                                      args)
+    tag, vt = _pad_for_model_parallel(int(df[args.tag_col].max()) + 1,
+                                      args)
     model = NlpMultilabelClassifier(
         _bert_config(args.bert_preset, remat=args.remat),
-        lv1_labels=int(df[args.lv1_col].max()) + 1,
-        lv2_labels=int(df[args.lv2_col].max()) + 1,
-        tag_labels=int(df[args.tag_col].max()) + 1)
+        lv1_labels=lv1, lv2_labels=lv2, tag_labels=tag)
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
     task = multilabel_arcface_task(
         model, weights=(args.lv1_weight, args.lv2_weight, args.tag_weight),
-        fused_loss=args.fused_loss)
+        fused_loss=args.fused_loss, num_valid=(v1, v2, vt))
 
     # label columns keep their own names in multi-label batches
     def renamed(source):
@@ -368,13 +391,15 @@ def cmd_train_cv(args):
                                     train_aug=True,
                                     decode_cache=args.decode_cache,
                                     emit="uint8")
+    cv_labels, cv_valid = _pad_for_model_parallel(
+        int(df[args.label_col].max()) + 1, args)
     model = CvImageClassifier(
-        backbone_config(args.backbone),
-        num_labels=int(df[args.label_col].max()) + 1,
+        backbone_config(args.backbone), num_labels=cv_labels,
         fc_dim=args.fc_dim, arcface=ArcFaceParams(m=args.margin))
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
-    trainer = _trainer(cv_arcface_task(model), args, steps, mesh)
+    trainer = _trainer(cv_arcface_task(model, num_valid=cv_valid),
+                       args, steps, mesh)
     eval_src = None
     if args.eval_data:
         eval_src = ImageClassificationSource(
@@ -444,13 +469,16 @@ def cmd_train_multimodal(args):
                            decode_cache=args.decode_cache, emit="uint8",
                            seq_buckets=_seq_buckets(args),
                            clean=not args.no_clean)
+    mm_labels, mm_valid = _pad_for_model_parallel(
+        int(df[args.label_col].max()) + 1, args)
     model = MultimodalClassifier(
         _bert_config(args.bert_preset, remat=args.remat),
         backbone_config(args.backbone),
-        num_labels=int(df[args.label_col].max()) + 1, fc_dim=args.fc_dim)
+        num_labels=mm_labels, fc_dim=args.fc_dim)
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
-    trainer = _trainer(multimodal_arcface_task(model), args, steps, mesh)
+    trainer = _trainer(multimodal_arcface_task(model, num_valid=mm_valid),
+                       args, steps, mesh)
     eval_src = None
     if args.eval_data:
         eval_src = MultimodalSource(

@@ -54,6 +54,19 @@ def _acc(logits, labels):
     return jnp.mean(jnp.argmax(logits, -1) == labels)
 
 
+def _mask_pad(logits, num_valid):
+    """Mask PAD classes out of padded heads. `--model_parallel N` shards
+    ArcFace weights [C, D] over classes, and XLA requires C divisible by N
+    — but the v2 recipe's C=10205 (5*13*157) shares no factor with an
+    8-chip mesh's model axis, so the CLI pads the head up and passes the
+    true count here; pad logits become -inf (softmax weight 0, never the
+    argmax), leaving loss/accuracy identical to the unpadded head."""
+    if num_valid is None or num_valid >= logits.shape[-1]:
+        return logits
+    col = jnp.arange(logits.shape[-1])
+    return jnp.where(col < num_valid, logits, -jnp.inf)
+
+
 def _text_inputs(batch: Batch):
     return dict(input_ids=batch["input_ids"],
                 attention_mask=batch.get("attention_mask"),
@@ -61,13 +74,23 @@ def _text_inputs(batch: Batch):
 
 
 def text_arcface_task(model, fused_loss: bool = False,
-                      loss_tile_c: int = 1024) -> Task:
+                      loss_tile_c: int = 1024,
+                      num_valid: int = None) -> Task:
     """``fused_loss=True`` streams ArcFace+CE over class tiles
     (ops/arcface_loss.py) — the [B, C] logits never hit HBM. Measured on
     v5e: a de-optimization at C=10205 (the scan serializes small matmuls
     and the head is <0.1% of the step; 1.73 s vs 0.134 s per step) — only
     worth enabling when [B, C] genuinely does not fit (C in the 100k+
-    range), ideally via the Pallas kernel in a future round."""
+    range), ideally via the Pallas kernel in a future round.
+
+    ``num_valid``: true class count when the head is padded for
+    `--model_parallel` divisibility (see _mask_pad)."""
+    if fused_loss and num_valid is not None \
+            and num_valid < model.num_labels:
+        raise ValueError(
+            "--fused_loss streams class tiles and cannot mask padded "
+            "classes; drop --fused_loss or pick a --model_parallel that "
+            "divides the class count")
 
     def init(rng, batch):
         return model.init({"params": rng}, **_text_inputs(batch),
@@ -88,16 +111,19 @@ def text_arcface_task(model, fused_loss: bool = False,
             pred = cosine_argmax(emb, w, loss_tile_c)
             acc = jnp.mean(pred == batch["labels"])
             return loss, ({"loss": loss, "acc": acc}, batch_stats)
-        logits = model.apply({"params": params}, **_text_inputs(batch),
-                             label=batch["labels"], m=margin,
-                             deterministic=False, rngs={"dropout": rng})
+        logits = _mask_pad(
+            model.apply({"params": params}, **_text_inputs(batch),
+                        label=batch["labels"], m=margin,
+                        deterministic=False, rngs={"dropout": rng}),
+            num_valid)
         loss = _ce(logits, batch["labels"])
         return loss, ({"loss": loss, "acc": _acc(logits, batch["labels"])},
                       batch_stats)
 
     def eval_metrics(params, batch_stats, batch):
-        logits = model.apply({"params": params}, **_text_inputs(batch),
-                             is_test=True)
+        logits = _mask_pad(
+            model.apply({"params": params}, **_text_inputs(batch),
+                        is_test=True), num_valid)
         # eval CE at the model's own logit scale (forward_test returns the
         # raw cosine; the reference evaluates CE on s-scaled train logits)
         return {"acc": _acc(logits, batch["labels"]),
@@ -108,12 +134,19 @@ def text_arcface_task(model, fused_loss: bool = False,
 
 def multilabel_arcface_task(model, weights=(10.0, 5.0, 1.0),
                             fused_loss: bool = False,
-                            loss_tile_c: int = 1024) -> Task:
+                            loss_tile_c: int = 1024,
+                            num_valid=(None, None, None)) -> Task:
     """Weighted multi-head loss, v3_dist.py:164-166 semantics.
 
     ``fused_loss=True`` computes each head's ArcFace+CE blockwise over class
     tiles on the shared embedding — at reference scale the tag head alone is
-    10205-wide."""
+    10205-wide. ``num_valid``: per-head (lv1, lv2, tag) true class counts
+    when heads are padded for `--model_parallel` (see _mask_pad)."""
+    if fused_loss and any(v is not None for v in num_valid):
+        raise ValueError(
+            "--fused_loss streams class tiles and cannot mask padded "
+            "classes; drop --fused_loss or pick a --model_parallel that "
+            "divides every head's class count")
 
     def labels(batch):
         return dict(lv1_label=batch["lv1_label"],
@@ -147,6 +180,8 @@ def multilabel_arcface_task(model, weights=(10.0, 5.0, 1.0),
         l1, l2, lt = model.apply({"params": params}, **_text_inputs(batch),
                                  **labels(batch), deterministic=False,
                                  rngs={"dropout": rng})
+        l1, l2, lt = (_mask_pad(l, v)
+                      for l, v in zip((l1, l2, lt), num_valid))
         loss = (weights[0] * _ce(l1, batch["lv1_label"])
                 + weights[1] * _ce(l2, batch["lv2_label"])
                 + weights[2] * _ce(lt, batch["tag_label"]))
@@ -156,6 +191,8 @@ def multilabel_arcface_task(model, weights=(10.0, 5.0, 1.0),
     def eval_metrics(params, batch_stats, batch):
         l1, l2, lt = model.apply({"params": params}, **_text_inputs(batch),
                                  is_test=True)
+        l1, l2, lt = (_mask_pad(l, v)
+                      for l, v in zip((l1, l2, lt), num_valid))
         return {"acc": _acc(lt, batch["tag_label"]),
                 "lv1_acc": _acc(l1, batch["lv1_label"]),
                 "lv2_acc": _acc(l2, batch["lv2_label"])}
@@ -164,9 +201,10 @@ def multilabel_arcface_task(model, weights=(10.0, 5.0, 1.0),
                 dynamic_margin=False)
 
 
-def cv_arcface_task(model) -> Task:
+def cv_arcface_task(model, num_valid: int = None) -> Task:
     # uint8 batches normalize inside the jitted step (device_normalize is a
-    # no-op on float inputs) — the host ships 4x smaller transfers
+    # no-op on float inputs) — the host ships 4x smaller transfers.
+    # num_valid: true class count for --model_parallel padding (_mask_pad).
     from multimodalsimilar_tpu.models.vision import device_normalize
 
     def init(rng, batch):
@@ -179,13 +217,16 @@ def cv_arcface_task(model) -> Task:
             device_normalize(batch["images"]), label=batch["labels"],
             m=margin, train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"])
+        logits = _mask_pad(logits, num_valid)
         loss = _ce(logits, batch["labels"])
         return loss, ({"loss": loss, "acc": _acc(logits, batch["labels"])},
                       mutated["batch_stats"])
 
     def eval_metrics(params, batch_stats, batch):
-        logits = model.apply({"params": params, "batch_stats": batch_stats},
-                             device_normalize(batch["images"]), is_test=True)
+        logits = _mask_pad(
+            model.apply({"params": params, "batch_stats": batch_stats},
+                        device_normalize(batch["images"]), is_test=True),
+            num_valid)
         # micro-F1 == accuracy for single-label multiclass
         # (cv_classifier_train_daodian.py:173 tracks micro-F1)
         return {"acc": _acc(logits, batch["labels"])}
@@ -194,7 +235,8 @@ def cv_arcface_task(model) -> Task:
                 has_batch_stats=True)
 
 
-def multimodal_arcface_task(model) -> Task:
+def multimodal_arcface_task(model, num_valid: int = None) -> Task:
+    # num_valid: true class count for --model_parallel padding (_mask_pad)
     from multimodalsimilar_tpu.models.vision import device_normalize
 
     def inputs(batch):
@@ -211,14 +253,16 @@ def multimodal_arcface_task(model) -> Task:
             {"params": params, "batch_stats": batch_stats}, *args, **kw,
             label=batch["labels"], m=margin, train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"])
+        logits = _mask_pad(logits, num_valid)
         loss = _ce(logits, batch["labels"])
         return loss, ({"loss": loss, "acc": _acc(logits, batch["labels"])},
                       mutated["batch_stats"])
 
     def eval_metrics(params, batch_stats, batch):
         args, kw = inputs(batch)
-        logits = model.apply({"params": params, "batch_stats": batch_stats},
-                             *args, **kw, is_test=True)
+        logits = _mask_pad(
+            model.apply({"params": params, "batch_stats": batch_stats},
+                        *args, **kw, is_test=True), num_valid)
         return {"acc": _acc(logits, batch["labels"])}
 
     return Task(model, init, train_loss, eval_metrics,

@@ -239,6 +239,83 @@ def test_state_shardings_matches_place_state():
         assert flat_s[p].is_equivalent_to(cs, ndim=2), p
 
 
+def test_padded_head_masking_is_exact():
+    """--model_parallel padding (cli._pad_for_model_parallel +
+    tasks._mask_pad): a head padded with extra class rows must produce
+    EXACTLY the unpadded loss/accuracy, zero grads for pad rows, and
+    identical grads everywhere else."""
+    from multimodalsimilar_tpu.models.bert import BertConfig
+    from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
+    from multimodalsimilar_tpu.train.tasks import text_arcface_task
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    rng = np.random.default_rng(5)
+    batch = {
+        "input_ids": rng.integers(1, 128, size=(8, 10)).astype(np.int32),
+        "attention_mask": np.ones((8, 10), np.int32),
+        "labels": rng.integers(0, 7, size=(8,)).astype(np.int32)}
+    cfg = BertConfig.tiny(hidden_dropout=0.0, attention_dropout=0.0)
+    pol = DTypePolicy.full_precision()
+
+    m7 = NlpTextClassifier(cfg, num_labels=7, policy=pol)
+    t7 = text_arcface_task(m7)
+    p7 = m7.init({"params": jax.random.key(0)},
+                 jnp.asarray(batch["input_ids"]),
+                 label=jnp.zeros(8, jnp.int32))["params"]
+
+    m8 = NlpTextClassifier(cfg, num_labels=8, policy=pol)
+    t8 = text_arcface_task(m8, num_valid=7)
+    p8 = jax.tree_util.tree_map(lambda x: x, p7)
+    pad_row = np.full((1, p7["head"]["weight"].shape[1]), 3.7, np.float32)
+    p8["head"] = {"weight": jnp.concatenate(
+        [p7["head"]["weight"], jnp.asarray(pad_row)])}
+
+    def run(task, params):
+        return jax.value_and_grad(task.train_loss, has_aux=True)(
+            params, None, batch, jax.random.key(1), 0.4)
+
+    (l7, (met7, _)), g7 = run(t7, p7)
+    (l8, (met8, _)), g8 = run(t8, p8)
+    np.testing.assert_allclose(float(l7), float(l8), rtol=1e-6)
+    np.testing.assert_allclose(float(met7["acc"]), float(met8["acc"]))
+    # pad row: zero grad
+    np.testing.assert_array_equal(
+        np.asarray(g8["head"]["weight"])[7], 0.0)
+    # all shared leaves: identical grads (head compared on its 7 rows)
+    g8["head"] = {"weight": g8["head"]["weight"][:7]}
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7), g7, g8)
+    # eval metrics identical too
+    e7 = t7.eval_metrics(p7, None, batch)
+    p8["head"] = {"weight": jnp.concatenate(
+        [p7["head"]["weight"], jnp.asarray(pad_row)])}
+    e8 = t8.eval_metrics(p8, None, batch)
+    np.testing.assert_allclose(float(e7["acc"]), float(e8["acc"]))
+
+
+def test_cli_model_parallel_pads_indivisible_classes(tmp_path, capsys):
+    """cli train nlp --model_parallel 2 with an odd class count used to
+    die on the divisibility check; it now pads the head and trains (the
+    v2 recipe's C=10205 shares no factor with an 8-chip model axis)."""
+    import pandas as pd
+
+    from multimodalsimilar_tpu.cli import main
+
+    df = pd.DataFrame({
+        "spu_name": [f"商品 类别{i % 5} 编号{i}" for i in range(64)],
+        "labels": [i % 5 for i in range(64)]})       # 5 % 2 != 0
+    data = str(tmp_path / "d.csv")
+    df.to_csv(data, index=False)
+    main(["train", "nlp", "--data", data,
+          "--output", str(tmp_path / "out"), "--batch_size", "16",
+          "--epochs", "1", "--max_length", "12", "--model_parallel", "2",
+          "--eval_every", "1000000", "--save_every", "1000000",
+          "--log_every", "1000000"])
+    err = capsys.readouterr().err
+    assert "padding head 5 -> 6" in err
+
+
 def test_hlo_collective_parser():
     """multichip_projection's HLO parser: variadic tuple all-reduce bytes
     and replica-group sizes extracted correctly."""
