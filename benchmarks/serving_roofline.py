@@ -67,6 +67,26 @@ def pool_probe():
     return round(flops / min(ts) / 1e12, 1)
 
 
+def bw_probe():
+    """Achievable HBM bandwidth on the pool right now: 16 chained
+    elementwise passes over a 1 GB f32 array in one program (2 bytes moved
+    per element-pass: read + write)."""
+    import jax
+    import jax.numpy as jnp
+    a = jnp.ones((256, 1024, 1024), jnp.float32)
+
+    def chain(a):
+        def body(c, _):
+            return c * jnp.float32(1.0000001) + jnp.float32(1e-7), None
+        out, _ = jax.lax.scan(body, a, None, length=16)
+        return out[0, 0, 0]
+
+    f = jax.jit(chain)
+    np.asarray(f(a))
+    ts = _times(lambda: np.asarray(f(a)), 3)
+    return round(2 * a.size * 4 * 16 / min(ts) / 1e9, 1)
+
+
 def _roofline(compiled):
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
@@ -136,6 +156,10 @@ def image_tower():
         label=jnp.zeros(1, jnp.int32)))(x0)
     folded_cfg, variables = fold_cv_classifier(
         jax.device_get(variables), cfg)
+    # fold returns HOST numpy arrays — without device_put every call
+    # re-uploads 76 MB of params through the relay (~1.7 s/call measured,
+    # masquerading as a dispatch floor)
+    variables = jax.device_put(variables)
     model = CvImageClassifier(folded_cfg, num_labels=2, fc_dim=512,
                               policy=DTypePolicy.inference())
     rng = np.random.default_rng(1)
@@ -190,7 +214,8 @@ def measure(name, single, chained, args):
 
 
 def main():
-    print(json.dumps({"pool_probe_tflops": pool_probe()}), flush=True)
+    print(json.dumps({"pool_probe_tflops": pool_probe(),
+                      "pool_probe_hbm_gbps": bw_probe()}), flush=True)
     for build in (text_tower, image_tower):
         name, single, chained, args = build()
         print(json.dumps(measure(name, single, chained, args)), flush=True)
