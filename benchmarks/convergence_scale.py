@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--bert_preset", default="base")
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--eval_every", type=int, default=200)
+    ap.add_argument("extra", nargs="*", default=[],
+                    help="extra flags passed through to cli train nlp "
+                         "(e.g. --margin 0.1 --margin_delta_per_epoch "
+                         "0.04 for the from-scratch margin curriculum)")
     args = ap.parse_args()
 
     import jax
@@ -82,7 +86,7 @@ def main():
               "--max_length", "16", "--no_clean",
               "--eval_every", str(args.eval_every),
               "--save_every", "10000000",
-              "--log_every", "100"])
+              "--log_every", "100"] + list(args.extra))
 
     traj, thru = [], []
     with open(f"{out}/run/metrics.jsonl", encoding="utf-8") as f:
@@ -94,6 +98,7 @@ def main():
                 thru.append(rec["train/examples_per_sec"])
     print(json.dumps({
         "classes": args.classes,
+        "extra_flags": args.extra,
         "train_rows": len(rows),
         "bert_preset": args.bert_preset,
         "batch": args.batch_size,
