@@ -75,6 +75,38 @@ def test_config_preload_end_to_end(tmp_path, capsys):
     assert lines
 
 
+def test_yaml_unknown_key_dies_with_clear_error(tmp_path):
+    """A mistyped YAML key must die with the unknown-flags message, not
+    argparse's bare 'unrecognized arguments' (advisor finding)."""
+    import yaml as _yaml
+
+    cfg_path = str(tmp_path / "c.yaml")
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump({"batch_sise": 32}, f)        # typo
+    with pytest.raises(SystemExit, match="unknown flags.*batch_sise"):
+        main(["train", "nlp", "--config", cfg_path, "--data", "x.csv"])
+
+
+def test_yaml_value_starting_with_dash_not_misparsed(tmp_path, capsys):
+    """A YAML string value beginning with '-' must inject as --key=value,
+    not as a separate argv token argparse reads as a flag (advisor
+    finding). --dt is compared digit-normalized, so '-2026-08-16' selects
+    the same rows as '2026-08-16'."""
+    df = pd.DataFrame({"spu_name": [f"商品{i}" for i in range(8)],
+                       "spu_sn": [f"s{i}" for i in range(8)],
+                       "dt": ["2026-08-16"] * 8})
+    data = str(tmp_path / "t.csv")
+    df.to_csv(data, index=False)
+    import yaml as _yaml
+    cfg_path = str(tmp_path / "c.yaml")
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump({"dt": "-2026-08-16", "max_length": 8,
+                         "batch_size": 8}, f)
+    main(["similar", "nlp", "--config", cfg_path, "--data", data])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["written"] == 8
+
+
 def test_explicit_equals_form_beats_yaml(tmp_path):
     """--flag=value and exact --flag forms must win over the YAML; prefix
     abbreviations are rejected outright (allow_abbrev=False) so they can

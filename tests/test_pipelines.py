@@ -116,6 +116,37 @@ def test_incremental_export_skips_existing(text_embedder):
     np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-5)
 
 
+def test_incremental_export_periodic_flush_is_crash_resumable(
+        text_embedder):
+    """flush_rows (advisor finding): a crash mid-backfill must not lose
+    the already-embedded rows — they flush periodically, and the retry's
+    existing_keys pre-filter skips them."""
+    sink = InMemoryTableSink()
+    df = pd.DataFrame({"goods_sku": [str(i) for i in range(6)],
+                       "spu_name": [f"商品{i}" for i in range(6)]})
+    calls = {"n": 0}
+
+    def embed_fn(sub):
+        calls["n"] += 1
+        if calls["n"] == 3:               # crash on the 3rd chunk
+            raise RuntimeError("boom")
+        em = text_embedder(sub["spu_name"].tolist())
+        return dict(zip(sub["goods_sku"], em))
+
+    with pytest.raises(RuntimeError):
+        incremental_export(df, embed_fn, sink, buffer_rows=2,
+                           flush_rows=2)
+    flushed = set(sink.read()["goods_sku"])
+    assert flushed == {"0", "1", "2", "3"}    # first 2 chunks survived
+    # retry embeds ONLY the missing rows (no duplicate work, no dupes)
+    calls["n"] = 10
+    assert incremental_export(df, embed_fn, sink, buffer_rows=2,
+                              flush_rows=2) == 2
+    table = sink.read()
+    assert sorted(table["goods_sku"]) == [str(i) for i in range(6)]
+    assert len(table) == 6
+
+
 def test_bulk_export_outer_merge(text_embedder):
     sink = InMemoryTableSink()
     df = pd.DataFrame({"goods_sku": ["1", "2"],
