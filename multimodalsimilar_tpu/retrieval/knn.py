@@ -65,16 +65,19 @@ def _merge_topk(vals_a, idx_a, vals_b, idx_b, k):
             jnp.take_along_axis(idx, order, -1))
 
 
-def _default_block_rows(n_queries: int, budget_bytes: float = 1.4e10)\
-        -> int:
+def _default_block_rows(n_queries: int, budget_bytes: float = 1.4e10,
+                        resident_bytes: float = 0.0) -> int:
     """Largest power-of-two corpus block (<=32768) whose [Q, block] f32
     score matrix stays within the HBM budget. Bigger blocks mean fewer
     top-k sorts + merges — measured 2x on the 100k x 100k self-search
-    (block 32768: 7.4 s vs block 8192: 15.1 s warm, v5e). Budget: 14 GB of
-    v5e's 16 GB — the bucketed 102400-query x 32768 case (13.4 GB) measured
-    fits with the corpus/query/output buffers alongside."""
+    (block 32768: 7.4 s vs block 8192: 15.1 s warm, v5e). Budget: 14 GB
+    of v5e's 16 GB, MINUS ``resident_bytes`` — the corpus (input + its
+    scan-blocks reshape) and queries live in HBM alongside the score
+    tile, which only matters once corpora reach warehouse scale: the
+    1M x 768 run (6.7 GB resident) OOMed under the unadjusted budget."""
+    budget = max(budget_bytes - resident_bytes, 2e9)
     block = 32768
-    while block > 4096 and n_queries * block * 4 > budget_bytes:
+    while block > 4096 and n_queries * block * 4 > budget:
         block //= 2
     return block
 
@@ -118,16 +121,19 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     if q == 0 or n == 0:
         return (np.zeros((q, k_true), np.float32),
                 np.zeros((q, k_true), np.int32))
+    # corpus is resident twice inside the program (input + the scan's
+    # [n_blocks, block, d] reshape) plus the padded queries
+    resident = 4.0 * (2 * n * d + q * d)
     if not bucket:
         if block_rows is None:
-            block_rows = _default_block_rows(q)
+            block_rows = _default_block_rows(q, resident_bytes=resident)
         return _knn_search(corpus, queries, jnp.asarray(n, jnp.int32),
                            k_true, metric, block_rows)
     q_b = _bucket_q(q)
     if block_rows is None:
         # small corpora don't need big blocks — cap by the corpus bucket so
         # a 97-row area isn't padded to a full 32768-row block
-        block_rows = min(_default_block_rows(q_b),
+        block_rows = min(_default_block_rows(q_b, resident_bytes=resident),
                          _next_pow2(n, lo=512))
     q_pad = q_b - q
     n_pad = (-n) % block_rows
