@@ -202,7 +202,13 @@ class EmbeddingCache:
             if not os.path.exists(path):
                 continue
             try:
-                vec = np.loadtxt(path).astype(np.float32).reshape(-1)
+                # whole-file split parse is ~10x np.loadtxt (no per-line
+                # python loop) — matters when migrating a warehouse-scale
+                # emb.txt tree
+                with open(path) as f:
+                    vec = np.array(f.read().split(), dtype=np.float32)
+                if vec.size == 0:
+                    continue
             except (ValueError, OSError):
                 continue
             if vec.shape == (self.dim,):
