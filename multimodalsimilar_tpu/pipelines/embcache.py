@@ -202,9 +202,9 @@ class EmbeddingCache:
             if not os.path.exists(path):
                 continue
             try:
-                # whole-file split parse is ~10x np.loadtxt (no per-line
-                # python loop) — matters when migrating a warehouse-scale
-                # emb.txt tree
+                # whole-file split parse; measured ~1.2x np.loadtxt on
+                # this numpy — kept for the simpler failure mode (any
+                # malformed token raises ValueError -> key skipped)
                 with open(path) as f:
                     vec = np.array(f.read().split(), dtype=np.float32)
                 if vec.size == 0:
