@@ -1,0 +1,250 @@
+"""Spark adapter pinned against a stub pyspark (no cluster needed).
+
+pyspark is absent from this environment, so these tests inject a minimal
+fake pyspark package into sys.modules and assert the adapter reproduces
+the reference jobs' exact I/O discipline: session conf
+(goodssku_emb_bert_di.py:105-110), sql->toPandas pulls (:111-129), and the
+repartition -> tmp-table -> INSERT OVERWRITE write sequence (:148-154).
+"""
+
+import re
+import sys
+import types
+
+import pandas as pd
+import pytest
+
+
+# ---------------------------------------------------------------- stub
+
+
+class FakeConf:
+    def __init__(self):
+        self.settings = {}
+
+    def set(self, k, v):
+        self.settings[k] = v
+        return self
+
+
+class FakeSC:
+    def __init__(self):
+        self.log_level = None
+
+    def setLogLevel(self, level):
+        self.log_level = level
+
+
+class FakeResult:
+    def __init__(self, df):
+        self._df = df
+
+    def toPandas(self):
+        return self._df.copy()
+
+
+class FakeWriter:
+    def __init__(self, spark, df):
+        self.spark = spark
+        self.df = df
+        self.saved_mode = None
+
+    def mode(self, m):
+        self.saved_mode = m
+        return self
+
+    def saveAsTable(self, name):
+        assert self.saved_mode == "overwrite"
+        self.spark.tables[name] = self.df.pdf.copy()
+        self.spark.saved.append((name, self.saved_mode,
+                                 self.df.n_partitions, self.df.schema))
+
+
+class FakeSDF:
+    def __init__(self, spark, pdf, schema):
+        self.spark = spark
+        self.pdf = pdf
+        self.schema = schema
+        self.n_partitions = None
+
+    def repartition(self, n):
+        self.n_partitions = n
+        return self
+
+    @property
+    def write(self):
+        return FakeWriter(self.spark, self)
+
+
+class FakeSpark:
+    def __init__(self, conf, hive):
+        self.conf = conf
+        self.hive = hive
+        self.sparkContext = FakeSC()
+        self.tables = {}
+        self.queries = []
+        self.canned = {}
+        self.saved = []
+
+    def sql(self, q):
+        self.queries.append(q)
+        qs = " ".join(q.split())
+        m = re.match(r"insert overwrite table (\S+) select \* from (\S+)",
+                     qs, re.I)
+        if m:
+            self.tables[m.group(1)] = self.tables[m.group(2)].copy()
+            return FakeResult(pd.DataFrame())
+        m = re.match(r"select \* from (\S+)$", qs, re.I)
+        if m:
+            return FakeResult(self.tables.get(m.group(1), pd.DataFrame()))
+        m = re.match(r"select distinct (\S+) from (\S+)$", qs, re.I)
+        if m:
+            col, tbl = m.group(1), m.group(2)
+            t = self.tables.get(tbl)
+            if t is None or not len(t):
+                return FakeResult(pd.DataFrame(columns=[col]))
+            return FakeResult(t[[col]].drop_duplicates())
+        return FakeResult(self.canned.get(qs, pd.DataFrame()))
+
+    def createDataFrame(self, pdf, schema):
+        assert list(pdf.columns) == [f.name for f in schema.fields]
+        return FakeSDF(self, pdf, schema)
+
+
+class FakeBuilder:
+    last = None
+
+    def config(self, conf=None):
+        self._conf = conf
+        return self
+
+    def enableHiveSupport(self):
+        self._hive = True
+        return self
+
+    def getOrCreate(self):
+        spark = FakeSpark(self._conf, getattr(self, "_hive", False))
+        FakeBuilder.last = spark
+        return spark
+
+
+class FakeStringType:
+    def __repr__(self):
+        return "StringType"
+
+
+class FakeStructField:
+    def __init__(self, name, dtype, nullable):
+        self.name, self.dtype, self.nullable = name, dtype, nullable
+
+
+class FakeStructType:
+    def __init__(self, fields):
+        self.fields = fields
+
+
+@pytest.fixture
+def pyspark_stub(monkeypatch):
+    if "pyspark" in sys.modules and not isinstance(
+            sys.modules["pyspark"], types.ModuleType):
+        pytest.skip("real pyspark resident")
+    root = types.ModuleType("pyspark")
+    root.SparkConf = FakeConf
+    sql_mod = types.ModuleType("pyspark.sql")
+
+    class FakeSparkSession:
+        builder = FakeBuilder()
+
+    sql_mod.SparkSession = FakeSparkSession
+    types_mod = types.ModuleType("pyspark.sql.types")
+    types_mod.StringType = FakeStringType
+    types_mod.StructField = FakeStructField
+    types_mod.StructType = FakeStructType
+    root.sql = sql_mod
+    sql_mod.types = types_mod
+    monkeypatch.setitem(sys.modules, "pyspark", root)
+    monkeypatch.setitem(sys.modules, "pyspark.sql", sql_mod)
+    monkeypatch.setitem(sys.modules, "pyspark.sql.types", types_mod)
+    FakeSparkSession.builder = FakeBuilder()  # fresh per test
+    yield root
+
+
+# ---------------------------------------------------------------- tests
+
+
+def test_pyspark_absent_raises_clear_error():
+    if "pyspark" in sys.modules:
+        pytest.skip("pyspark resident in this interpreter")
+    from multimodalsimilar_tpu.pipelines.spark import spark_session
+    with pytest.raises(ImportError, match="parquet"):
+        spark_session("x")
+
+
+def test_session_conf_matches_reference(pyspark_stub):
+    from multimodalsimilar_tpu.pipelines.spark import spark_session
+    spark = spark_session("goodssku_emb_calc_bert",
+                          conf={"spark.executor.memory": "8g"})
+    assert spark.hive is True
+    assert spark.conf.settings["spark.app.name"] == "goodssku_emb_calc_bert"
+    assert spark.conf.settings["spark.ui.port"] == "4060"
+    assert spark.conf.settings["spark.executor.memory"] == "8g"
+    assert spark.sparkContext.log_level == "ERROR"
+
+
+def test_source_pull_roundtrips_pandas(pyspark_stub, capsys):
+    from multimodalsimilar_tpu.pipelines.spark import (SparkTableSource,
+                                                       spark_session)
+    spark = spark_session("pull")
+    q = "select goods_sku, title from dim.dim_sku_sn where dt='2026-08-17'"
+    spark.canned[q] = pd.DataFrame(
+        {"goods_sku": ["a", "b"], "title": ["t1", "t2"]})
+    df = SparkTableSource(spark).sql(q)
+    assert list(df["goods_sku"]) == ["a", "b"]
+    assert spark.queries == [q]
+    assert "2 rows" in capsys.readouterr().out
+
+
+def test_sink_overwrite_uses_tmp_table_and_insert_overwrite(pyspark_stub):
+    from multimodalsimilar_tpu.pipelines.spark import (SparkTableSink,
+                                                       spark_session)
+    spark = spark_session("write")
+    sink = SparkTableSink(spark, "dm_recommend.goodssku_embedding_bert",
+                          key_col="goods_sku")
+    df = pd.DataFrame({"goods_sku": ["a", "b"],
+                       "bert_emb": ["[1,2]", "[3,4]"],
+                       "modifydate": ["2026-08-17"] * 2})
+    sink.overwrite(df)
+    # staged through tmp.tmp_<basename> with repartition(3000), then
+    # INSERT OVERWRITE into the target (goodssku_emb_bert_di.py:148-154)
+    (name, mode, nparts, schema), = spark.saved
+    assert name == "tmp.tmp_goodssku_embedding_bert"
+    assert (mode, nparts) == ("overwrite", 3000)
+    assert spark.queries[-1].split() == (
+        "insert overwrite table dm_recommend.goodssku_embedding_bert "
+        "select * from tmp.tmp_goodssku_embedding_bert").split()
+    out = spark.tables["dm_recommend.goodssku_embedding_bert"]
+    assert list(out["goods_sku"]) == ["a", "b"]
+    # all-string schema, key column non-nullable (reference :139-143)
+    by_name = {f.name: f for f in schema.fields}
+    assert not by_name["goods_sku"].nullable
+    assert by_name["bert_emb"].nullable and by_name["modifydate"].nullable
+
+
+def test_sink_existing_keys_and_incremental_append(pyspark_stub):
+    from multimodalsimilar_tpu.pipelines.spark import (SparkTableSink,
+                                                       spark_session)
+    spark = spark_session("inc")
+    sink = SparkTableSink(spark, "dm_recommend.goodssku_embedding_bert",
+                          key_col="goods_sku")
+    sink.overwrite(pd.DataFrame({"goods_sku": ["a", "b"],
+                                 "bert_emb": ["[1]", "[2]"]}))
+    assert sink.existing_keys("goods_sku") == {"a", "b"}
+    # append = pull + union + overwrite, keep-last on the key (the
+    # reference's skip-existing incremental shape, :126-129)
+    sink.append(pd.DataFrame({"goods_sku": ["b", "c"],
+                              "bert_emb": ["[9]", "[3]"]}))
+    out = (spark.tables["dm_recommend.goodssku_embedding_bert"]
+           .sort_values("goods_sku"))
+    assert list(out["goods_sku"]) == ["a", "b", "c"]
+    assert list(out["bert_emb"]) == ["[1]", "[9]", "[3]"]
+    assert sink.existing_keys("goods_sku") == {"a", "b", "c"}
