@@ -75,8 +75,12 @@ class SimilarityEngine:
 
     # queries are processed in chunks of this many rows: bounds the device
     # [Q_chunk, block] score matrix for arbitrarily large query sets (the
-    # bulk export jobs sweep the whole warehouse) without touching results
-    QUERY_CHUNK = 131_072
+    # bulk export jobs sweep the whole warehouse) without touching results.
+    # 65536 is the compile-probed sweet spot at warehouse scale
+    # (benchmarks/knn_memory_probe.py vs a 1M x 768 corpus: with block
+    # 16384 the whole program is 8.7 GB HBM incl. the resident corpus;
+    # 131072-row chunks compile 13+ GB and OOMed outright at block 8192)
+    QUERY_CHUNK = 65_536
 
     def search(self, k: int, queries: Optional[np.ndarray] = None):
         """(scores, indices) for queries (default: self-search over the

@@ -74,7 +74,11 @@ def _default_block_rows(n_queries: int, budget_bytes: float = 1.4e10,
     of v5e's 16 GB, MINUS ``resident_bytes`` — the corpus (input + its
     scan-blocks reshape) and queries live in HBM alongside the score
     tile, which only matters once corpora reach warehouse scale: the
-    1M x 768 run (6.7 GB resident) OOMed under the unadjusted budget."""
+    1M x 768 run (6.7 GB resident) OOMed under the unadjusted budget.
+    The formula is validated against the compiler's own memory analysis
+    at warehouse scale by benchmarks/knn_memory_probe.py (the engine's
+    65536-row query chunks at the block this picks compile to 8.7 GB
+    total); callers with larger Q should probe before overriding."""
     budget = max(budget_bytes - resident_bytes, 2e9)
     block = 32768
     while block > 4096 and n_queries * block * 4 > budget:
@@ -177,19 +181,24 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
         (q, k), (index_base + n_rows) if fill_idx is None else fill_idx,
         jnp.int32)
 
+    col = jax.lax.iota(jnp.int32, block_rows)    # [block], 1-D
+
     def body(carry, inp):
         vals, idx = carry
         b, block = inp
         s = _scores(queries.astype(jnp.float32),
                     block.astype(jnp.float32), metric)
-        local_col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
-            + b * block_rows
+        base = b * block_rows
         # true_n is traced: one compiled program serves every corpus
-        # length within the same padded bucket
-        s = jnp.where(local_col < true_n, s, -jnp.inf)
+        # length within the same padded bucket. The padding mask uses the
+        # 1-D column iota broadcast (fuses into the where); global indices
+        # come straight from top_k's block-local positions — a former
+        # materialized [Q, block] s32 iota + gather was the largest HLO
+        # temp (4 GB) in the 1M-row OOM dump.
+        s = jnp.where((col + base)[None, :] < true_n, s, -jnp.inf)
         bk = min(k, block_rows)
         bv, bi = jax.lax.top_k(s, bk)
-        bidx = jnp.take_along_axis(local_col + index_base, bi, -1)
+        bidx = bi + (base + index_base)
         vals, idx = _merge_topk(vals, idx, bv, bidx, k)
         return (vals, idx), None
 
