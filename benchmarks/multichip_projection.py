@@ -5,6 +5,7 @@ ArcFace head — nlp_classifier_train_daodian_v2.py:80 — batch 256 global)
 over an 8-device virtual mesh in two placements:
 
 * DP 8x1            — the reference's DataParallel analogue
+* DP 8x1 bf16 grads — `--bf16_grads` (shard_map psum of bf16-cast grads)
 * DP+MP 4x2         — `--model_parallel 2` class-sharded heads
 
 and extracts every cross-device collective from the optimized HLO with its
@@ -89,6 +90,29 @@ def collect_collectives(hlo_text: str):
     return out
 
 
+_STABLEHLO_AR_RE = re.compile(
+    r'stablehlo\.all_reduce.*?replica_groups = dense<\[\[([0-9, ]+)\]'
+    r'.*?\) -> tensor<([^>]*)>', re.S)
+_ML_DTYPE_BYTES = {"bf16": 2, "f32": 4, "f16": 2, "i32": 4, "f64": 8}
+
+
+def collect_stablehlo_all_reduces(stablehlo_text: str):
+    """all_reduce entries from LOWERED StableHLO. Needed for the bf16-grads
+    placement: its psums are written in bf16 by the program itself, but the
+    CPU test backend's FloatNormalization pass upcasts bf16 collectives to
+    f32 in the *optimized* HLO (CPUs have no native bf16) — the lowered
+    text is what a TPU backend compiles and keeps."""
+    out = []
+    for group, t in _STABLEHLO_AR_RE.findall(stablehlo_text):
+        *dims, dtype = t.split("x")
+        n = 1
+        for d in dims:
+            n *= int(d)
+        out.append({"op": "all-reduce", "bytes": n * _ML_DTYPE_BYTES[dtype],
+                    "group_size": len(group.split(","))})
+    return out
+
+
 def ici_seconds(colls) -> float:
     """Ring-algorithm per-chip ICI time: all-gather/reduce-scatter move
     result_bytes*(n-1)/n, all-reduce 2x that; one axis of the 2D torus has
@@ -104,7 +128,7 @@ def ici_seconds(colls) -> float:
     return t
 
 
-def build(batch, seq, model_parallel, classes=10208):
+def build(batch, seq, model_parallel, classes=10208, bf16_grads=False):
     from multimodalsimilar_tpu.models.bert import BertConfig
     from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
     from multimodalsimilar_tpu.parallel.mesh import batch_sharding, create_mesh
@@ -124,7 +148,8 @@ def build(batch, seq, model_parallel, classes=10208):
     tx = dual_group_adamw(lambda s: 5e-5, lambda s: 1e-2,
                           weight_decay=0.01)
     trainer = Trainer(task, tx, mesh,
-                      TrainerConfig(model_parallel_heads=model_parallel > 1))
+                      TrainerConfig(model_parallel_heads=model_parallel > 1,
+                                    bf16_grad_allreduce=bf16_grads))
 
     bsh = batch_sharding(mesh)
     batch_sds = {
@@ -152,12 +177,16 @@ def build(batch, seq, model_parallel, classes=10208):
     rng_in = jax.ShapeDtypeStruct(
         rng_sd.shape, rng_sd.dtype,
         sharding=jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
-    return trainer._train_step.lower(state_sds, batch_sds, rng_in).compile()
+    return trainer._train_step.lower(state_sds, batch_sds, rng_in)
 
 
-def analyze(batch, seq, model_parallel, classes=10208):
-    compiled = build(batch, seq, model_parallel, classes)
-    colls = collect_collectives(compiled.as_text())
+def analyze(batch, seq, model_parallel, classes=10208, bf16_grads=False):
+    lowered = build(batch, seq, model_parallel, classes, bf16_grads)
+    compiled = lowered.compile()
+    if bf16_grads:
+        colls = collect_stablehlo_all_reduces(lowered.as_text())
+    else:
+        colls = collect_collectives(compiled.as_text())
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops = float(cost.get("flops", 0.0))
@@ -173,7 +202,8 @@ def analyze(batch, seq, model_parallel, classes=10208):
         "placement": f"{jax.device_count() // model_parallel}x"
                      f"{model_parallel}"
                      + (" (class-sharded head)" if model_parallel > 1
-                        else " (pure DP)"),
+                        else (" (pure DP, bf16 grads)" if bf16_grads
+                              else " (pure DP)")),
         "global_batch": batch, "seq": seq,
         "collectives": by_op,
         "collective_bytes_total": sum(c["bytes"] for c in colls),
@@ -189,9 +219,13 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--seq", type=int, default=48)
     ap.add_argument("--mp", type=int, nargs="*", default=[1, 2])
+    ap.add_argument("--no_bf16_row", action="store_true")
     args = ap.parse_args()
     for mp in args.mp:
         print(json.dumps(analyze(args.batch, args.seq, mp)), flush=True)
+    if not args.no_bf16_row:
+        print(json.dumps(analyze(args.batch, args.seq, 1,
+                                 bf16_grads=True)), flush=True)
 
 
 if __name__ == "__main__":

@@ -150,6 +150,12 @@ def _add_common_train_flags(p):
                         "optimizer step (effective batch = K*batch_size; "
                         "the _dist recipes' 1024/2048 global batches on "
                         "one chip)")
+    p.add_argument("--bf16_grads", action="store_true",
+                   help="reduce data-parallel gradients in bfloat16 "
+                        "(shard_map psum) — half the per-step all-reduce "
+                        "bytes; grads pick up ~1e-2 bf16 rounding and BN "
+                        "tasks use per-shard batch statistics. "
+                        "Incompatible with --model_parallel")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -238,6 +244,7 @@ def _trainer(task, args, steps_per_epoch, mesh):
         metrics_path=os.path.join(args.output, "metrics.jsonl"),
         profile_dir=args.profile,
         model_parallel_heads=getattr(args, "model_parallel", 1) > 1,
+        bf16_grad_allreduce=getattr(args, "bf16_grads", False),
         grad_accum=accum,
         overwrite=getattr(args, "overwrite", False),
         seed=args.seed)

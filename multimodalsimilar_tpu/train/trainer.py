@@ -28,7 +28,7 @@ import optax
 
 from multimodalsimilar_tpu.data.prefetch import prefetch_to_device
 from multimodalsimilar_tpu.parallel.mesh import (
-    MODEL_AXIS, MeshRules, replicated, shard_batch)
+    DATA_AXIS, MODEL_AXIS, MeshRules, replicated, shard_batch)
 from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
 from multimodalsimilar_tpu.train.metrics import MeanAccumulator, MetricLogger
 from multimodalsimilar_tpu.train.tasks import Task
@@ -71,6 +71,18 @@ class TrainerConfig:
     # run unless this is set — it would otherwise overwrite/confuse the
     # previous run's checkpoints.
     overwrite: bool = False
+    # Reduce data-parallel gradients in bfloat16. Pure DP's per-step cost
+    # is ONE f32 all-reduce of the whole grad tree (439 MB at roberta-base
+    # scale — PERF.md "Projected multi-chip scaling"); under plain pjit
+    # the partitioner places that reduction at the grad definition, so
+    # halving it needs explicit placement: the grad computation runs under
+    # shard_map over the `data` axis and psums bf16-cast grads, casting
+    # back to f32 for the optimizer. Opt-in (`--bf16_grads`): per-example
+    # math is unchanged, but grads pick up bf16 rounding (~1e-2 relative)
+    # and BatchNorm tasks compute per-shard batch statistics (exactly
+    # nn.DataParallel's per-GPU BN semantics; running stats are averaged
+    # across shards).
+    bf16_grad_allreduce: bool = False
     seed: int = 0
 
 
@@ -85,7 +97,14 @@ class Trainer:
                                    config.tensorboard_dir)
         self.ckpt = (CheckpointManager(config.checkpoint_dir)
                      if config.checkpoint_dir else None)
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        if config.bf16_grad_allreduce and config.model_parallel_heads:
+            raise ValueError(
+                "bf16_grad_allreduce is a pure-DP path (shard_map over the "
+                "data axis with fully replicated params); it cannot compose "
+                "with model_parallel_heads — pick one")
+        impl = (self._train_step_bf16_impl if config.bf16_grad_allreduce
+                else self._train_step_impl)
+        self._train_step = jax.jit(impl, donate_argnums=0)
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # -- state ----------------------------------------------------------
@@ -124,6 +143,58 @@ class Trainer:
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_stats, opt_state=new_opt)
         return new_state, metrics
+
+    def _train_step_bf16_impl(self, state: TrainState, batch, rng):
+        """DP train step with the gradient all-reduce in bfloat16.
+
+        Identical optimizer/apply path to _train_step_impl; only the grad
+        reduction differs: each data shard computes grads on its local
+        batch, casts to bf16, and psums over `data` (half the ICI bytes of
+        the partitioner's f32 variadic all-reduce), then casts back to f32.
+        Per-shard mean loss + pmean == global mean (shards are equal-sized
+        by shard_batch's padding). Metrics pmean in f32; float batch_stats
+        pmean across shards (SyncBN-style running stats over DataParallel-
+        style per-shard normalization)."""
+        from jax.sharding import PartitionSpec as P
+        step_rng = jax.random.fold_in(rng, state.step)
+        data_n = self.mesh.shape[DATA_AXIS]
+        bspec = jax.tree_util.tree_map(
+            lambda x: P(DATA_AXIS) if getattr(x, "ndim", 0) >= 1
+            and x.shape[0] % data_n == 0 else P(), batch)
+
+        def local_step(params, batch_stats, margin, local_batch, r):
+            # decorrelate dropout across shards (the pjit path draws one
+            # global mask; statistically equivalent)
+            r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
+
+            def loss_fn(p):
+                return self.task.train_loss(p, batch_stats, local_batch,
+                                            r, margin)
+
+            (_, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(
+                    g.astype(jnp.bfloat16), DATA_AXIS).astype(g.dtype),
+                grads)
+            metrics = jax.lax.pmean(metrics, DATA_AXIS)
+            new_stats = jax.tree_util.tree_map(
+                lambda s: jax.lax.pmean(s, DATA_AXIS)
+                if jnp.issubdtype(s.dtype, jnp.floating) else s, new_stats)
+            return grads, metrics, new_stats
+
+        grads, metrics, new_stats = jax.shard_map(
+            local_step, mesh=self.mesh,
+            in_specs=(P(), P(), P(), bspec, P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)(state.params, state.batch_stats, state.margin,
+                             batch, step_rng)
+        updates, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             batch_stats=new_stats,
+                             opt_state=new_opt), metrics
 
     def _eval_step_impl(self, state: TrainState, batch):
         return self.task.eval_metrics(state.params, state.batch_stats, batch)
