@@ -110,10 +110,27 @@ class SimilarityEngine:
                 corpus, true_n = pad_corpus(
                     self._emb, n_dev, self.metric,
                     target_rows=_next_pow2(self.n, lo=512))
-                self._corpus_dev = (jax.numpy.asarray(corpus), true_n)
+                self._corpus_dev = (jax.numpy.asarray(corpus), true_n, None)
             else:
-                self._corpus_dev = (jax.numpy.asarray(self._emb), self.n)
-        corpus_dev, true_n = self._corpus_dev
+                # pre-pad ON HOST to the block multiple knn_search would pad
+                # to anyway: the eager per-call device pad concatenate
+                # transiently held corpus twice in HBM (3 GB extra per chunk
+                # at 1M x 768 — the warehouse run's OOM margin)
+                from multimodalsimilar_tpu.retrieval.knn import (
+                    _bucket_q, _default_block_rows, _next_pow2)
+                d = self._emb.shape[1]
+                # size the block for FULL chunks regardless of this call's
+                # query count — the block is cached with the corpus, and a
+                # small first search must not pin an oversized block for a
+                # later warehouse sweep
+                q_b = _bucket_q(self.QUERY_CHUNK)
+                resident = 4.0 * (2 * self.n * d + q_b * d)
+                block = min(_default_block_rows(q_b,
+                                                resident_bytes=resident),
+                            _next_pow2(self.n, lo=512))
+                corpus, true_n = pad_corpus(self._emb, block, self.metric)
+                self._corpus_dev = (jax.numpy.asarray(corpus), true_n, block)
+        corpus_dev, true_n, block = self._corpus_dev
         vals_parts, idx_parts = [], []
         for s in range(0, len(q), self.QUERY_CHUNK):
             chunk = jax.numpy.asarray(q[s: s + self.QUERY_CHUNK])
@@ -125,7 +142,8 @@ class SimilarityEngine:
                 v, i = pallas_topk(corpus_dev, chunk, min(k, self.n),
                                    self.metric)
             else:
-                v, i = knn_search(corpus_dev, chunk, k, self.metric)
+                v, i = knn_search(corpus_dev, chunk, k, self.metric,
+                                  block_rows=block, true_n=true_n)
             vals_parts.append(np.asarray(v))
             idx_parts.append(np.asarray(i))
         return (np.concatenate(vals_parts), np.concatenate(idx_parts))

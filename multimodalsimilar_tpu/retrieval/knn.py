@@ -104,7 +104,8 @@ def _bucket_q(q: int) -> int:
 
 def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
                metric: str = "ip", block_rows: Optional[int] = None,
-               bucket: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               bucket: bool = True, true_n: Optional[int] = None
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over the corpus, blockwise.
 
     Returns (scores [Q, k], indices [Q, k]) in FAISS order: IP descending /
@@ -118,11 +119,20 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     program per bucket instead of recompiling per exact shape. Results are
     sliced back to the caller's (Q, min(k, n)); exactness is unaffected
     (the top-k' prefix of a top-k'' >= k' search is the top-k').
+
+    ``true_n`` declares that only the first ``true_n`` corpus rows are real
+    (the rest are caller-supplied padding, e.g. pad_corpus to a block
+    multiple so the corpus can live on device pre-padded — at warehouse
+    scale the per-call eager pad concatenate transiently duplicated a
+    multi-GB corpus in HBM). Padding rows are masked out exactly like the
+    internally-added ones.
     """
     n, d = corpus.shape
+    if true_n is None:
+        true_n = n
     q = queries.shape[0]
-    k_true = min(k, n)
-    if q == 0 or n == 0:
+    k_true = min(k, true_n)
+    if q == 0 or true_n == 0:
         return (np.zeros((q, k_true), np.float32),
                 np.zeros((q, k_true), np.int32))
     # corpus is resident twice inside the program (input + the scan's
@@ -131,7 +141,7 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     if not bucket:
         if block_rows is None:
             block_rows = _default_block_rows(q, resident_bytes=resident)
-        return _knn_search(corpus, queries, jnp.asarray(n, jnp.int32),
+        return _knn_search(corpus, queries, jnp.asarray(true_n, jnp.int32),
                            k_true, metric, block_rows)
     q_b = _bucket_q(q)
     if block_rows is None:
@@ -148,7 +158,7 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     if n_pad:
         corpus = jnp.concatenate(
             [corpus, jnp.zeros((n_pad, d), corpus.dtype)], axis=0)
-    vals, idx = _knn_search(corpus, queries, jnp.asarray(n, jnp.int32),
+    vals, idx = _knn_search(corpus, queries, jnp.asarray(true_n, jnp.int32),
                             k_run, metric, block_rows)
     return vals[:q, :k_true], idx[:q, :k_true]
 

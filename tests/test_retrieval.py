@@ -41,6 +41,31 @@ def test_knn_matches_bruteforce(metric, n, block):
 
 
 @pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_knn_caller_padded_corpus_true_n(metric):
+    """Pre-padded corpus + true_n (the engine's warehouse path: pad ONCE on
+    host instead of an eager per-chunk device concatenate) must match the
+    unpadded search exactly — pad rows masked, k clamped to true rows."""
+    rng = np.random.default_rng(7)
+    corpus = rng.normal(size=(203, 24)).astype(np.float32)
+    queries = rng.normal(size=(11, 24)).astype(np.float32)
+    padded, true_n = pad_corpus(corpus, 64, metric)
+    assert padded.shape[0] == 256 and true_n == 203
+    want_s, want_i = knn_search(jnp.asarray(corpus), jnp.asarray(queries),
+                                9, metric=metric, block_rows=64)
+    got_s, got_i = knn_search(jnp.asarray(padded), jnp.asarray(queries),
+                              9, metric=metric, block_rows=64,
+                              true_n=true_n)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+    # k > true_n: clamps to the REAL row count, not the padded one
+    s2, i2 = knn_search(jnp.asarray(padded), jnp.asarray(queries),
+                        250, metric=metric, block_rows=64, true_n=true_n)
+    assert s2.shape == (11, 203) and i2.shape == (11, 203)
+    assert int(np.asarray(i2).max()) < 203
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
 def test_sharded_knn_matches_bruteforce(metric):
     mesh = create_mesh()
     rng = np.random.default_rng(1)
