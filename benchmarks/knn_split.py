@@ -1,0 +1,183 @@
+"""Decompose the blockwise k-NN step: matmul vs top_k vs merge, f32 vs bf16.
+
+The 100k x 100k self-search ran ~38x above its pure-bandwidth roofline
+(PERF.md retrieval table) — this measures WHERE the time goes, on device,
+with the same lax.scan structure as retrieval/knn._scan_topk so the
+comparison is apples-to-apples. Result (262k x 32k, k=128, block 16384):
+matmul 0.115 s vs per-block lax.top_k 7.3 s vs lexsort merges 3.6 s —
+XLA's sort-based top_k was 98% of search time. That finding drove the
+window-max prefilter + stable top_k merge now in production ("full" below
+measures it; 11.06 s -> 3.35 s at this shape). Variants:
+
+  matmul   — scores only, folded into a running max (no top_k at all)
+  topk     — scores + per-block lax.top_k, no cross-block merge
+  full     — the production _knn_search
+  bf16     — production search with the score matmul fed bf16 inputs
+             (f32 accumulation via preferred_element_type) and the
+             [Q, block] score matrix kept bf16 through top_k; candidate
+             indices are then exact-rescored in f32 at the end
+
+Timing via device->host readback (the only honest barrier through the
+relay — CLAUDE.md). Run: python benchmarks/knn_split.py [n] [q] [block]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(n=262_144, q=65_536, block=16_384, k=128, d=768):
+    import jax
+    import jax.numpy as jnp
+    from multimodalsimilar_tpu.retrieval.knn import (
+        _knn_search, _merge_topk)
+
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = corpus[:q]
+    c_dev = jnp.asarray(corpus)
+    q_dev = jnp.asarray(queries)
+    n_blocks = n // block
+
+    def timed(fn, *args, iters=2):
+        out = fn(*args)
+        jax.tree.map(np.asarray, out)          # compile + warm
+        best = np.inf
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.tree.map(np.asarray, out)      # readback barrier
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # -- matmul only: same scan, scores folded into a running row-max
+    @jax.jit
+    def matmul_only(c, qq):
+        blocks = c.reshape(n_blocks, block, d)
+
+        def body(carry, blk):
+            s = jnp.dot(qq, blk.T, preferred_element_type=jnp.float32)
+            return jnp.maximum(carry, s.max(-1)), None
+
+        out, _ = jax.lax.scan(body, jnp.full((qq.shape[0],), -np.inf,
+                                             jnp.float32), blocks)
+        return out
+
+    # -- matmul + per-block top_k, merge replaced by a max-fold (isolates
+    # top_k cost from the lexsort merge)
+    @jax.jit
+    def topk_no_merge(c, qq):
+        blocks = c.reshape(n_blocks, block, d)
+
+        def body(carry, blk):
+            s = jnp.dot(qq, blk.T, preferred_element_type=jnp.float32)
+            bv, bi = jax.lax.top_k(s, k)
+            return (jnp.maximum(carry[0], bv), carry[1] + bi.sum()), None
+
+        init = (jnp.full((qq.shape[0], k), -np.inf, jnp.float32),
+                jnp.zeros((), jnp.int32))
+        out, _ = jax.lax.scan(body, init, blocks)
+        return out
+
+    # -- bf16 scores end-to-end + exact f32 rescore of the candidates
+    @jax.jit
+    def bf16_rescore(c, qq):
+        cb = c.astype(jnp.bfloat16)
+        qb = qq.astype(jnp.bfloat16)
+        blocks = cb.reshape(n_blocks, block, d)
+        kk = 2 * k  # candidate margin for bf16 score ties
+
+        def body(carry, inp):
+            b, blk = inp
+            s = jnp.dot(qb, blk.T).astype(jnp.bfloat16)  # bf16 out
+            bv, bi = jax.lax.top_k(s, kk)
+            return _merge_topk(carry[0], carry[1],
+                               bv.astype(jnp.float32), bi + b * block,
+                               kk), None
+
+        init = (jnp.full((qq.shape[0], kk), -np.inf, jnp.float32),
+                jnp.zeros((qq.shape[0], kk), jnp.int32))
+        (cv, ci), _ = jax.lax.scan(
+            body, init, (jnp.arange(n_blocks), blocks))
+        # exact rescore, chunked over queries: a one-shot [Q, kk, d] gather
+        # would be ~50 GB at Q=65536
+        ch = 2048
+
+        def rescore(inp):
+            qi, cii = inp                         # [ch, d], [ch, kk]
+            cand = c[cii]                         # [ch, kk, d] f32
+            return jnp.einsum("qd,qkd->qk", qi, cand,
+                              preferred_element_type=jnp.float32)
+
+        exact = jax.lax.map(
+            rescore, (qq.reshape(-1, ch, d),
+                      ci.reshape(-1, ch, kk))).reshape(qq.shape[0], kk)
+        order = jnp.lexsort((ci, -exact), axis=-1)[:, :k]
+        return (jnp.take_along_axis(exact, order, -1),
+                jnp.take_along_axis(ci, order, -1))
+
+    # -- approx_max_k (TPU PartialReduce custom op) per block, exact at
+    # recall_target=1.0, same scan + merge structure as production
+    @jax.jit
+    def approx_scan(c, qq):
+        blocks = c.reshape(n_blocks, block, d)
+
+        def body(carry, inp):
+            b, blk = inp
+            s = jnp.dot(qq, blk.T, preferred_element_type=jnp.float32)
+            bv, bi = jax.lax.approx_max_k(s, k, recall_target=1.0)
+            return _merge_topk(carry[0], carry[1], bv, bi + b * block,
+                               k), None
+
+        init = (jnp.full((qq.shape[0], k), -np.inf, jnp.float32),
+                jnp.zeros((qq.shape[0], k), jnp.int32))
+        out, _ = jax.lax.scan(body, init,
+                              (jnp.arange(n_blocks), blocks))
+        return out
+
+    # -- no scan at all: one [Q, N] pass with approx_max_k over the full
+    # row (only viable when [Q, N] fits HBM; shows the scan's overhead)
+    @jax.jit
+    def approx_flat(c, qq):
+        s = jnp.dot(qq, c.T, preferred_element_type=jnp.float32)
+        return jax.lax.approx_max_k(s, k, recall_target=1.0)
+
+    res = {"n": n, "q": q, "block": block, "k": k}
+    res["matmul_s"] = round(timed(matmul_only, c_dev, q_dev), 3)
+    res["topk_s"] = round(timed(topk_no_merge, c_dev, q_dev), 3)
+    full = lambda c, qq: _knn_search(c, qq, jnp.asarray(n, jnp.int32),
+                                     k, "ip", block)
+    res["full_s"] = round(timed(full, c_dev, q_dev), 3)
+    res["approx_scan_s"] = round(timed(approx_scan, c_dev, q_dev), 3)
+    if q * n * 4 <= 6e9:
+        res["approx_flat_s"] = round(timed(approx_flat, c_dev, q_dev), 3)
+    res["bf16_rescore_s"] = round(timed(bf16_rescore, c_dev, q_dev), 3)
+
+    # exactness of the approx_max_k path vs the production search
+    av, ai = approx_scan(c_dev, q_dev)
+    fv0, fi0 = full(c_dev, q_dev)
+    res["approx_index_match_pct"] = round(
+        100.0 * float((np.asarray(fi0) == np.asarray(ai)).mean()), 3)
+
+    # exactness of the bf16 path vs the production search
+    fv, fi = full(c_dev, q_dev)
+    bv, bi = bf16_rescore(c_dev, q_dev)
+    fi_h, bi_h = np.asarray(fi), np.asarray(bi)
+    res["bf16_index_match_pct"] = round(
+        100.0 * float((fi_h == bi_h).mean()), 3)
+    res["bf16_set_match_pct"] = round(100.0 * float(np.mean([
+        len(np.intersect1d(fi_h[i], bi_h[i])) / k
+        for i in range(0, q, max(1, q // 512))])), 3)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    a = [int(x) for x in sys.argv[1:]]
+    main(*a)

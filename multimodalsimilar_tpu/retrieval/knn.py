@@ -65,6 +65,28 @@ def _merge_topk(vals_a, idx_a, vals_b, idx_b, k):
             jnp.take_along_axis(idx, order, -1))
 
 
+def _stable_merge(vals_a, idx_a, vals_b, idx_b, k):
+    """Top-k merge via ONE stable ``lax.top_k`` instead of a two-key
+    lexsort — measured 1.4x faster at the scan-merge shape ([32k, 1152]:
+    116 vs 160 ms, benchmarks/knn_split.py).
+
+    Exactness requires a POSITION precondition the lexsort doesn't:
+    concatenated candidates must already be (value desc, idx asc)-stable
+    under ties, i.e. equal values appear in ascending-index order across
+    the concat. That holds when (a) ``a`` is a maintained carry with the
+    (value desc, ties idx asc) invariant, and (b) ``b``'s indices are all
+    >= every index in ``a`` OR ``b`` is itself tie-stable with indices
+    disjoint-above ``a`` — the forward corpus scan gives exactly this
+    (block b's indices all exceed blocks < b). lax.top_k is stable
+    (XLA sorts stably; jax guarantees lower-position wins ties), so the
+    output keeps the invariant.
+    """
+    vals = jnp.concatenate([vals_a, vals_b], axis=-1)
+    idx = jnp.concatenate([idx_a, idx_b], axis=-1)
+    mv, mi = jax.lax.top_k(vals, k)
+    return mv, jnp.take_along_axis(idx, mi, -1)
+
+
 def _default_block_rows(n_queries: int, budget_bytes: float = 1.4e10,
                         resident_bytes: float = 0.0) -> int:
     """Largest power-of-two corpus block (<=32768) whose [Q, block] f32
@@ -163,6 +185,19 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     return vals[:q, :k_true], idx[:q, :k_true]
 
 
+# Window width of the exact top-k prefilter inside the scan body. The
+# block's [Q, block] score tile is max-reduced over windows of _WINMAX_W
+# columns; the top-k WINDOWS by max provably contain every top-k element
+# (any excluded window is dominated by >= k windows each holding a larger
+# element), so only [Q, k*_WINMAX_W] candidates reach a top_k. XLA's
+# sort-based top_k is the whole cost of exact k-NN on TPU (98% of search
+# time at warehouse scale — benchmarks/knn_split.py: matmul 0.12 s vs
+# top_k 7.4 s at 262k x 32k); shrinking its input 16384 -> 1152 columns
+# makes the full scan body 2.4x faster (622 -> 260 ms measured). W=8 beat
+# 16/32 (249/284/400 ms for the standalone block top-k).
+_WINMAX_W = 8
+
+
 def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
                index_base=0, fill_idx=None):
     """Blockwise exact top-k core: scan corpus blocks, merge running top-k.
@@ -192,6 +227,12 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
         jnp.int32)
 
     col = jax.lax.iota(jnp.int32, block_rows)    # [block], 1-D
+    bk = min(k, block_rows)
+    gw = block_rows // _WINMAX_W                 # windows per block
+    # the prefilter needs enough windows to pick bk of them, and must
+    # strictly shrink the top_k input; tiny blocks take the plain path
+    use_winmax = (block_rows % _WINMAX_W == 0 and bk <= gw
+                  and bk * _WINMAX_W + k < block_rows)
 
     def body(carry, inp):
         vals, idx = carry
@@ -206,10 +247,29 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
         # materialized [Q, block] s32 iota + gather was the largest HLO
         # temp (4 GB) in the 1M-row OOM dump.
         s = jnp.where((col + base)[None, :] < true_n, s, -jnp.inf)
-        bk = min(k, block_rows)
-        bv, bi = jax.lax.top_k(s, bk)
-        bidx = bi + (base + index_base)
-        vals, idx = _merge_topk(vals, idx, bv, bidx, k)
+        if use_winmax:
+            # exact window-max prefilter (see _WINMAX_W). Window ids are
+            # re-sorted ASCENDING before the gather so the candidate array
+            # is in ascending-global-index order — the precondition that
+            # makes the stable top_k merge reproduce FAISS tie-break.
+            xw = s.reshape(s.shape[0], gw, _WINMAX_W)
+            wmax = xw.max(-1)
+            _, wi = jax.lax.top_k(wmax, bk)
+            wi = jax.lax.sort(wi, dimension=-1)
+            cand = jnp.take_along_axis(xw, wi[:, :, None], 1)
+            ci = (wi[:, :, None] * _WINMAX_W
+                  + jax.lax.iota(jnp.int32, _WINMAX_W)[None, None, :]
+                  + (base + index_base))
+            vals, idx = _stable_merge(
+                vals, idx, cand.reshape(cand.shape[0], bk * _WINMAX_W),
+                ci.reshape(ci.shape[0], bk * _WINMAX_W), k)
+        else:
+            bv, bi = jax.lax.top_k(s, bk)
+            bidx = bi + (base + index_base)
+            # bv/bidx from a stable top_k are (value desc, ties idx asc)
+            # within the block; block indices all exceed the carry's —
+            # the stable merge precondition holds here too
+            vals, idx = _stable_merge(vals, idx, bv, bidx, k)
         return (vals, idx), None
 
     (vals, idx), _ = jax.lax.scan(

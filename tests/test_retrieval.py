@@ -81,6 +81,34 @@ def test_sharded_knn_matches_bruteforce(metric):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_knn_winmax_path_exact_with_ties(metric):
+    """Exercise the window-max prefilter branch (block large enough that
+    bk <= windows and bk*W + k < block) with SMALL-INTEGER embeddings so
+    duplicate scores are common and every score is exactly representable
+    (the numpy oracle and the device's l2 expansion qn-2d+xn round
+    identically only for exact arithmetic) — the stable-merge tie-break
+    must reproduce FAISS (score desc, index asc) ordering exactly,
+    including across the carry/candidate (= block) boundary and for
+    duplicate corpus rows."""
+    from multimodalsimilar_tpu.retrieval import knn
+    rng = np.random.default_rng(3)
+    corpus = rng.integers(-3, 4, size=(1200, 16)).astype(np.float32)
+    corpus[37] = corpus[911]          # exact duplicate rows -> exact ties
+    corpus[512] = corpus[0]
+    queries = rng.integers(-3, 4, size=(33, 16)).astype(np.float32)
+    k, block = 8, 512
+    bk, gw = min(k, block), block // knn._WINMAX_W
+    assert block % knn._WINMAX_W == 0 and bk <= gw \
+        and bk * knn._WINMAX_W + k < block   # winmax branch is active
+    want_s, want_i = _brute(corpus, queries, k, metric)
+    got_s, got_i = knn_search(jnp.asarray(corpus), jnp.asarray(queries),
+                              k, metric=metric, block_rows=block)
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_s), want_s,
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_self_search_first_hit_is_self():
     """FAISS self-search convention the reference relies on (skipping
     I[i][0], daodian_infer.py:237): with normalized vectors and IP, the top
