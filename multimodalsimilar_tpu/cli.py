@@ -699,12 +699,12 @@ def cmd_similar_nlp(args):
                              f"table")
     sink = _kv_sink(args)
     embed_fn = _build_embed_fn_texts(args)
+    backend, mesh = _knn_backend_mesh(args)
     n = nlp_similar_job(df, embed_fn, sink, text_col=args.text_col,
                         key_col=args.key_col, k=args.k,
                         score_th=args.score_th,
                         ttl_seconds=args.exp_seconds,
-                        **dict(zip(("backend", "mesh"),
-                                   _knn_backend_mesh(args))))
+                        backend=backend, mesh=mesh)
     print(json.dumps({"written": n}))
 
 
@@ -823,10 +823,10 @@ def cmd_similar_multimodal(args):
             "in-process like the reference job, or point at a table with "
             "precomputed fused embeddings")
     sink = _kv_sink(args)
+    backend, mesh = _knn_backend_mesh(args)
     n = multimodal_similar_job(df, emb, sink, key_col=args.key_col,
                                k=args.k, ttl_seconds=args.exp_seconds,
-                               **dict(zip(("backend", "mesh"),
-                                          _knn_backend_mesh(args))))
+                               backend=backend, mesh=mesh)
     print(json.dumps({"written": n}))
 
 
@@ -888,11 +888,11 @@ def cmd_similar_daodian(args):
             "need the target date; pass --dt YYYY-MM-DD.")
     date_key = args.dt.replace("-", "") if (args.dt and args.date_keyed) \
         else None
+    backend, mesh = _knn_backend_mesh(args)
     merged = daodian_similar_job(
         df, embed_titles, embed_skus, sink, ttl_seconds=args.exp_seconds,
         date_key=date_key, dt_col=args.dt_col, target_dt=args.dt,
-        recent_days=args.recent_days,
-        **dict(zip(("backend", "mesh"), _knn_backend_mesh(args))))
+        recent_days=args.recent_days, backend=backend, mesh=mesh)
     print(json.dumps({"skus": len(merged)}))
 
 
@@ -1050,6 +1050,19 @@ def cmd_import_checkpoint(args):
     else:
         raise SystemExit(f"unknown kind {args.kind}")
     ckpt = CheckpointManager(args.out)
+    # same fail-fast discipline as Trainer.fit: importing step 0 into a
+    # directory holding a previous run's LATER steps would be silently
+    # shadowed (restore() picks latest_step), serving the old model
+    # instead of the imported reference weights
+    existing = ckpt.latest_step()
+    if existing is not None and not args.overwrite:
+        raise SystemExit(
+            f"import-checkpoint: {args.out} already holds checkpoints "
+            f"(latest step {existing}); the imported step-0 weights would "
+            f"be shadowed by them on restore. Pass --overwrite to clear "
+            f"the directory, or use a fresh --out.")
+    if existing is not None:
+        ckpt.clear()
     ckpt.save(0, {"params": params, "batch_stats": stats}, force=True)
     print(json.dumps({"imported": args.kind, "out": args.out}))
 
@@ -1451,6 +1464,10 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--out", required=True, help="orbax checkpoint dir")
     imp.add_argument("--bert_preset", default="base")
     imp.add_argument("--backbone", default="efficientnet_b4")
+    imp.add_argument("--overwrite", action="store_true",
+                     help="clear an already-populated --out dir (without "
+                          "this, importing into one fails fast — existing "
+                          "later steps would shadow the imported weights)")
     imp.set_defaults(fn=cmd_import_checkpoint)
 
     exp = sub.add_parser("export-checkpoint", allow_abbrev=False)

@@ -90,12 +90,19 @@ def _topk_kernel(q_ref, x_ref, vals_ref, idx_ref, run_v, run_i, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric", "block_rows", "tile_b",
-                                    "interpret"))
+                                    "interpret", "true_n"))
 def pallas_topk(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
                 metric: str = "ip", block_rows: int = 512,
-                tile_b: int = 128, interpret: bool = None
+                tile_b: int = 128, interpret: bool = None,
+                true_n: int = None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k scores/indices with FAISS ordering (see knn_search).
+
+    ``true_n``: number of REAL corpus rows when ``corpus`` arrives already
+    zero-padded (the SimilarityEngine caches a block-padded corpus on
+    device); pad rows beyond it are masked to -inf so they can never
+    displace real neighbors (an ip pad row scores 0.0, beating any
+    negative-cosine real neighbor otherwise).
 
     ``interpret=None`` auto-selects: compiled Mosaic on TPU, interpreter
     elsewhere (so the SimilarityEngine backend='pallas' path stays
@@ -103,8 +110,12 @@ def pallas_topk(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, d = corpus.shape
+    if true_n is None:
+        true_n = n
+    elif not 0 < true_n <= n:
+        raise ValueError(f"true_n={true_n} out of range for corpus of {n}")
     b = queries.shape[0]
-    k = min(k, n)
+    k = min(k, true_n)
 
     pad_n = (-n) % block_rows
     if pad_n:
@@ -118,7 +129,7 @@ def pallas_topk(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     grid = (queries.shape[0] // tile_b, corpus.shape[0] // block_rows)
     vals, idx = pl.pallas_call(
         functools.partial(_topk_kernel, k=k, block_rows=block_rows,
-                          n_true=n, metric=metric),
+                          n_true=true_n, metric=metric),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_b, d), lambda i, j: (i, 0),

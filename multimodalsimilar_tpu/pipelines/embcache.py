@@ -146,8 +146,7 @@ class EmbeddingCache:
                 out[k] = v
         return out
 
-    def put(self, key: str, vec: np.ndarray) -> None:
-        import fcntl
+    def _validate(self, key: str, vec: np.ndarray) -> bytes:
         v = np.ascontiguousarray(vec, np.float32)
         if v.shape != (self.dim,):
             raise ValueError(f"expected a ({self.dim},) vector, "
@@ -155,30 +154,61 @@ class EmbeddingCache:
         if "\t" in key or "\n" in key:
             raise ValueError(f"cache key may not contain tab/newline: "
                              f"{key!r}")
-        payload = v.tobytes()
-        with self._lock:
-            if key not in self._index:
-                self._refresh_index()
-            if key in self._index:
-                return
-            fd = os.open(self._data_path, os.O_WRONLY | os.O_CREAT, 0o644)
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX)
-                end = os.fstat(fd).st_size
-                slot = end // self.record     # re-align past a torn tail
-                off, done = slot * self.record, 0
+        return v.tobytes()
+
+    def _append_locked(self, items) -> int:
+        """Append (key, payload) records under ONE open/flock/fstat cycle.
+
+        One syscall cycle per BATCH, not per record: put_many over a
+        warehouse migration was paying 100k open+LOCK_EX+fstat+close
+        rounds plus 100k keys.txt appends on this host's one slow CPU.
+        Caller holds self._lock. Already-present keys are skipped (the
+        index is re-checked under the file lock, so two processes
+        migrating the same tree don't double-append)."""
+        import fcntl
+        fd = os.open(self._data_path, os.O_WRONLY | os.O_CREAT, 0o644)
+        lines = []
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            self._refresh_index()
+            end = os.fstat(fd).st_size
+            slot = end // self.record         # re-align past a torn tail
+            off = slot * self.record
+            for key, payload in items:
+                if key in self._index:
+                    continue
+                done = 0
                 while done < len(payload):
                     done += os.pwrite(fd, payload[done:], off + done)
-            finally:
-                fcntl.flock(fd, fcntl.LOCK_UN)
-                os.close(fd)
-            with open(self._keys_path, "a") as k:
-                k.write(f"{key}\t{slot}\n")
-            self._index[key] = slot
+                lines.append(f"{key}\t{slot}\n")
+                self._index[key] = slot
+                slot += 1
+                off += self.record
+            if lines:
+                # keys.txt written before the data flock releases: a
+                # concurrent appender computes its slots from data.bin's
+                # size, so its keys can't collide with these
+                with open(self._keys_path, "a") as k:
+                    k.write("".join(lines))
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+        return len(lines)
+
+    def put(self, key: str, vec: np.ndarray) -> None:
+        payload = self._validate(key, vec)
+        with self._lock:
+            if key in self._index:
+                return
+            self._append_locked([(key, payload)])
 
     def put_many(self, items: Dict[str, np.ndarray]) -> None:
-        for k, v in items.items():
-            self.put(k, v)
+        batch = [(k, self._validate(k, v)) for k, v in items.items()
+                 if k not in self._index]
+        if not batch:
+            return
+        with self._lock:
+            self._append_locked(batch)
 
     def close(self):
         with self._instances_lock:
@@ -195,6 +225,7 @@ class EmbeddingCache:
         (daodian_infer.py:259-285: np.loadtxt per key). Returns #imported;
         keys without a readable emb.txt (or already cached) are skipped."""
         n = 0
+        batch: Dict[str, np.ndarray] = {}
         for key in keys:
             if self._index.get(key) is not None:
                 continue
@@ -212,8 +243,13 @@ class EmbeddingCache:
             except (ValueError, OSError):
                 continue
             if vec.shape == (self.dim,):
-                self.put(key, vec)
+                batch[key] = vec
                 n += 1
+                if len(batch) >= 4096:   # bound memory on warehouse trees
+                    self.put_many(batch)
+                    batch.clear()
+        if batch:
+            self.put_many(batch)
         return n
 
     def export_emb_txt(self, cache_path_for_key: Callable[[str], str],

@@ -116,19 +116,14 @@ class SimilarityEngine:
                 # pre-pad ON HOST to the block multiple knn_search would pad
                 # to anyway: the eager per-call device pad concatenate
                 # transiently held corpus twice in HBM (3 GB extra per chunk
-                # at 1M x 768 — the warehouse run's OOM margin)
-                from multimodalsimilar_tpu.retrieval.knn import (
-                    _bucket_q, _default_block_rows, _next_pow2)
-                d = self._emb.shape[1]
-                # size the block for FULL chunks regardless of this call's
-                # query count — the block is cached with the corpus, and a
-                # small first search must not pin an oversized block for a
-                # later warehouse sweep
-                q_b = _bucket_q(self.QUERY_CHUNK)
-                resident = 4.0 * (self.n * d + q_b * d)
-                block = min(_default_block_rows(q_b,
-                                                resident_bytes=resident),
-                            _next_pow2(self.n, lo=512))
+                # at 1M x 768 — the warehouse run's OOM margin). Sizing
+                # comes from knn.plan_search (the ONE cost model) for FULL
+                # chunks regardless of this call's query count — the block
+                # is cached with the corpus, and a small first search must
+                # not pin an oversized block for a later warehouse sweep
+                from multimodalsimilar_tpu.retrieval.knn import plan_search
+                block, _ = plan_search(self.n, self._emb.shape[1],
+                                       self.QUERY_CHUNK)
                 corpus, true_n = pad_corpus(self._emb, block, self.metric)
                 self._corpus_dev = (jax.numpy.asarray(corpus), true_n, block)
         corpus_dev, true_n, block = self._corpus_dev
@@ -140,8 +135,12 @@ class SimilarityEngine:
                                           self.metric, true_n=true_n)
             elif self.backend == "pallas":
                 from multimodalsimilar_tpu.ops.topk import pallas_topk
+                # true_n: the cached corpus is block-padded with zero rows;
+                # without the mask an ip pad row scores 0.0 and displaces
+                # real negative-cosine neighbors (returning out-of-range
+                # indices to boot)
                 v, i = pallas_topk(corpus_dev, chunk, min(k, self.n),
-                                   self.metric)
+                                   self.metric, true_n=true_n)
             else:
                 v, i = knn_search(corpus_dev, chunk, k, self.metric,
                                   block_rows=block, true_n=true_n)

@@ -124,6 +124,29 @@ def _bucket_q(q: int) -> int:
     return -(-q // 4096) * 4096
 
 
+def plan_search(n: int, d: int, q: int) -> Tuple[int, int]:
+    """THE sizing plan for a blockwise search over an [n, d] corpus with
+    q-row query chunks: returns (block_rows, padded_n).
+
+    Single source of truth shared by ``knn_search`` and the
+    SimilarityEngine's cached pre-padded corpus — the engine used to
+    duplicate this arithmetic from knn's private helpers, so a cost-model
+    change here could silently de-sync its OOM margins.
+
+    * queries are bucketed (``_bucket_q``) before sizing: that is the
+      shape the compiled program actually sees;
+    * resident bytes (corpus + query chunk f32 arguments) count against
+      the HBM budget;
+    * the block is capped by the corpus's pow2 bucket so tiny corpora
+      don't pad to a full 32768-row block.
+    """
+    q_b = _bucket_q(q)
+    resident = 4.0 * (n * d + q_b * d)
+    block = min(_default_block_rows(q_b, resident_bytes=resident),
+                _next_pow2(n, lo=512))
+    return block, n + ((-n) % block)
+
+
 def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
                metric: str = "ip", block_rows: Optional[int] = None,
                bucket: bool = True, true_n: Optional[int] = None
@@ -167,10 +190,7 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
                            k_true, metric, block_rows)
     q_b = _bucket_q(q)
     if block_rows is None:
-        # small corpora don't need big blocks — cap by the corpus bucket so
-        # a 97-row area isn't padded to a full 32768-row block
-        block_rows = min(_default_block_rows(q_b, resident_bytes=resident),
-                         _next_pow2(n, lo=512))
+        block_rows, _ = plan_search(n, d, q)
     q_pad = q_b - q
     n_pad = (-n) % block_rows
     k_run = min(_next_pow2(k_true, lo=16), n + n_pad)

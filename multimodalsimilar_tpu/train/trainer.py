@@ -158,9 +158,23 @@ class Trainer:
         from jax.sharding import PartitionSpec as P
         step_rng = jax.random.fold_in(rng, state.step)
         data_n = self.mesh.shape[DATA_AXIS]
+        # a non-divisible batch dim would fall back to P() replication:
+        # every shard would compute grads over the FULL batch (data_n-fold
+        # redundant compute, per-shard dropout draws averaged) — the flag's
+        # halved-collective win silently becoming a regression. Batch
+        # sources pad to static shapes (conventions), so fail loudly on
+        # the exception rather than degrade. (Trace-time check: shapes are
+        # static under jit.)
+        bad = [x.shape for x in jax.tree_util.tree_leaves(batch)
+               if getattr(x, "ndim", 0) >= 1 and x.shape[0] % data_n != 0]
+        if bad:
+            raise ValueError(
+                f"bf16_grad_allreduce: batch dims {bad} are not divisible "
+                f"by the data axis ({data_n} devices); pad the batch "
+                f"(batch sources do by default) or drop --bf16_grads")
         bspec = jax.tree_util.tree_map(
             lambda x: P(DATA_AXIS) if getattr(x, "ndim", 0) >= 1
-            and x.shape[0] % data_n == 0 else P(), batch)
+            else P(), batch)
 
         def local_step(params, batch_stats, margin, local_batch, r):
             # decorrelate dropout across shards (the pjit path draws one
@@ -348,6 +362,19 @@ class Trainer:
     _HEAD_NAMES = frozenset({"head", "lv1_head", "lv2_head", "tag_head",
                              "classifier"})
 
+    def _head_shardable(self, path, x, model_n) -> Optional[bool]:
+        """The ONE head-sharding predicate (state_shardings and
+        _place_state both build on it — two hand-kept copies once let the
+        AOT projection silently model placements production no longer
+        used). Returns True (head weight, shards), False (head-shaped but
+        classes indivisible by the model axis — replicate, diagnose), or
+        None (not a head leaf)."""
+        names = {str(getattr(k, "key", getattr(k, "name", k)))
+                 for k in path}
+        if names & self._HEAD_NAMES and getattr(x, "ndim", 0) == 2:
+            return x.shape[0] % model_n == 0
+        return None
+
     def state_shardings(self, state) -> TrainState:
         """The sharding tree _place_state applies — exposed so AOT tooling
         (benchmarks/multichip_projection.py) can lower the train step over
@@ -359,43 +386,33 @@ class Trainer:
         if not self.config.model_parallel_heads or model_n <= 1:
             return jax.tree_util.tree_map(lambda _: repl, state)
         cs = MeshRules(self.mesh).class_sharded
-
-        def rule(path, x):
-            names = {str(getattr(k, "key", getattr(k, "name", k)))
-                     for k in path}
-            if names & self._HEAD_NAMES and getattr(x, "ndim", 0) == 2 \
-                    and x.shape[0] % model_n == 0:
-                return cs
-            return repl
-
-        return jax.tree_util.tree_map_with_path(rule, state)
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: cs if self._head_shardable(path, x, model_n)
+            else repl, state)
 
     def _place_state(self, state: TrainState) -> TrainState:
         """Put the state on the mesh: everything replicated except — with
         ``model_parallel_heads`` on a mesh with a real model axis — ArcFace
         head weights [C, D], which shard over classes. The rule is applied
-        path-wise across params AND opt_state, so Adam moments (which mirror
-        the params tree, head/weight keys included) land on the same shards
-        as their weights.
+        path-wise across params AND opt_state (via state_shardings), so
+        Adam moments (which mirror the params tree, head/weight keys
+        included) land on the same shards as their weights.
         """
         model_n = self.mesh.shape.get(MODEL_AXIS, 1)
-        repl = replicated(self.mesh)
+        shardings = self.state_shardings(state)
         if not self.config.model_parallel_heads or model_n <= 1:
-            return jax.device_put(state, repl)
-        cs = MeshRules(self.mesh).class_sharded
+            return jax.device_put(state, shardings)
         sharded, skipped = [], []
 
-        def place(path, x):
-            names = {str(getattr(k, "key", getattr(k, "name", k)))
-                     for k in path}
-            if names & self._HEAD_NAMES and getattr(x, "ndim", 0) == 2:
-                if x.shape[0] % model_n == 0:
-                    sharded.append(x.shape)
-                    return jax.device_put(x, cs)
+        def diagnose(path, x):
+            c = self._head_shardable(path, x, model_n)
+            if c is True:
+                sharded.append(x.shape)
+            elif c is False:
                 skipped.append((jax.tree_util.keystr(path), x.shape[0]))
-            return jax.device_put(x, repl)
+            return x
 
-        out = jax.tree_util.tree_map_with_path(place, state)
+        jax.tree_util.tree_map_with_path(diagnose, state)
         if skipped and not sharded:
             # XLA requires sharded dims divisible by the axis size; silently
             # replicating EVERY weight the flag targets while the data axis
@@ -413,4 +430,4 @@ class Trainer:
             print(f"model_parallel={model_n}: replicating indivisible "
                   f"heads {names} (sharded {len(set(map(tuple, sharded)))} "
                   f"weight shapes)", flush=True)
-        return out
+        return jax.device_put(state, shardings)

@@ -131,6 +131,24 @@ def test_bf16_grads_rejects_model_parallel():
                                      model_parallel_heads=True))
 
 
+def test_bf16_grads_non_divisible_batch_fails_loud():
+    """Regression: a batch dim not divisible by the data axis used to fall
+    back to P() replication — every shard silently recomputing the FULL
+    batch (data_n-fold redundant compute, per-shard dropout draws
+    averaged). Must raise instead."""
+    from multimodalsimilar_tpu.parallel.mesh import create_mesh, shard_batch
+    mesh = create_mesh()
+    if mesh.shape["data"] <= 1:
+        pytest.skip("needs a >1-device data mesh")
+    trainer = _text_trainer(mesh, bf16_grads=True)
+    good = _batches(1, B=16)[0]
+    state = trainer.init_state(good)
+    bad = _batches(1, B=mesh.shape["data"] + 1)[0]
+    with pytest.raises(ValueError, match="not divisible"):
+        trainer._train_step(state, shard_batch(mesh, bad),
+                            jax.random.key(0))
+
+
 def test_cli_bf16_grads_end_to_end(tmp_path):
     import pandas as pd
     from multimodalsimilar_tpu.cli import main

@@ -183,6 +183,23 @@ def test_engine_pallas_backend_matches_xla():
     np.testing.assert_allclose(xla[0], pls[0], rtol=1e-4, atol=1e-4)
 
 
+def test_engine_pallas_backend_masks_pad_rows():
+    """Regression: the engine caches a block-padded corpus; the pallas
+    backend must mask the zero pad rows (ip score 0.0) or they displace
+    real NEGATIVE-score neighbors with out-of-range indices — a 10-row
+    corpus at k=10 guarantees negative cosines in the tail."""
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(10, 16)).astype(np.float32)
+    keys = list(range(10))
+    xla = SimilarityEngine(emb, keys, metric="ip").search(k=10)
+    pls = SimilarityEngine(emb, keys, metric="ip",
+                           backend="pallas").search(k=10)
+    assert np.asarray(xla[0]).min() < 0  # the scenario is exercised
+    assert np.asarray(pls[1]).max() < 10  # no padding index leaks
+    np.testing.assert_array_equal(xla[1], pls[1])
+    np.testing.assert_allclose(xla[0], pls[0], rtol=1e-4, atol=1e-4)
+
+
 def test_engine_pallas_backend_rejects_sharded_mesh():
     mesh = create_mesh()
     emb = np.eye(8, dtype=np.float32)
