@@ -149,12 +149,51 @@ def main(n=262_144, q=65_536, block=16_384, k=128, d=768):
         s = jnp.dot(qq, c.T, preferred_element_type=jnp.float32)
         return jax.lax.approx_max_k(s, k, recall_target=1.0)
 
+    # -- production winmax body, but the WINDOW top_k (the larger of the
+    # two remaining sorts: [Q, block/8] -> bk+1) runs through
+    # lax.approx_max_k (TPU PartialReduce custom op). Selection-exact at
+    # recall_target=1.0; window ids are re-sorted ascending after, so the
+    # stable-merge tie-break precondition is preserved and indices should
+    # match production bitwise (checked below).
+    from multimodalsimilar_tpu.retrieval.knn import _WINMAX_W, _stable_merge
+
+    @jax.jit
+    def winmax_approx(c, qq):
+        blocks = c.reshape(n_blocks, block, d)
+        gw = block // _WINMAX_W
+        bkw = min(k + 1, gw)
+
+        def body(carry, inp):
+            vals, idx = carry
+            b, blk = inp
+            s = jnp.dot(qq, blk.T, preferred_element_type=jnp.float32)
+            wmax = s.reshape(s.shape[0], gw, _WINMAX_W).max(-1)
+            _, wi = jax.lax.approx_max_k(wmax, bkw, recall_target=1.0)
+            wi = jax.lax.sort(wi, dimension=-1)
+            local_i = (wi[:, :, None] * _WINMAX_W
+                       + jax.lax.iota(jnp.int32, _WINMAX_W)[None, None, :]
+                       ).reshape(s.shape[0], bkw * _WINMAX_W)
+            cand = jnp.take_along_axis(s, local_i, -1)
+            return _stable_merge(vals, idx, cand, local_i + b * block,
+                                 k), None
+
+        init = (jnp.full((qq.shape[0], k), -np.inf, jnp.float32),
+                jnp.zeros((qq.shape[0], k), jnp.int32))
+        out, _ = jax.lax.scan(body, init,
+                              (jnp.arange(n_blocks), blocks))
+        return out
+
     res = {"n": n, "q": q, "block": block, "k": k}
     res["matmul_s"] = round(timed(matmul_only, c_dev, q_dev), 3)
     res["topk_s"] = round(timed(topk_no_merge, c_dev, q_dev), 3)
     full = lambda c, qq: _knn_search(c, qq, jnp.asarray(n, jnp.int32),
                                      k, "ip", block)
     res["full_s"] = round(timed(full, c_dev, q_dev), 3)
+    res["winmax_approx_s"] = round(timed(winmax_approx, c_dev, q_dev), 3)
+    wv, wi_ = winmax_approx(c_dev, q_dev)
+    fvw, fiw = full(c_dev, q_dev)
+    res["winmax_approx_index_match_pct"] = round(
+        100.0 * float((np.asarray(fiw) == np.asarray(wi_)).mean()), 3)
     res["approx_scan_s"] = round(timed(approx_scan, c_dev, q_dev), 3)
     if q * n * 4 <= 6e9:
         res["approx_flat_s"] = round(timed(approx_flat, c_dev, q_dev), 3)
