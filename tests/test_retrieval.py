@@ -274,6 +274,29 @@ def test_engine_query_chunking_matches_unchunked(monkeypatch):
     np.testing.assert_allclose(full[0], chunked[0], rtol=1e-6)
 
 
+def test_plan_search_properties():
+    """plan_search is the ONE sizing plan shared by knn_search and the
+    engine's cached corpus: blocks are pow2 <= 32768, capped by the corpus
+    bucket for tiny corpora, shrink under memory pressure, and padded_n is
+    always a covering block multiple."""
+    from multimodalsimilar_tpu.retrieval.knn import plan_search
+
+    for n, d, q in [(97, 16, 100), (5000, 768, 32768),
+                    (1_000_000, 768, 32768), (262_144, 768, 65_536)]:
+        block, padded_n = plan_search(n, d, q)
+        assert block & (block - 1) == 0 and block <= 32768
+        assert padded_n % block == 0 and padded_n >= n
+        assert padded_n - n < block  # minimal covering pad
+    # tiny corpora never pad to a full warehouse block
+    block_small, _ = plan_search(97, 16, 100)
+    assert block_small <= 512
+    # warehouse resident bytes push the block below the 32768 ceiling
+    # (the 1M x 768 corpus + query chunk count against the HBM budget)
+    block_1m, _ = plan_search(1_000_000, 768, 32768)
+    block_tiny_resident, _ = plan_search(262_144, 64, 32768)
+    assert block_1m < block_tiny_resident == 32768
+
+
 def test_sharded_knn_block_padding_not_aliased_as_neighbors():
     """Regression (round-2 review): a shard whose row count is not a
     multiple of block_rows pads internally with zero rows; those rows'
