@@ -95,14 +95,16 @@ def _default_block_rows(n_queries: int, budget_bytes: float = 8.0e9,
     32768: 7.4 s vs block 8192: 15.1 s warm, v5e).
 
     Cost model measured from the compiler's own memory analysis at 1M x
-    768 (benchmarks/knn_memory_probe.py + a compile-only bisect of the
-    winmax body): temps ~= 1.6x the [Q, block] f32 score tile + ~0.5 GB
-    sort scratch, plus ``resident_bytes`` (corpus + queries arguments).
-    Budget 8 GB of v5e's 16: programs the compiler sized at 8.7 GB
-    crashed the (shared-pool) TPU worker at runtime; the 6.5-7 GB
-    operating point survived a full 1M sweep."""
+    768 (benchmarks/knn_memory_probe.py): with the axis-1 window gather
+    (the FAST body — its flat-gather replacement compiled ~2 GB leaner
+    but ran 2.7x slower) temps ~= 2.3x the [Q, block] f32 score tile
+    (tile + where copy + gather layout copy) + ~0.5 GB sort scratch,
+    plus ``resident_bytes`` (corpus + queries arguments). Budget 8 GB of
+    v5e's 16: programs the compiler sized at 8.7 GB crashed the
+    (shared-pool) TPU worker at runtime; 6.5-7 GB survived full 1M
+    sweeps."""
     block = 32768
-    while block > 4096 and (1.6 * n_queries * block * 4 + 5e8
+    while block > 4096 and (2.3 * n_queries * block * 4 + 5e8
                             + resident_bytes) > budget_bytes:
         block //= 2
     return block
@@ -266,41 +268,32 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
         # come straight from top_k's block-local positions — a former
         # materialized [Q, block] s32 iota + gather was the largest HLO
         # temp (4 GB) in the 1M-row OOM dump.
-        valid = (col + base)[None, :] < true_n
+        s = jnp.where((col + base)[None, :] < true_n, s, -jnp.inf)
         if use_winmax:
             # exact window-max prefilter (see _WINMAX_W). Window ids are
             # re-sorted ASCENDING before the gather so the candidate array
             # is in ascending-global-index order — the precondition that
             # makes the stable top_k merge reproduce FAISS tie-break.
-            # The padding mask never touches the [Q, block] tile (an
-            # elementwise where kept a SECOND 4.3 GB tile copy live —
-            # compile probe: temp 9.6 vs 5.6 GB at q=65536/block=16384 on
-            # the 1M corpus). Instead: (a) WINDOW-granularity mask on the
-            # [Q, gw] maxes (1-D window-start iota, fuses); the one window
-            # straddling true_n keeps its raw max and may rank one slot
-            # too high, so ONE extra window is selected to cover any
-            # displaced real window; (b) element-index mask on the small
-            # gathered candidates.
-            win_start = jax.lax.iota(jnp.int32, gw) * _WINMAX_W
-            wmax = jnp.where(
-                (win_start + base)[None, :] < true_n,
-                s.reshape(s.shape[0], gw, _WINMAX_W).max(-1), -jnp.inf)
-            bkw = min(bk + 1, gw)
-            _, wi = jax.lax.top_k(wmax, bkw)
+            # The candidate gather is an AXIS-1 slice gather of the
+            # [Q, gw, W] view (contiguous W-element slices): a round-3
+            # flat element gather on the last axis compiled to ~2 GB less
+            # temp but ran 2.7x SLOWER (11.5 vs 4.25 s at 262k x 32k —
+            # /tmp bisect, TPU), and a lax.gather slice form crashed the
+            # TPU worker outright. The where/gather tile copies are paid
+            # for in _default_block_rows' temp multiplier instead, which
+            # picks a smaller block at warehouse scale.
+            xw = s.reshape(s.shape[0], gw, _WINMAX_W)
+            wmax = xw.max(-1)
+            _, wi = jax.lax.top_k(wmax, bk)
             wi = jax.lax.sort(wi, dimension=-1)
-            # candidate gather stays on the LAST axis of the [Q, block]
-            # tile (flattened window-element indices): an axis-1 gather of
-            # the [Q, gw, W] view made XLA materialize a second 3.6 GB
-            # layout copy of the tile (compile bisect, q=65536/block=16384)
-            local_i = (wi[:, :, None] * _WINMAX_W
-                       + jax.lax.iota(jnp.int32, _WINMAX_W)[None, None, :]
-                       ).reshape(s.shape[0], bkw * _WINMAX_W)
-            cand = jnp.take_along_axis(s, local_i, -1)
-            cand = jnp.where(local_i + base < true_n, cand, -jnp.inf)
+            cand = jnp.take_along_axis(xw, wi[:, :, None], 1)
+            ci = (wi[:, :, None] * _WINMAX_W
+                  + jax.lax.iota(jnp.int32, _WINMAX_W)[None, None, :]
+                  + (base + index_base))
             vals, idx = _stable_merge(
-                vals, idx, cand, local_i + (base + index_base), k)
+                vals, idx, cand.reshape(cand.shape[0], bk * _WINMAX_W),
+                ci.reshape(ci.shape[0], bk * _WINMAX_W), k)
         else:
-            s = jnp.where(valid, s, -jnp.inf)
             bv, bi = jax.lax.top_k(s, bk)
             bidx = bi + (base + index_base)
             # bv/bidx from a stable top_k are (value desc, ties idx asc)

@@ -290,11 +290,14 @@ def test_plan_search_properties():
     # tiny corpora never pad to a full warehouse block
     block_small, _ = plan_search(97, 16, 100)
     assert block_small <= 512
-    # warehouse resident bytes push the block below the 32768 ceiling
-    # (the 1M x 768 corpus + query chunk count against the HBM budget)
+    # warehouse resident bytes push the block down (the 1M x 768 corpus
+    # + query chunk count against the HBM budget); a small-resident
+    # corpus at the same chunk keeps the bigger block
     block_1m, _ = plan_search(1_000_000, 768, 32768)
     block_tiny_resident, _ = plan_search(262_144, 64, 32768)
-    assert block_1m < block_tiny_resident == 32768
+    assert block_1m < block_tiny_resident
+    # halving the query chunk admits the ceiling block
+    assert plan_search(262_144, 64, 16384)[0] == 32768
 
 
 def test_sharded_knn_block_padding_not_aliased_as_neighbors():
