@@ -109,6 +109,37 @@ def test_knn_winmax_path_exact_with_ties(metric):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_knn_winmax_path_with_padding_mid_window(metric):
+    """Winmax branch + true_n masking together (the warehouse operating
+    point): true_n falls MID-window (997 % _WINMAX_W != 0) so the straddling
+    window holds real and pad elements, and for ip every real score is
+    NEGATIVE — an unmasked zero pad row would beat every real neighbor.
+    The element-level -inf mask is applied to the score tile before the
+    window max, so exactly bk windows suffice (no straddle slack)."""
+    from multimodalsimilar_tpu.retrieval import knn
+    rng = np.random.default_rng(11)
+    # ip scores all negative: corpus in the negative orthant, queries positive
+    corpus = -np.abs(rng.normal(size=(997, 16))).astype(np.float32) - 0.1
+    queries = np.abs(rng.normal(size=(9, 16))).astype(np.float32) + 0.1
+    k, block = 8, 512
+    bk, gw = min(k, block), block // knn._WINMAX_W
+    assert 997 % knn._WINMAX_W != 0   # pad boundary splits a window
+    assert block % knn._WINMAX_W == 0 and bk <= gw \
+        and bk * knn._WINMAX_W + k < block   # winmax branch is active
+    padded, true_n = pad_corpus(corpus, block, metric)
+    assert padded.shape[0] == 1024 and true_n == 997
+    want_s, want_i = _brute(corpus, queries, k, metric)
+    got_s, got_i = knn_search(jnp.asarray(padded), jnp.asarray(queries),
+                              k, metric=metric, block_rows=block,
+                              true_n=true_n)
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_s), want_s,
+                               rtol=1e-4, atol=1e-4)
+    if metric == "ip":
+        assert float(np.asarray(got_s).max()) < 0   # no pad leak
+
+
 def test_self_search_first_hit_is_self():
     """FAISS self-search convention the reference relies on (skipping
     I[i][0], daodian_infer.py:237): with normalized vectors and IP, the top
