@@ -574,7 +574,6 @@ def _build_cv_embed_fn(args):
         {"params": jax.random.key(0)}, x,
         label=jnp.zeros(1, jnp.int32)))(x)
     if args.checkpoint:
-        from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
         state = _restore_required(args.checkpoint)
         variables = {"params": state["params"],
                      "batch_stats": state.get("batch_stats", {})}
@@ -644,7 +643,6 @@ def _build_embed_fn(args):
         label=jnp.zeros(x.shape[0], jnp.int32)))(
             jnp.asarray(sample["input_ids"]))
     if args.checkpoint:
-        from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
         state = _restore_required(args.checkpoint)
         variables = {"params": state["params"]}
         if state.get("batch_stats"):
@@ -852,7 +850,6 @@ def cmd_similar_daodian(args):
         from multimodalsimilar_tpu.models.vision import (
             CvImageClassifier, backbone_config)
         from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
-        from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
         state = _restore_required(args.cv_checkpoint)
         model = CvImageClassifier(
             backbone_config(args.backbone),
@@ -962,7 +959,6 @@ def cmd_eval(args):
         TextClassificationSource, read_table)
     from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
     from multimodalsimilar_tpu.parallel.mesh import create_mesh
-    from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
     from multimodalsimilar_tpu.train.optim import dual_group_adamw
     from multimodalsimilar_tpu.train.tasks import text_arcface_task
     from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig
