@@ -19,6 +19,11 @@ import pandas as pd
 
 def main():
     import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the documented `JAX_PLATFORMS=cpu python examples/...`
+        # invocation even on images whose sitecustomize pre-reads the env
+        # var before user code runs (the config update wins over both)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from multimodalsimilar_tpu.data.datasets import TextClassificationSource
     from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
