@@ -214,13 +214,81 @@ def analyze(batch, seq, model_parallel, classes=10208, bf16_grads=False):
     }
 
 
+# Measured single-chip scan cost to anchor the retrieval projection:
+# 30.9 s per 32768-query chunk over the 1,007,616-row padded 1M corpus
+# (PERF.md "Re-measure at the shipped operating point", axis-1 winmax
+# body, block 8192). Per-device compute scales with its shard's rows.
+MEASURED_CHUNK_S = 30.9
+MEASURED_CHUNK_Q = 32768
+MEASURED_CHUNK_ROWS = 1_007_616
+
+
+def analyze_retrieval(n_rows=1_007_616, dim=768, q_chunk=32768, k=100):
+    """Corpus-sharded warehouse k-NN: per-chunk collective bytes from the
+    production `sharded_knn_search` program (retrieval/knn.py:361), lowered
+    over the 8-device virtual mesh at 1M x 768 geometry. Only the [D, Q,
+    local_k] candidate all-gather crosses ICI — the [Q, rows] score tiles
+    never leave their device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodalsimilar_tpu.parallel.mesh import DATA_AXIS, create_mesh
+    from multimodalsimilar_tpu.retrieval.knn import (
+        _default_block_rows, _sharded_search_fn)
+
+    mesh = create_mesh()                       # 8 x 1
+    n_dev = mesh.shape[DATA_AXIS]
+    assert n_rows % n_dev == 0, "pad_corpus() first"
+    rows = n_rows // n_dev
+    local_k = min(k, rows)
+    k_out = min(k, n_rows, n_dev * local_k)
+    block = min(_default_block_rows(q_chunk), rows)
+    fn = _sharded_search_fn(mesh, k_out, local_k, "ip", block, n_dev,
+                            rows, n_rows)
+    corpus_sd = jax.ShapeDtypeStruct(
+        (n_rows, dim), np.float32,
+        sharding=NamedSharding(mesh, P(DATA_AXIS, None)))
+    q_sd = jax.ShapeDtypeStruct((q_chunk, dim), np.float32,
+                                sharding=NamedSharding(mesh, P()))
+    lim_sd = jax.ShapeDtypeStruct((), np.int32,
+                                  sharding=NamedSharding(mesh, P()))
+    compiled = fn.lower(corpus_sd, q_sd, lim_sd).compile()
+    colls = collect_collectives(compiled.as_text())
+    by_op = {}
+    for c in colls:
+        e = by_op.setdefault(c["op"], {"count": 0, "bytes": 0})
+        e["count"] += 1
+        e["bytes"] += c["bytes"]
+    t_ici = ici_seconds(colls)
+    t_compute = MEASURED_CHUNK_S * (rows / MEASURED_CHUNK_ROWS) \
+        * (q_chunk / MEASURED_CHUNK_Q)
+    return {
+        "kind": "retrieval_sharded_knn",
+        "corpus": [n_rows, dim], "q_chunk": q_chunk, "k": k,
+        "mesh_data": n_dev, "rows_per_device": rows, "block_rows": block,
+        "collectives_per_chunk": by_op,
+        "collective_bytes_total": sum(c["bytes"] for c in colls),
+        "projected_ici_ms_per_chunk": round(t_ici * 1e3, 2),
+        "projected_compute_s_per_chunk": round(t_compute, 2),
+        "ici_share_pct": round(100 * t_ici / (t_ici + t_compute), 3),
+        "projected_speedup_vs_1chip": round(
+            (MEASURED_CHUNK_S * q_chunk / MEASURED_CHUNK_Q)
+            / (t_compute + t_ici), 2),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--seq", type=int, default=48)
     ap.add_argument("--mp", type=int, nargs="*", default=[1, 2])
     ap.add_argument("--no_bf16_row", action="store_true")
+    ap.add_argument("--retrieval", action="store_true",
+                    help="project the corpus-sharded warehouse k-NN "
+                         "instead of the train step")
     args = ap.parse_args()
+    if args.retrieval:
+        print(json.dumps(analyze_retrieval()), flush=True)
+        return
     for mp in args.mp:
         print(json.dumps(analyze(args.batch, args.seq, mp)), flush=True)
     if not args.no_bf16_row:
