@@ -316,9 +316,7 @@ def test_cli_model_parallel_pads_indivisible_classes(tmp_path, capsys):
     assert "padding head 5 -> 6" in err
 
 
-def test_hlo_collective_parser():
-    """multichip_projection's HLO parser: variadic tuple all-reduce bytes
-    and replica-group sizes extracted correctly."""
+def _load_mcp():
     import importlib.util
     import os
     spec = importlib.util.spec_from_file_location(
@@ -326,6 +324,13 @@ def test_hlo_collective_parser():
                             "benchmarks", "multichip_projection.py"))
     mcp = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mcp)
+    return mcp
+
+
+def test_hlo_collective_parser():
+    """multichip_projection's HLO parser: variadic tuple all-reduce bytes
+    and replica-group sizes extracted correctly."""
+    mcp = _load_mcp()
     hlo = """
   %all-reduce.1 = (f32[4,8]{1,0}, bf16[16]{0}) all-reduce(f32[4,8] %a, bf16[16] %b), replica_groups={{0,1,2,3},{4,5,6,7}}, to_apply=%add
   %all-gather.2 = f32[32,8]{1,0} all-gather(f32[16,8] %c), replica_groups={{0,4},{1,5},{2,6},{3,7}}, dimensions={0}
@@ -471,3 +476,41 @@ def test_model_parallel_heterogeneous_heads_shard_the_divisible_ones():
         cs, ndim=2)
     assert state.params["lv1_head"]["weight"].sharding.is_equivalent_to(
         NamedSharding(mesh, P()), ndim=2)
+
+
+def test_sharded_knn_collective_structure():
+    """Compile-level pin of the warehouse-retrieval scaling story
+    (PERF.md "projected multi-chip", benchmarks/multichip_projection.py
+    --retrieval): the ONLY collectives in the sharded kNN program
+    (retrieval/knn.py:361 sharded_knn_search) must be the two
+    [D, Q, local_k] candidate all-gathers (f32 scores + s32 indices).
+    Nothing corpus-sized may cross ICI — a regression that reshards the
+    corpus or the [Q, rows] score tiles would invalidate the 0.05%
+    ICI-share projection by orders of magnitude."""
+    from jax.sharding import NamedSharding
+
+    from multimodalsimilar_tpu.retrieval.knn import _sharded_search_fn
+
+    mcp = _load_mcp()
+    mesh = create_mesh()                      # 8 x 1
+    n_dev = mesh.shape[DATA_AXIS]
+    n, d, q, k = 512, 16, 32, 8               # tiny: structure, not scale
+    rows = n // n_dev
+    fn = _sharded_search_fn(mesh, k, k, "ip", rows, n_dev, rows, n)
+    corpus_sd = jax.ShapeDtypeStruct(
+        (n, d), np.float32, sharding=NamedSharding(mesh, P(DATA_AXIS, None)))
+    q_sd = jax.ShapeDtypeStruct((q, d), np.float32,
+                                sharding=NamedSharding(mesh, P()))
+    lim_sd = jax.ShapeDtypeStruct((), np.int32,
+                                  sharding=NamedSharding(mesh, P()))
+    colls = mcp.collect_collectives(
+        fn.lower(corpus_sd, q_sd, lim_sd).compile().as_text())
+
+    assert colls, "expected the candidate all-gathers in the HLO"
+    assert {c["op"] for c in colls} == {"all-gather"}, colls
+    # candidate tensors only: f32 [D, Q, k] + s32 [D, Q, k] (possibly fused
+    # into one variadic all-gather) — and nothing larger
+    cand_bytes = n_dev * q * k * 4
+    assert sum(c["bytes"] for c in colls) == 2 * cand_bytes, colls
+    assert max(c["bytes"] for c in colls) <= 2 * cand_bytes
+    assert all(c["group_size"] == n_dev for c in colls)
