@@ -518,6 +518,20 @@ def cmd_train_fasttext(args):
         print(json.dumps({"n": n, "precision": p, "recall": r}))
 
 
+def _make_table_sink(table: str, key_col=None):
+    """Embedding-table sink by address: ``hive://db.table`` writes through
+    the Spark adapter with the reference's tmp-table + INSERT OVERWRITE
+    discipline (goodssku_emb_bert_di.py:148-154); anything else is a local
+    parquet stand-in with the same contract."""
+    if table.startswith("hive://"):
+        from multimodalsimilar_tpu.pipelines.spark import (
+            SparkTableSink, spark_session)
+        return SparkTableSink(spark_session("multimodalsimilar_tpu"),
+                              table[len("hive://"):], key_col=key_col)
+    from multimodalsimilar_tpu.pipelines.sinks import ParquetTableSink
+    return ParquetTableSink(table)
+
+
 def cmd_embed_incremental(args):
     """goodssku_emb_*_di capability: skip-existing daily export.
 
@@ -525,9 +539,8 @@ def cmd_embed_incremental(args):
     emb.txt caching, goodssku_emb_cv_di semantics)."""
     from multimodalsimilar_tpu.data.datasets import read_table
     from multimodalsimilar_tpu.pipelines.embed import incremental_export
-    from multimodalsimilar_tpu.pipelines.sinks import ParquetTableSink
     df = read_table(args.data)
-    sink = ParquetTableSink(args.table)
+    sink = _make_table_sink(args.table, key_col=args.key_col)
     kind = getattr(args, "kind", "text")
     if kind == "cv":
         # goodssku_emb_cv_di.py is a FULL REBUILD despite the _di name: it
@@ -913,9 +926,8 @@ def cmd_embed_bulk(args):
     (fastText + BERT + CV), outer-merged over the key."""
     from multimodalsimilar_tpu.data.datasets import read_table
     from multimodalsimilar_tpu.pipelines.embed import bulk_export
-    from multimodalsimilar_tpu.pipelines.sinks import ParquetTableSink
     df = read_table(args.data)
-    sink = ParquetTableSink(args.table)
+    sink = _make_table_sink(args.table, key_col=args.key_col)
     embedders = {}
     kinds = [k.strip() for k in args.kinds.split(",")]
     if "bert" in kinds:
@@ -1214,7 +1226,9 @@ def build_parser() -> argparse.ArgumentParser:
     e_inc.add_argument("--fasttext_model",
                        help="pickled FastTextClassifier (kind=fasttext)")
     e_inc.add_argument("--data", required=True)
-    e_inc.add_argument("--table", required=True, help="parquet table path")
+    e_inc.add_argument("--table", required=True,
+                       help="parquet table path, or hive://db.table on a "
+                            "cluster host (Spark INSERT OVERWRITE)")
     e_inc.add_argument("--dt", default=None)
     e_inc.add_argument("--key_col", default="goods_sku")
     e_inc.add_argument("--text_col", default="spu_name")

@@ -39,16 +39,31 @@ class InputError(ValueError):
 
 
 def read_table(path: str, require: Sequence[str] = ()) -> pd.DataFrame:
-    """CSV or parquet by extension (the reference's two input formats).
+    """CSV or parquet by extension (the reference's two input formats), or
+    a Hive pull on a cluster host.
 
-    ``require`` lists columns the caller needs — missing ones produce one
-    clear error naming the file and its actual columns instead of a pandas
-    KeyError deep in a job. URL-style paths (s3://, https://) pass straight
+    ``hive://db.table`` pulls the whole table and ``hivesql://<SQL>`` runs
+    an arbitrary query, both via the Spark adapter
+    (pipelines/spark.py SparkTableSource) — the reference jobs all start
+    with exactly this ``spark.sql(...).toPandas()`` boundary
+    (nlp_infer.py:112-116, goodssku_emb_bert_di.py:111-123), so every
+    ``--data`` flag accepts the same warehouse addresses. ``require``
+    lists columns the caller needs — missing ones produce one clear error
+    naming the file and its actual columns instead of a pandas KeyError
+    deep in a job. Other URL-style paths (s3://, https://) pass straight
     to pandas (the warehouse-extract ingestion seam)."""
-    if "://" not in path and not os.path.exists(path):
-        raise InputError(f"input table not found: {path}")
-    df = (pd.read_parquet(path) if path.endswith(".parquet")
-          else pd.read_csv(path))
+    if path.startswith(("hive://", "hivesql://")):
+        from multimodalsimilar_tpu.pipelines.spark import (
+            SparkTableSource, spark_session)
+        query = (path[len("hivesql://"):] if path.startswith("hivesql://")
+                 else f"select * from {path[len('hive://'):]}")
+        df = SparkTableSource(spark_session("multimodalsimilar_tpu")).sql(
+            query)
+    else:
+        if "://" not in path and not os.path.exists(path):
+            raise InputError(f"input table not found: {path}")
+        df = (pd.read_parquet(path) if path.endswith(".parquet")
+              else pd.read_csv(path))
     missing = [c for c in require if c not in df.columns]
     if missing:
         raise InputError(

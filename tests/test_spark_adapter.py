@@ -123,9 +123,13 @@ class FakeBuilder:
         return self
 
     def getOrCreate(self):
-        spark = FakeSpark(self._conf, getattr(self, "_hive", False))
-        FakeBuilder.last = spark
-        return spark
+        # real Spark caches the session process-wide; the fake matches so
+        # tests can pre-can tables before read_table()/_make_table_sink
+        # build "their" session internally
+        if FakeBuilder.last is None:
+            FakeBuilder.last = FakeSpark(self._conf,
+                                         getattr(self, "_hive", False))
+        return FakeBuilder.last
 
 
 class FakeStringType:
@@ -166,6 +170,7 @@ def pyspark_stub(monkeypatch):
     monkeypatch.setitem(sys.modules, "pyspark.sql", sql_mod)
     monkeypatch.setitem(sys.modules, "pyspark.sql.types", types_mod)
     FakeSparkSession.builder = FakeBuilder()  # fresh per test
+    FakeBuilder.last = None
     yield root
 
 
@@ -248,3 +253,90 @@ def test_sink_existing_keys_and_incremental_append(pyspark_stub):
     assert list(out["goods_sku"]) == ["a", "b", "c"]
     assert list(out["bert_emb"]) == ["[1]", "[9]", "[3]"]
     assert sink.existing_keys("goods_sku") == {"a", "b", "c"}
+
+
+def test_read_table_hive_and_hivesql_uris(pyspark_stub, capsys):
+    """Every --data flag accepts warehouse addresses: hive://db.table pulls
+    the whole table, hivesql://<SQL> runs the reference jobs' arbitrary
+    dt-filtered pulls (nlp_infer.py:112-116) — both through the ONE cached
+    SparkSession."""
+    from multimodalsimilar_tpu.data.datasets import read_table
+    from multimodalsimilar_tpu.pipelines.spark import spark_session
+
+    spark = spark_session("pre")     # caches; read_table reuses it
+    spark.tables["dim.dim_sku_sn"] = pd.DataFrame(
+        {"goods_sku": ["a", "b"], "spu_name": ["t1", "t2"]})
+    df = read_table("hive://dim.dim_sku_sn", require=["goods_sku"])
+    assert list(df["spu_name"]) == ["t1", "t2"]
+    assert spark.queries[-1] == "select * from dim.dim_sku_sn"
+
+    q = "select goods_sku from dim.dim_sku_sn where dt = '2026-08-17'"
+    spark.canned[q] = pd.DataFrame({"goods_sku": ["c"]})
+    df2 = read_table("hivesql://" + q)
+    assert list(df2["goods_sku"]) == ["c"]
+
+
+def test_read_table_hive_missing_column_error(pyspark_stub):
+    from multimodalsimilar_tpu.data.datasets import InputError, read_table
+    from multimodalsimilar_tpu.pipelines.spark import spark_session
+
+    spark = spark_session("pre")
+    spark.tables["dim.t"] = pd.DataFrame({"goods_sku": ["a"]})
+    with pytest.raises(InputError, match="missing column"):
+        read_table("hive://dim.t", require=["spu_name"])
+
+
+def test_cli_table_sink_routing(pyspark_stub, tmp_path):
+    """cli._make_table_sink: hive:// -> SparkTableSink (key non-nullable),
+    plain paths -> the local parquet stand-in."""
+    from multimodalsimilar_tpu.cli import _make_table_sink
+    from multimodalsimilar_tpu.pipelines.sinks import ParquetTableSink
+    from multimodalsimilar_tpu.pipelines.spark import SparkTableSink
+
+    sink = _make_table_sink("hive://dm_recommend.goodssku_embedding_bert",
+                            key_col="goods_sku")
+    assert isinstance(sink, SparkTableSink)
+    assert sink.table == "dm_recommend.goodssku_embedding_bert"
+    assert sink.key_col == "goods_sku"
+    assert sink.tmp_table == "tmp.tmp_goodssku_embedding_bert"
+    local = _make_table_sink(str(tmp_path / "t.parquet"))
+    assert isinstance(local, ParquetTableSink)
+
+
+def test_cli_embed_incremental_hive_end_to_end(pyspark_stub, tmp_path):
+    """`cli embed incremental --data hive://... --table hive://...` runs the
+    goodssku_emb_fasttext_di job shape fully against the warehouse seams:
+    pull via spark.sql, skip-existing keys from the target table, write via
+    tmp table + INSERT OVERWRITE."""
+    import pickle
+
+    from multimodalsimilar_tpu.cli import main
+    from multimodalsimilar_tpu.models.fasttext import train_supervised
+    from multimodalsimilar_tpu.pipelines.spark import spark_session
+
+    model = train_supervised(["红豆 薏米 粥", "鲜奶 面包"], [0, 1],
+                             dim=8, epochs=1)
+    mp = tmp_path / "ft.pkl"
+    with open(mp, "wb") as f:
+        pickle.dump(model, f)
+
+    spark = spark_session("pre")
+    spark.tables["dim.dim_sku_sn"] = pd.DataFrame(
+        {"goods_sku": ["a", "b", "c"],
+         "spu_name": ["红豆薏米粥", "鲜奶面包", "冰糖雪梨"]})
+    # 'a' already embedded -> must be skipped
+    spark.tables["dm_recommend.goodssku_embedding_fasttext"] = pd.DataFrame(
+        {"goods_sku": ["a"], "fasttext_emb": ["[0]"],
+         "modifydate": ["2026-08-17"]})
+    main(["embed", "incremental", "--kind", "fasttext",
+          "--fasttext_model", str(mp),
+          "--data", "hive://dim.dim_sku_sn",
+          "--table", "hive://dm_recommend.goodssku_embedding_fasttext",
+          "--dt", "2026-08-18"])
+    out = spark.tables["dm_recommend.goodssku_embedding_fasttext"]
+    assert sorted(out["goods_sku"]) == ["a", "b", "c"]
+    # the pre-existing row kept its embedding (skip-existing semantics)
+    assert out[out.goods_sku == "a"]["fasttext_emb"].iloc[0] == "[0]"
+    assert any("insert overwrite table "
+               "dm_recommend.goodssku_embedding_fasttext" in " ".join(
+                   q.split()) for q in spark.queries)
