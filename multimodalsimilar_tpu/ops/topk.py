@@ -104,11 +104,13 @@ def pallas_topk(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     displace real neighbors (an ip pad row scores 0.0, beating any
     negative-cosine real neighbor otherwise).
 
-    ``interpret=None`` auto-selects: compiled Mosaic on TPU, interpreter
-    elsewhere (so the SimilarityEngine backend='pallas' path stays
-    testable on the CPU mesh)."""
+    ``interpret=None`` auto-selects: interpreter on CPU (so the
+    SimilarityEngine backend='pallas' path stays testable on the CPU
+    mesh), compiled Mosaic everywhere else — matching on != 'tpu' would
+    silently interpret on this harness's relay backend, whose platform
+    name is 'axon', not 'tpu'."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = jax.default_backend() == "cpu"
     n, d = corpus.shape
     if true_n is None:
         true_n = n

@@ -188,8 +188,25 @@ class EmbeddingCache:
                 # keys.txt written before the data flock releases: a
                 # concurrent appender computes its slots from data.bin's
                 # size, so its keys can't collide with these
-                with open(self._keys_path, "a") as k:
-                    k.write("".join(lines))
+                kfd = os.open(self._keys_path,
+                              os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
+                try:
+                    # another process may have crashed mid-append leaving
+                    # a torn final line; poison it under this flock (the
+                    # same discipline __init__ applies) so our first key
+                    # can't merge into it as 'tornkey\tslot'
+                    size = os.fstat(kfd).st_size
+                    if size:
+                        with open(self._keys_path, "rb") as rf:
+                            rf.seek(size - 1)
+                            if rf.read(1) != b"\n":
+                                os.write(kfd, b"\t#\n")
+                    buf = "".join(lines).encode()
+                    done = 0
+                    while done < len(buf):
+                        done += os.write(kfd, buf[done:])
+                finally:
+                    os.close(kfd)
         finally:
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)

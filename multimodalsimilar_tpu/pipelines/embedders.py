@@ -208,6 +208,7 @@ class ImageEmbedder:
         from concurrent.futures import ThreadPoolExecutor
         result: Dict[str, np.ndarray] = {}
         to_decode: List[str] = []      # keys needing compute
+        migrate: Dict[str, np.ndarray] = {}   # legacy emb.txt -> cache
         for key in keys:
             if self.cache is not None:
                 hit = self.cache.get(key)
@@ -217,12 +218,28 @@ class ImageEmbedder:
             txt = (self.cache_path_for_key(key)
                    if self.cache_path_for_key else None)
             if txt and os.path.exists(txt):
-                emb = np.loadtxt(txt).astype(np.float32)
-                result[key] = emb
-                if self.cache is not None:   # migrate legacy emb.txt in
-                    self.cache.put(key, emb.reshape(-1))
+                # a malformed or wrong-dim emb.txt (older run, different
+                # --fc_dim, truncated write) must not kill the job —
+                # recompute the key instead, like import_emb_txt skips it
+                emb = None
+                try:
+                    emb = np.loadtxt(txt).astype(np.float32).reshape(-1)
+                except (ValueError, OSError):
+                    pass
+                if emb is not None and (self.cache is None
+                                        or emb.shape == (self.cache.dim,)):
+                    result[key] = emb
+                    if self.cache is not None:   # migrate legacy emb.txt
+                        migrate[key] = emb
+                else:
+                    to_decode.append(key)
             else:
                 to_decode.append(key)
+        if migrate:
+            # ONE flock/append cycle for the whole batch — per-key put()
+            # re-pays the open+LOCK_EX+fstat+close round the packed cache
+            # exists to batch away
+            self.cache.put_many(migrate)
 
         def load_key(key):
             loaded = []
@@ -273,15 +290,18 @@ class ImageEmbedder:
             for key, e in zip(owners, embs):
                 sums[key] = sums.get(key, 0.0) + e
                 counts[key] = counts.get(key, 0) + 1
+            fresh: Dict[str, np.ndarray] = {}
             for key in pending:
                 emb = (sums[key] / counts[key]).astype(np.float32)
                 result[key] = emb
                 if self.cache is not None:
-                    self.cache.put(key, emb.reshape(-1))
+                    fresh[key] = emb.reshape(-1)
                 elif self.cache_path_for_key:
                     txt = self.cache_path_for_key(key)
                     os.makedirs(os.path.dirname(txt), exist_ok=True)
                     np.savetxt(txt, emb)
+            if fresh:
+                self.cache.put_many(fresh)   # one flock cycle per batch
         return result
 
 

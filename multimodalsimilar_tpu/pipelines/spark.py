@@ -110,30 +110,60 @@ class SparkTableSink(TableSink):
         self.tmp_table = tmp_table or f"tmp.tmp_{table.split('.')[-1]}"
         self.repartition = repartition
 
+    def _exists(self) -> bool:
+        """Target-table existence — a brand-new warehouse table must act
+        like ParquetTableSink's missing file (empty keys / empty read /
+        create-on-first-write), not raise AnalysisException."""
+        try:
+            return bool(self.spark.catalog.tableExists(self.table))
+        except Exception:
+            try:
+                self.spark.sql(f"describe table {self.table}")
+                return True
+            except Exception:
+                return False
+
     def existing_keys(self, key_col: str) -> set:
+        if not self._exists():
+            return set()
         df = self.spark.sql(
             f"select distinct {key_col} from {self.table}").toPandas()
         return set(df[key_col]) if len(df) else set()
 
     def read(self) -> pd.DataFrame:
+        if not self._exists():
+            return pd.DataFrame()
         return self.spark.sql(f"select * from {self.table}").toPandas()
 
-    def overwrite(self, df: pd.DataFrame) -> None:
+    def _stage(self, df: pd.DataFrame, table: str) -> None:
         schema = _string_schema(df, self.key_col)
         sdf = self.spark.createDataFrame(df.astype(str), schema)
         (sdf.repartition(self.repartition)
-            .write.mode("overwrite").saveAsTable(self.tmp_table))
+            .write.mode("overwrite").saveAsTable(table))
+
+    def overwrite(self, df: pd.DataFrame) -> None:
+        if not self._exists():
+            # nothing to preserve: create the target directly
+            self._stage(df, self.table)
+            return
+        self._stage(df, self.tmp_table)
         self.spark.sql(
             f"insert overwrite table {self.table} "
             f"select * from {self.tmp_table}")
 
     def append(self, df: pd.DataFrame) -> None:
-        # The reference's incremental jobs never append in place: they pull
-        # the existing table, skip already-present keys, and OVERWRITE the
-        # union (goodssku_emb_bert_di.py:126-129,144-154). Mirror that so
-        # a crash mid-write can't leave a half-appended warehouse table.
-        existing = self.read()
-        combined = pd.concat([existing, df], ignore_index=True)
-        if self.key_col is not None and len(combined):
-            combined = combined.drop_duplicates(self.key_col, keep="last")
-        self.overwrite(combined)
+        # The reference's daily job reads the table ONCE, unions in memory,
+        # and overwrites ONCE at the end (goodssku_emb_bert_di.py:126-155).
+        # incremental_export instead flushes every flush_rows for bounded
+        # memory + crash-resumability, so append must not read-modify-write
+        # the warehouse per flush (quadratic toPandas + INSERT OVERWRITE of
+        # a growing multi-GB table): stage the new rows and INSERT INTO.
+        # Key-disjointness is the caller's contract (existing_keys
+        # pre-filter), same as ParquetTableSink's chunked appends.
+        if not self._exists():
+            self._stage(df, self.table)
+            return
+        self._stage(df, self.tmp_table)
+        self.spark.sql(
+            f"insert into table {self.table} "
+            f"select * from {self.tmp_table}")

@@ -38,15 +38,19 @@ def bucket_ladder(buckets: BucketsLike, max_length: int
     parsed = parse_buckets(buckets)
     if not parsed:
         return None
-    dropped = sorted({b for b in parsed if b >= max_length})
+    # b == max_length is the natural full-ladder spec ("48,64,128" with
+    # max_length 128) — exactly equivalent to the appended final rung, so
+    # it drops silently; only b > max_length smells like a typo
+    dropped = sorted({b for b in parsed if b > max_length})
     if dropped:
         # a typo ("480" for "48") must not silently degrade to no
         # bucketing — the 2.3x training win would quietly disappear
         import warnings
         warnings.warn(
-            f"seq bucket(s) {dropped} >= max_length {max_length} are "
-            f"redundant (every batch already fits max_length) and were "
-            f"dropped; buckets must be < max_length to have any effect",
+            f"seq bucket(s) {dropped} > max_length {max_length} are "
+            f"unreachable (every batch is truncated to max_length) and "
+            f"were dropped; buckets must be < max_length to have any "
+            f"effect",
             stacklevel=2)
     inner = sorted({b for b in parsed if 0 < b < max_length})
     return inner + [max_length]

@@ -252,3 +252,17 @@ def test_hf_tokenizer_offline(tmp_path):
     assert out["input_ids"].shape == (1, 8)
     assert out["input_ids"][0, 0] == 2      # [CLS]
     assert out["attention_mask"][0].sum() == 6  # CLS + 4 chars + SEP
+
+
+def test_bucket_warning_only_for_unreachable_buckets(recwarn):
+    """'48,64,128' with max_length 128 is the natural full-ladder spelling
+    (identical to the appended final rung) — it must NOT warn; only
+    buckets > max_length (the '480'-for-'48' typo) do."""
+    import warnings
+
+    from multimodalsimilar_tpu.utils.buckets import bucket_ladder
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert bucket_ladder("48,64,128", 128) == [48, 64, 128]
+    with pytest.warns(UserWarning, match="unreachable"):
+        assert bucket_ladder("480,64", 128) == [64, 128]

@@ -147,3 +147,59 @@ def test_image_embedder_uses_packed_cache(tmp_path):
     got = emb.embed_keys(["300"], paths)
     np.testing.assert_allclose(got["300"], legacy, rtol=1e-6)
     np.testing.assert_allclose(cache.get("300"), legacy, rtol=1e-6)
+
+
+def test_append_poisons_foreign_torn_keys_line(tmp_path):
+    """A process that crashed mid keys.txt append leaves a torn final line;
+    an ALREADY-OPEN instance's next put must poison it under the flock —
+    otherwise its first key textually merges into the torn tail
+    ('tornkey\\t42') and get() serves another key's embedding."""
+    c = _fresh(tmp_path)
+    c.put("a", np.full(8, 1.0, np.float32))
+    with open(tmp_path / "c" / "keys.txt", "ab") as f:
+        f.write(b"torn")                   # crash mid-append, no newline
+    c.put("b", np.full(8, 2.0, np.float32))
+    np.testing.assert_array_equal(c.get("b"), np.full(8, 2.0, np.float32))
+    c2 = EmbeddingCache(str(tmp_path / "c"), 8)   # fresh index from disk
+    np.testing.assert_array_equal(c2.get("a"), np.full(8, 1.0, np.float32))
+    np.testing.assert_array_equal(c2.get("b"), np.full(8, 2.0, np.float32))
+    assert c2.get("tornb") is None
+    assert c2.get("torn") is None
+
+
+def test_image_embedder_recomputes_malformed_legacy_emb_txt(tmp_path):
+    """A wrong-dim or unparseable legacy emb.txt (older run with a
+    different fc_dim, truncated write) must not kill the job: the key is
+    recomputed from its images like a plain cache miss."""
+    import cv2
+
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    from multimodalsimilar_tpu.models.vision import CvImageClassifier
+    from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    model = CvImageClassifier(EfficientNetConfig.tiny(), num_labels=3,
+                              fc_dim=8,
+                              policy=DTypePolicy.full_precision())
+    x = jax.numpy.zeros((1, 16, 16, 3))
+    variables = model.init({"params": jax.random.key(0)}, x,
+                           label=jax.numpy.zeros(1, jax.numpy.int32))
+    root = str(tmp_path / "imgs")
+    os.makedirs(f"{root}/100")
+    cv2.imwrite(f"{root}/100/0.jpg", np.full((20, 20, 3), 200, np.uint8))
+    np.savetxt(f"{root}/100/emb.txt",
+               np.arange(4, dtype=np.float32))           # wrong dim
+    os.makedirs(f"{root}/200")
+    cv2.imwrite(f"{root}/200/0.jpg", np.full((20, 20, 3), 90, np.uint8))
+    with open(f"{root}/200/emb.txt", "w") as f:
+        f.write("0.1 not-a-float 0.3\n")                  # unparseable
+
+    cache = _fresh(tmp_path)
+    emb = ImageEmbedder(
+        model, variables, image_size=16, batch_size=4,
+        cache_path_for_key=lambda k: f"{root}/{k}/emb.txt", cache=cache)
+    out = emb.embed_keys(["100", "200"],
+                         lambda k: [f"{root}/{k}/{i}.jpg" for i in range(8)])
+    assert set(out) == {"100", "200"}          # recomputed, not crashed
+    assert out["100"].shape == (8,)
+    np.testing.assert_allclose(cache.get("100"), out["100"], rtol=1e-6)

@@ -76,11 +76,20 @@ class FakeSDF:
         return FakeWriter(self.spark, self)
 
 
+class FakeCatalog:
+    def __init__(self, spark):
+        self._spark = spark
+
+    def tableExists(self, name):
+        return name in self._spark.tables
+
+
 class FakeSpark:
     def __init__(self, conf, hive):
         self.conf = conf
         self.hive = hive
         self.sparkContext = FakeSC()
+        self.catalog = FakeCatalog(self)
         self.tables = {}
         self.queries = []
         self.canned = {}
@@ -93,6 +102,13 @@ class FakeSpark:
                      qs, re.I)
         if m:
             self.tables[m.group(1)] = self.tables[m.group(2)].copy()
+            return FakeResult(pd.DataFrame())
+        m = re.match(r"insert into table (\S+) select \* from (\S+)",
+                     qs, re.I)
+        if m:
+            self.tables[m.group(1)] = pd.concat(
+                [self.tables[m.group(1)], self.tables[m.group(2)]],
+                ignore_index=True)
             return FakeResult(pd.DataFrame())
         m = re.match(r"select \* from (\S+)$", qs, re.I)
         if m:
@@ -213,6 +229,9 @@ def test_sink_overwrite_uses_tmp_table_and_insert_overwrite(pyspark_stub):
     from multimodalsimilar_tpu.pipelines.spark import (SparkTableSink,
                                                        spark_session)
     spark = spark_session("write")
+    # the reference scenario: the warehouse target table pre-exists (DDL)
+    spark.tables["dm_recommend.goodssku_embedding_bert"] = pd.DataFrame(
+        columns=["goods_sku", "bert_emb", "modifydate"])
     sink = SparkTableSink(spark, "dm_recommend.goodssku_embedding_bert",
                           key_col="goods_sku")
     df = pd.DataFrame({"goods_sku": ["a", "b"],
@@ -241,18 +260,29 @@ def test_sink_existing_keys_and_incremental_append(pyspark_stub):
     spark = spark_session("inc")
     sink = SparkTableSink(spark, "dm_recommend.goodssku_embedding_bert",
                           key_col="goods_sku")
-    sink.overwrite(pd.DataFrame({"goods_sku": ["a", "b"],
-                                 "bert_emb": ["[1]", "[2]"]}))
+    # brand-new table: ParquetTableSink contract (empty, not a traceback)
+    assert sink.existing_keys("goods_sku") == set()
+    assert sink.read().empty
+    # first write creates the target
+    sink.append(pd.DataFrame({"goods_sku": ["a", "b"],
+                              "bert_emb": ["[1]", "[2]"]}))
     assert sink.existing_keys("goods_sku") == {"a", "b"}
-    # append = pull + union + overwrite, keep-last on the key (the
-    # reference's skip-existing incremental shape, :126-129)
-    sink.append(pd.DataFrame({"goods_sku": ["b", "c"],
-                              "bert_emb": ["[9]", "[3]"]}))
+    # subsequent appends (incremental_export flushes every flush_rows, so
+    # key-disjointness is the caller's contract via existing_keys): staged
+    # tmp table + INSERT INTO — the append must NOT re-read the target or
+    # INSERT OVERWRITE it (quadratic warehouse I/O on a backfill)
+    n_q = len(spark.queries)
+    sink.append(pd.DataFrame({"goods_sku": ["c"], "bert_emb": ["[3]"]}))
+    new_q = [" ".join(q.split()) for q in spark.queries[n_q:]]
+    assert any(q.startswith("insert into table "
+                            "dm_recommend.goodssku_embedding_bert")
+               for q in new_q)
+    assert not any("insert overwrite" in q for q in new_q)
+    assert not any(q.startswith("select * from dm_recommend") for q in new_q)
     out = (spark.tables["dm_recommend.goodssku_embedding_bert"]
            .sort_values("goods_sku"))
     assert list(out["goods_sku"]) == ["a", "b", "c"]
-    assert list(out["bert_emb"]) == ["[1]", "[9]", "[3]"]
-    assert sink.existing_keys("goods_sku") == {"a", "b", "c"}
+    assert list(out["bert_emb"]) == ["[1]", "[2]", "[3]"]
 
 
 def test_read_table_hive_and_hivesql_uris(pyspark_stub, capsys):
@@ -324,10 +354,10 @@ def test_cli_embed_incremental_hive_end_to_end(pyspark_stub, tmp_path):
     spark.tables["dim.dim_sku_sn"] = pd.DataFrame(
         {"goods_sku": ["a", "b", "c"],
          "spu_name": ["红豆薏米粥", "鲜奶面包", "冰糖雪梨"]})
-    # 'a' already embedded -> must be skipped
+    # 'a' already embedded -> must be skipped (same schema the export
+    # writes: INSERT INTO requires it on real Hive)
     spark.tables["dm_recommend.goodssku_embedding_fasttext"] = pd.DataFrame(
-        {"goods_sku": ["a"], "fasttext_emb": ["[0]"],
-         "modifydate": ["2026-08-17"]})
+        {"goods_sku": ["a"], "embedding": ["[0]"], "dt": ["2026-08-17"]})
     main(["embed", "incremental", "--kind", "fasttext",
           "--fasttext_model", str(mp),
           "--data", "hive://dim.dim_sku_sn",
@@ -336,7 +366,7 @@ def test_cli_embed_incremental_hive_end_to_end(pyspark_stub, tmp_path):
     out = spark.tables["dm_recommend.goodssku_embedding_fasttext"]
     assert sorted(out["goods_sku"]) == ["a", "b", "c"]
     # the pre-existing row kept its embedding (skip-existing semantics)
-    assert out[out.goods_sku == "a"]["fasttext_emb"].iloc[0] == "[0]"
-    assert any("insert overwrite table "
+    assert out[out.goods_sku == "a"]["embedding"].iloc[0] == "[0]"
+    assert any("insert into table "
                "dm_recommend.goodssku_embedding_fasttext" in " ".join(
                    q.split()) for q in spark.queries)
