@@ -53,14 +53,19 @@ def incremental_export(
     emb_col: str = "embedding",
     dt: Optional[str] = None,
     normalize: bool = True,
-    buffer_rows: int = 1000,
+    buffer_rows: int = 8192,
     flush_rows: int = 50_000,
 ) -> int:
     """Embed only keys missing from the sink; returns #rows written.
 
     ``embed_fn(sub_df) -> {key: vector}`` lets text/cv/fasttext jobs plug in
     their embedder. Embedding runs in ``buffer_rows`` chunks (bounded
-    memory, like the reference's chunks of 1000); the table is flushed to
+    memory; the reference buffers rows in chunks of 1000,
+    goodssku_emb_bert_di.py:88-91, but that figure is an internal string
+    buffer, not an embedding batch — the pipelined embedders drain their
+    dispatch queue at each embed_fn() return, so small chunks pay one
+    device round-trip per ~4 batches; 8192 amortizes the drain while
+    holding at most a chunk of decoded inputs); the table is flushed to
     the sink every ``flush_rows`` accumulated rows rather than once at the
     end — per-chunk appends would re-read and rewrite the whole parquet
     each time (quadratic I/O), while a single final write holds every
@@ -98,7 +103,7 @@ def rebuild_export(
     emb_col: str = "embedding",
     dt: Optional[str] = None,
     normalize: bool = True,
-    buffer_rows: int = 1000,
+    buffer_rows: int = 8192,
 ) -> int:
     """Embed EVERY key in today's catalog and overwrite the whole table
     (goodssku_emb_cv_di.py semantics): refreshed embeddings replace stale
