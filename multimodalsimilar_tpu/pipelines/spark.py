@@ -137,7 +137,10 @@ class SparkTableSink(TableSink):
 
     def _stage(self, df: pd.DataFrame, table: str) -> None:
         schema = _string_schema(df, self.key_col)
-        sdf = self.spark.createDataFrame(df.astype(str), schema)
+        # fillna BEFORE astype: bulk_export's outer merge leaves NaN for
+        # keys missing a tower, and astype(str) would write literal 'nan'
+        # strings — the reference writes '' (goodssku_emb.py:185 fillna(''))
+        sdf = self.spark.createDataFrame(df.fillna("").astype(str), schema)
         (sdf.repartition(self.repartition)
             .write.mode("overwrite").saveAsTable(table))
 

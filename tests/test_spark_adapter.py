@@ -370,3 +370,21 @@ def test_cli_embed_incremental_hive_end_to_end(pyspark_stub, tmp_path):
     assert any("insert into table "
                "dm_recommend.goodssku_embedding_fasttext" in " ".join(
                    q.split()) for q in spark.queries)
+
+
+def test_stage_fills_nan_with_empty_string(pyspark_stub):
+    """bulk_export's outer merge leaves NaN where a key misses a tower;
+    the sink must write '' (goodssku_emb.py:185 fillna('')), never the
+    literal 'nan' astype(str) would produce."""
+    import numpy as np
+
+    from multimodalsimilar_tpu.pipelines.spark import (SparkTableSink,
+                                                       spark_session)
+    spark = spark_session("w")
+    sink = SparkTableSink(spark, "dm.t", key_col="goods_sku")
+    sink.overwrite(pd.DataFrame({"goods_sku": ["a", "b"],
+                                 "bert_emb": ["[1]", np.nan],
+                                 "cv_emb": [np.nan, "[2]"]}))
+    out = spark.tables["dm.t"].sort_values("goods_sku")
+    assert list(out["bert_emb"]) == ["[1]", ""]
+    assert list(out["cv_emb"]) == ["", "[2]"]
