@@ -372,3 +372,54 @@ def test_sharded_search_program_is_cached():
     # true_n is traced; only k_out differs when min(k, true_n) changes —
     # here k=5 < both true_ns, so ONE program serves all three calls
     assert info.misses == 1 and info.hits == 2
+
+
+def test_knn_fuzz_exactness_with_heavy_ties():
+    """Seeded fuzz over random geometry (n, q, d, k, block) with small-
+    integer vectors so scores are exactly representable and heavily tied —
+    every config must reproduce FAISS ordering bit-exactly through whichever
+    scan body (winmax prefilter or plain top_k) the sizing picks."""
+    rng = np.random.default_rng(1234)
+    for trial in range(12):
+        n = int(rng.integers(1, 700))
+        q = int(rng.integers(1, 40))
+        d = int(rng.integers(2, 12))
+        k = int(rng.integers(1, 30))
+        metric = ["ip", "l2"][trial % 2]
+        block = int(2 ** rng.integers(3, 10))       # 8..512: both bodies
+        corpus = rng.integers(-2, 3, size=(n, d)).astype(np.float32)
+        queries = rng.integers(-2, 3, size=(q, d)).astype(np.float32)
+        msg = f"trial {trial}: n={n} q={q} d={d} k={k} {metric} block={block}"
+        want_s, want_i = _brute(corpus, queries, min(k, n), metric)
+        got_s, got_i = knn_search(jnp.asarray(corpus), jnp.asarray(queries),
+                                  k, metric=metric, block_rows=block)
+        np.testing.assert_array_equal(np.asarray(got_i), want_i,
+                                      err_msg=msg)
+        np.testing.assert_allclose(np.asarray(got_s), want_s,
+                                   rtol=1e-5, atol=1e-5, err_msg=msg)
+
+
+def test_sharded_knn_fuzz_exactness_with_heavy_ties():
+    """Same fuzz through the corpus-sharded path (pad_corpus + 8-device
+    mesh): shard-local winmax scans + the all-gather merge must also keep
+    FAISS tie-break under exact duplicate scores."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        n = int(rng.integers(9, 400))
+        q = int(rng.integers(1, 24))
+        d = int(rng.integers(2, 10))
+        k = int(rng.integers(1, 20))
+        metric = ["ip", "l2"][trial % 2]
+        corpus = rng.integers(-2, 3, size=(n, d)).astype(np.float32)
+        queries = rng.integers(-2, 3, size=(q, d)).astype(np.float32)
+        msg = f"trial {trial}: n={n} q={q} d={d} k={k} {metric}"
+        padded, true_n = pad_corpus(corpus, 8, metric)
+        want_s, want_i = _brute(corpus, queries, min(k, n), metric)
+        got_s, got_i = sharded_knn_search(
+            mesh, jnp.asarray(padded), jnp.asarray(queries), k,
+            metric=metric, true_n=true_n)
+        got_s, got_i = np.asarray(got_s), np.asarray(got_i)
+        np.testing.assert_array_equal(got_i, want_i, err_msg=msg)
+        np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-5,
+                                   err_msg=msg)
