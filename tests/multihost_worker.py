@@ -83,8 +83,39 @@ def main(pid: int, coordinator: str):
         assert vals[0] == vals[1], vals
         losses.append(float(vals[0]))
     step = int(np.asarray(state.step.addressable_data(0)))
+
+    # -- retrieval over the same 2-process mesh: the warehouse kNN's
+    # shard-local scan + candidate all-gather rides the SAME cross-process
+    # transport as the gradient collectives (SURVEY.md §2.6). Each process
+    # contributes its host-local corpus shard; the replicated result must
+    # agree across processes AND match numpy brute force exactly
+    # (FAISS tie-break included).
+    from multimodalsimilar_tpu.retrieval.knn import sharded_knn_search
+    n, d, k = 64, 8, 5
+    rng2 = np.random.default_rng(7)
+    corpus = rng2.integers(-2, 3, size=(n, d)).astype(np.float32)  # ties
+    queries = rng2.integers(-2, 3, size=(6, d)).astype(np.float32)
+    halfn = n // 2
+    corpus_g = shard_batch(mesh, corpus[pid * halfn:(pid + 1) * halfn])
+    queries_g = jax.make_array_from_callback(
+        queries.shape, jax.sharding.NamedSharding(mesh, P()),
+        lambda idx: queries[idx])
+    vals, idx = sharded_knn_search(mesh, corpus_g, queries_g, k,
+                                   metric="ip")
+    got_v = np.asarray(vals.addressable_data(0))
+    got_i = np.asarray(idx.addressable_data(0))
+    s = queries @ corpus.T
+    order = np.lexsort((np.broadcast_to(np.arange(n), s.shape), -s),
+                       axis=-1)[:, :k]
+    assert np.array_equal(got_i, order), (got_i, order)
+    assert np.allclose(got_v, np.take_along_axis(s, order, -1),
+                       rtol=1e-5, atol=1e-5)
+    knn_digest = int(np.asarray(multihost_utils.process_allgather(
+        np.float64(got_v.sum() + got_i.sum()))).sum())
+
     print(f"RESULT pid={pid} step={step} "
-          f"losses={losses[0]:.6f},{losses[1]:.6f}", flush=True)
+          f"losses={losses[0]:.6f},{losses[1]:.6f} knn={knn_digest}",
+          flush=True)
 
 
 if __name__ == "__main__":

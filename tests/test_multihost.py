@@ -1,11 +1,13 @@
-"""True multi-process (DCN-style) validation of the training path.
+"""True multi-process (DCN-style) validation of training AND retrieval.
 
 Spawns TWO OS processes (tests/multihost_worker.py), each with 4 virtual CPU
 devices, joined by jax.distributed over the gloo backend into one global
 8-device mesh — the closest this single-host sandbox gets to multi-host TPU
 (same partitioner, same collectives, real cross-process transport). The
-workers run the production Trainer train step on host-local batch shards and
-must report identical losses and step counts.
+workers run the production Trainer train step on host-local batch shards
+(identical losses required), then the corpus-sharded warehouse kNN with
+host-local corpus shards (replicated results must agree across processes
+and match numpy brute force exactly, FAISS tie-break included).
 """
 
 import os
