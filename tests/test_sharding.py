@@ -514,3 +514,17 @@ def test_sharded_knn_collective_structure():
     assert sum(c["bytes"] for c in colls) == 2 * cand_bytes, colls
     assert max(c["bytes"] for c in colls) <= 2 * cand_bytes
     assert all(c["group_size"] == n_dev for c in colls)
+
+
+def test_graft_entry_compiles_and_runs():
+    """The driver's other artifact: entry() must build, jit-compile, and
+    execute the flagship forward on whatever backend is attached (CPU
+    here) — a broken entry() would otherwise only surface in the driver's
+    own run."""
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    logits = np.asarray(out)
+    assert logits.shape == (4, 796)
+    assert np.isfinite(logits).all()
