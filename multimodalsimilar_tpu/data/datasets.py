@@ -73,6 +73,50 @@ def read_table(path: str, require: Sequence[str] = ()) -> pd.DataFrame:
     return df
 
 
+def _bounded_map(pool, fn, iterable, window: int):
+    """``pool.map`` with backpressure: at most ``window`` tasks in flight,
+    results in submission order.
+
+    ``Executor.map`` submits the WHOLE iterable up front — with a decode
+    producer faster than the consumer (warm cache feeding a transfer-bound
+    device), completed futures buffer decoded float32 images unboundedly
+    (an epoch-sized queue OOMs the host), and abandoning the generator
+    mid-epoch blocks in shutdown(wait=True) until every remaining decode
+    finishes. The bounded window caps buffered results at ``window``
+    items and cancels not-yet-started work on early exit."""
+    from collections import deque
+    pending = deque()
+    it = iter(iterable)
+    try:
+        for x in it:
+            pending.append(pool.submit(fn, x))
+            if len(pending) >= window:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+    finally:
+        for f in pending:
+            f.cancel()
+
+
+def _diagnose_skips(skipped: int, total: int, path_fn, df) -> None:
+    """Per-item decode failures are skipped (cv_dataset.py:33-41 returns
+    None and the collate drops it) — but 100% failure means a wrong
+    --img_root/--key_col, and silently completing every epoch with zero
+    batches made a broken multi-hour job look successful. Fail loud when
+    NOTHING decoded; warn with a count otherwise."""
+    if skipped and skipped == total:
+        hint = path_fn(df.iloc[0]) if len(df) else "?"
+        raise RuntimeError(
+            f"all {skipped} sampled images failed to decode (first "
+            f"expected path: {hint!r}) — check --img_root / --key_col")
+    if skipped:
+        import sys
+        print(f"warning: skipped {skipped}/{total} rows with "
+              f"missing/corrupt images this epoch", file=sys.stderr,
+              flush=True)
+
+
 def _epoch_order(n: int, shuffle: bool, seed: int, epoch: int,
                  sampler: Optional[WeightedSampler]) -> np.ndarray:
     if sampler is not None:
@@ -215,6 +259,7 @@ class ImageClassificationSource:
         labels_all = self.df[self.label_col].values
         imgs: List[np.ndarray] = []
         labels: List[int] = []
+        skipped = 0
 
         def load(args):
             pos, i = args
@@ -223,8 +268,10 @@ class ImageClassificationSource:
             return i, self._load(int(i), rng)
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for i, img in pool.map(load, enumerate(order), chunksize=4):
+            window = max(self.num_workers * 4, batch_size)
+            for i, img in _bounded_map(pool, load, enumerate(order), window):
                 if img is None:
+                    skipped += 1
                     continue
                 imgs.append(img)
                 labels.append(int(labels_all[int(i)]))
@@ -235,6 +282,7 @@ class ImageClassificationSource:
         if imgs and not drop_remainder:
             yield {"images": np.stack(imgs),
                    "labels": np.asarray(labels, np.int32)}
+        _diagnose_skips(skipped, len(order), self.path_fn, self.df)
 
 
 class MultimodalSource:
@@ -265,28 +313,41 @@ class MultimodalSource:
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
                 epoch: int = 0, sampler: Optional[WeightedSampler] = None,
                 drop_remainder: bool = True) -> Iterator[Batch]:
-        rng = np.random.default_rng(seed * 1000 + epoch)
+        # pooled decode with the same bounded window + per-item rng as
+        # ImageClassificationSource — the serial loop ran at single-core
+        # decode rate (~60-80 img/s at 512px) while the pooled path exists
+        # precisely because the host must outpace the accelerator
+        from concurrent.futures import ThreadPoolExecutor
         order = list(_epoch_order(len(self), shuffle, seed, epoch, sampler))
         keep: List[int] = []
         imgs: List[np.ndarray] = []
-        pos = 0
-        while pos < len(order):
-            i = int(order[pos])
-            pos += 1
-            img = self.image._load(i, rng)
-            if img is None:
-                continue
-            keep.append(i)
-            imgs.append(img)
-            if len(keep) == batch_size:
-                batch = self.text.materialize(np.asarray(keep))
-                batch["images"] = np.stack(imgs)
-                yield batch
-                keep, imgs = [], []
+        skipped = 0
+
+        def load(args):
+            pos, i = args
+            rng = np.random.default_rng((seed * 1000 + epoch) * 100003 + pos)
+            return i, self.image._load(int(i), rng)
+
+        with ThreadPoolExecutor(
+                max_workers=self.image.num_workers) as pool:
+            window = max(self.image.num_workers * 4, batch_size)
+            for i, img in _bounded_map(pool, load, enumerate(order), window):
+                if img is None:
+                    skipped += 1
+                    continue
+                keep.append(int(i))
+                imgs.append(img)
+                if len(keep) == batch_size:
+                    batch = self.text.materialize(np.asarray(keep))
+                    batch["images"] = np.stack(imgs)
+                    yield batch
+                    keep, imgs = [], []
         if keep and not drop_remainder:
             batch = self.text.materialize(np.asarray(keep))
             batch["images"] = np.stack(imgs)
             yield batch
+        _diagnose_skips(skipped, len(order), self.image.path_fn,
+                        self.image.df)
 
 
 class PairTextSource:
@@ -313,11 +374,19 @@ class PairTextSource:
                 epoch: int = 0, sampler: Optional[WeightedSampler] = None,
                 drop_remainder: bool = True) -> Iterator[Batch]:
         order = _epoch_order(len(self), shuffle, seed, epoch, sampler)
+        # per-(seed, epoch) pair stream: a periodic eval pass (shuffle=False,
+        # default seed/epoch) must draw the SAME pair set every time —
+        # advancing the sampler's persistent RNG across eval windows made
+        # eval metrics fluctuate from pair resampling, not model change.
+        # Train epochs pass distinct `epoch`, so pairs still resample per
+        # epoch like the reference's DataLoader draws.
+        rng = np.random.default_rng((seed * 1000 + epoch) * 100003 + 29)
         stop = (len(order) - batch_size + 1) if drop_remainder \
             else len(order)
         for s in range(0, max(stop, 0), batch_size):
             idx = order[s: s + batch_size]
-            pairs = [self.sampler.sample_pair(int(i)) for i in idx]
+            pairs = [self.sampler.sample_pair(int(i), rng=rng)
+                     for i in idx]
             q = self.tokenizer([p[0] for p in pairs], self.max_length)
             t = self.tokenizer([p[1] for p in pairs], self.max_length)
             if self.seq_buckets:

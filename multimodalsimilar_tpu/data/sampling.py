@@ -69,6 +69,9 @@ class PairSampler:
         self._by_lv2 = self._index(self.df, "lv2_category_id")
         self._by_lv1 = self._index(self.df, "lv1_category_id")
         self._titles = self.df["title"].astype(str).values
+        self._tag_vals = self.df["tag_id"].values
+        self._lv2_vals = self.df["lv2_category_id"].values
+        self._lv1_vals = self.df["lv1_category_id"].values
         # the reference excludes rows sharing the anchor's sku_sn_name from
         # every POSITIVE bucket (nlp_st_datasets.py:40,46,52); without the
         # column, excluding the anchor row itself is the closest reading
@@ -102,31 +105,42 @@ class PairSampler:
         out = cands[self._titles[cands] != str(query)]
         return out if len(out) else None
 
-    def _pick(self, cands: Optional[np.ndarray]) -> Optional[int]:
+    @staticmethod
+    def _pick(cands: Optional[np.ndarray], rng: np.random.Generator
+              ) -> Optional[int]:
         if cands is None or len(cands) == 0:
             return None
-        return int(self.rng.choice(cands))
+        return int(rng.choice(cands))
 
-    def sample_pair(self, idx: int) -> Tuple[str, str, int]:
-        """Return (query_title, pair_title, label) for anchor row idx."""
+    def sample_pair(self, idx: int,
+                    rng: Optional[np.random.Generator] = None
+                    ) -> Tuple[str, str, int]:
+        """Return (query_title, pair_title, label) for anchor row idx.
+
+        ``rng`` overrides the sampler's own stream — PairTextSource passes
+        a per-(seed, epoch) generator so a periodic eval pass draws the
+        SAME fixed pair set every time (otherwise eval metrics fluctuate
+        from pair resampling, not model change), while train epochs still
+        resample like the reference's per-epoch DataLoader draws."""
+        rng = rng if rng is not None else self.rng
         row = self.df.iloc[idx]
         query = row["title"]
         tag, lv2, lv1 = row["tag_id"], row["lv2_category_id"], \
             row["lv1_category_id"]
         title = None
-        if self.rng.uniform() > 0.5:           # positive
-            r = self.rng.uniform()
+        if rng.uniform() > 0.5:                # positive
+            r = rng.uniform()
             if r < self.lv1_th:
                 j = self._pick(self._not_anchor_sku(self._by_lv1.get(lv1),
-                                                    idx))
+                                                    idx), rng)
             elif r < self.lv2_th or tag == -1:
                 j = self._pick(self._not_anchor_sku(self._by_lv2.get(lv2),
-                                                    idx))
+                                                    idx), rng)
             elif r < self.tag_th:
                 # same-tag branch requires a bucket of >2 non-anchor rows
                 # (nlp_st_datasets.py:53)
                 cands = self._not_anchor_sku(self._by_tag.get(tag), idx)
-                j = self._pick(cands) if cands is not None \
+                j = self._pick(cands, rng) if cands is not None \
                     and len(cands) > 2 else None
             else:
                 j = None
@@ -134,23 +148,37 @@ class PairSampler:
             if j is not None:
                 title = self.df.iloc[j]["title"]
         else:                                   # negative
-            r = self.rng.uniform()
+            r = rng.uniform()
             j = None
             if r < self.lv1_th and tag != -1:
                 cands = self._by_lv2.get(lv2)
                 if cands is not None:
-                    cands = cands[self.df["tag_id"].values[cands] != tag]
-                    j = self._pick(self._not_query_title(cands, query))
+                    cands = cands[self._tag_vals[cands] != tag]
+                    j = self._pick(self._not_query_title(cands, query), rng)
             elif r < self.lv2_th:
                 cands = self._by_lv1.get(lv1)
                 if cands is not None:
-                    cands = cands[
-                        self.df["lv2_category_id"].values[cands] != lv2]
-                    j = self._pick(self._not_query_title(cands, query))
+                    cands = cands[self._lv2_vals[cands] != lv2]
+                    j = self._pick(self._not_query_title(cands, query), rng)
             elif r < self.tag_th:
-                all_idx = np.arange(len(self.df))
-                cands = all_idx[self.df["lv1_category_id"].values != lv1]
-                j = self._pick(self._not_query_title(cands, query))
+                # diff-lv1, uniform over the complement of one lv1 bucket.
+                # Rejection sampling: the complement is nearly the whole
+                # frame, so ~1 expected draw — the old arange+mask scan was
+                # O(N) per draw (days per epoch at 1M rows on this host).
+                # Same distribution: uniform over the valid set.
+                n = len(self.df)
+                qs = str(query)
+                for _ in range(32):
+                    cand = int(rng.integers(n))
+                    if (self._lv1_vals[cand] != lv1
+                            and self._titles[cand] != qs):
+                        j = cand
+                        break
+                else:
+                    # pathological (one lv1 bucket ~ the whole frame):
+                    # exact complement scan, correctness over speed
+                    cands = np.flatnonzero(self._lv1_vals != lv1)
+                    j = self._pick(self._not_query_title(cands, query), rng)
             label = 0
             if j is not None:
                 title = self.df.iloc[j]["title"]

@@ -281,8 +281,13 @@ class ImageEmbedder:
                 yield (jnp.asarray(
                     np.concatenate([np.stack(buf), pad])),), n
 
+        from multimodalsimilar_tpu.data.datasets import _bounded_map
         with ThreadPoolExecutor(max_workers=8) as pool:
-            embs = _stream(batches(pool.map(load_key, to_decode)),
+            # bounded window: Executor.map submits every key up front, so
+            # when decode outpaces the device the finished futures buffer
+            # up to 8 decoded images per key for the WHOLE catalog
+            embs = _stream(batches(_bounded_map(pool, load_key, to_decode,
+                                                window=32)),
                            self._run)
         if len(embs):
             sums: Dict[str, np.ndarray] = {}

@@ -194,6 +194,14 @@ def adamp(learning_rate, b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init, update)
 
 
+# THE set of head-module names — shared by dual_group's LR split and the
+# Trainer's model-parallel head sharding (Trainer._HEAD_NAMES aliases it).
+# Two hand-kept copies once risked a new head name getting the tower LR or
+# skipping its sharding silently.
+HEAD_NAMES = frozenset({"head", "lv1_head", "lv2_head", "tag_head",
+                        "classifier"})
+
+
 def dual_group(
     tower_tx: optax.GradientTransformation,
     head_tx: optax.GradientTransformation,
@@ -204,14 +212,13 @@ def dual_group(
     cv_classifier_train.py:68-72) as one transformation.
 
     ``is_head(path_tuple)`` decides group membership; the default matches
-    any path containing a module named 'head', 'lv1_head', 'lv2_head',
-    'tag_head' or 'classifier' — i.e. ArcFace / output heads.
+    any path containing a module named in ``HEAD_NAMES`` — i.e. ArcFace /
+    output heads.
     """
     if is_head is None:
         def is_head(path):
             names = {getattr(k, "key", str(k)) for k in path}
-            return bool(names & {"head", "lv1_head", "lv2_head", "tag_head",
-                                 "classifier"})
+            return bool(names & HEAD_NAMES)
 
     def label_fn(params):
         return jax.tree_util.tree_map_with_path(

@@ -31,6 +31,7 @@ from multimodalsimilar_tpu.parallel.mesh import (
     DATA_AXIS, MODEL_AXIS, MeshRules, replicated, shard_batch)
 from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
 from multimodalsimilar_tpu.train.metrics import MeanAccumulator, MetricLogger
+from multimodalsimilar_tpu.train.optim import HEAD_NAMES
 from multimodalsimilar_tpu.train.tasks import Task
 
 
@@ -111,20 +112,8 @@ class Trainer:
 
     def init_state(self, sample_batch: Dict[str, np.ndarray],
                    rng: Optional[jax.Array] = None) -> TrainState:
-        rng = rng if rng is not None else jax.random.key(self.config.seed)
-        # init under jit: eager flax init is one device roundtrip per op —
-        # catastrophic through a remote-TPU tunnel, slow everywhere.
-        variables = jax.jit(self.task.init)(
-            rng, shard_batch(self.mesh, sample_batch))
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
-            margin=jnp.asarray(self.config.margin_init, jnp.float32))
-        return self._place_state(state)
+        return self.init_state_from_device_batch(
+            shard_batch(self.mesh, sample_batch), rng)
 
     # -- steps ------------------------------------------------------------
 
@@ -226,10 +215,16 @@ class Trainer:
     # -- evaluation -------------------------------------------------------
 
     def evaluate(self, state: TrainState, batches: Iterator) -> Dict[str, float]:
-        accs: Dict[str, MeanAccumulator] = {}
+        # dispatch the whole split before any readback: float(v) per batch
+        # would serialize host and device (one round-trip per eval batch
+        # through the relay); the per-batch outputs are scalars, so holding
+        # their handles until the end costs nothing
+        results = []
         for batch in prefetch_to_device(batches, self.mesh):
-            metrics = self._eval_step(state, batch)
             n = int(jax.tree_util.tree_leaves(batch)[0].shape[0])
+            results.append((self._eval_step(state, batch), n))
+        accs: Dict[str, MeanAccumulator] = {}
+        for metrics, n in results:
             for k, v in metrics.items():
                 accs.setdefault(k, MeanAccumulator()).update(float(v), n)
         return {k: a.compute() for k, a in accs.items()}
@@ -284,6 +279,8 @@ class Trainer:
         accum = max(int(cfg.grad_accum or 1), 1)
         timer = StepTimer(skip_first=2)   # steady state: exclude compile
         profiling = False
+        step = 0
+        prev_loss = None                  # previous step's loss handle
         for epoch in range(num_epochs):
             sampler = sampler_fn(epoch) if sampler_fn else None
             it = train_source.batches(batch_size, shuffle=shuffle,
@@ -292,7 +289,13 @@ class Trainer:
             for batch in prefetch_to_device(it, self.mesh):
                 if state is None:
                     if initial_state is not None:
-                        state = self._place_state(initial_state)
+                        # copy first: _place_state's device_put aliases
+                        # already-placed buffers, and the donated train
+                        # step would delete the CALLER's arrays (a second
+                        # fit/evaluate from the same warm start would
+                        # raise 'Array has been deleted')
+                        state = self._place_state(jax.tree_util.tree_map(
+                            jnp.copy, initial_state))
                     else:
                         state = self.init_state_from_device_batch(batch)
                     if resume_requested:
@@ -301,9 +304,25 @@ class Trainer:
                             state = self._place_state(restored)
                             self.logger.log(int(state.step),
                                             {"resumed": 1.0})
+                    # the ONE step-counter readback; from here the host
+                    # mirrors it (+1 per micro-step)
+                    step = int(state.step)
                 state, metrics = self._train_step(state, batch, rng)
+                step += 1                     # micro-steps (ckpt key)
+                # depth-1 lagged sync: consume the PREVIOUS step's loss
+                # scalar. Reading the CURRENT step (the old
+                # int(state.step)) serialized host and device — every
+                # iteration paid device-step + readback round-trip, and
+                # through the relay a sync round-trip is ~50-60 ms
+                # (CLAUDE.md). The lagged read overlaps the round-trip
+                # with the current step's compute while still bounding
+                # each timer tick by real device progress (ticks stay
+                # honest step times, and dispatch can never run more
+                # than one step ahead).
+                if prev_loss is not None:
+                    float(prev_loss)
+                prev_loss = metrics["loss"]
                 timer.tick()
-                step = int(state.step)        # micro-steps (ckpt key)
                 # cadence fires on accumulation boundaries, counted in
                 # optimizer steps — identical to micro-steps at accum=1
                 opt_step = step // accum
@@ -345,11 +364,14 @@ class Trainer:
         if profiling:   # run shorter than the profile window
             jax.profiler.stop_trace()
         if self.ckpt and state is not None:
-            self.ckpt.save(int(state.step), state, force=True)
+            self.ckpt.save(step, state, force=True)
         return state
 
-    def init_state_from_device_batch(self, batch) -> TrainState:
-        rng = jax.random.key(self.config.seed)
+    def init_state_from_device_batch(
+            self, batch, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.key(self.config.seed)
+        # init under jit: eager flax init is one device roundtrip per op —
+        # catastrophic through a remote-TPU tunnel, slow everywhere.
         variables = jax.jit(self.task.init)(rng, batch)
         params = variables["params"]
         state = TrainState(
@@ -359,8 +381,9 @@ class Trainer:
             margin=jnp.asarray(self.config.margin_init, jnp.float32))
         return self._place_state(state)
 
-    _HEAD_NAMES = frozenset({"head", "lv1_head", "lv2_head", "tag_head",
-                             "classifier"})
+    # shared with dual_group's LR split (train/optim.py HEAD_NAMES) so a
+    # new head name can't get the tower LR or miss its sharding silently
+    _HEAD_NAMES = HEAD_NAMES
 
     def _head_shardable(self, path, x, model_n) -> Optional[bool]:
         """The ONE head-sharding predicate (state_shardings and

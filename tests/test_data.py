@@ -266,3 +266,65 @@ def test_bucket_warning_only_for_unreachable_buckets(recwarn):
         assert bucket_ladder("48,64,128", 128) == [48, 64, 128]
     with pytest.warns(UserWarning, match="unreachable"):
         assert bucket_ladder("480,64", 128) == [64, 128]
+
+
+def test_bounded_map_backpressure_and_early_exit():
+    """_bounded_map must cap in-flight work (Executor.map submits the whole
+    epoch up front — decoded images then buffer unboundedly ahead of a slow
+    consumer) and must not decode the rest of the epoch when the consumer
+    abandons the generator early."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from multimodalsimilar_tpu.data.datasets import _bounded_map
+
+    started = []
+
+    def fn(x):
+        started.append(x)
+        return x
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        gen = _bounded_map(pool, fn, range(1000), window=8)
+        got = [next(gen) for _ in range(10)]
+        gen.close()
+    assert got == list(range(10))             # submission order
+    assert len(started) < 50                  # not the whole epoch
+    # full consumption still yields everything, in order
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        assert list(_bounded_map(pool, fn, range(40), window=4)) \
+            == list(range(40))
+
+
+def test_image_source_all_decode_failures_fail_loud(tmp_path):
+    """100% decode failure (wrong --img_root) must raise, not complete the
+    epoch silently with zero batches; partial failure warns with a count."""
+    from multimodalsimilar_tpu.data.datasets import ImageClassificationSource
+
+    df = pd.DataFrame({"goods_sku": [f"k{i}" for i in range(8)],
+                       "tag_new_id": [i % 2 for i in range(8)]})
+    src = ImageClassificationSource(df, str(tmp_path / "nope"),
+                                    key_col="goods_sku",
+                                    label_col="tag_new_id", image_size=8)
+    with pytest.raises(RuntimeError, match="img_root"):
+        list(src.batches(4, shuffle=False))
+
+
+def test_pair_source_eval_pairs_fixed_across_calls():
+    """Same (seed, epoch) -> same pair set: a periodic eval pass must not
+    resample pairs between eval windows (metrics would fluctuate from
+    sampling, not the model). Different epochs still resample."""
+    df = _pair_df()
+    tok = TextTokenizer.from_corpus(df["title"])
+    from multimodalsimilar_tpu.data.datasets import PairTextSource
+    src = PairTextSource(df, tok, max_length=12)
+
+    def collect(epoch):
+        return [(tuple(b["labels"]),
+                 b["query_input_ids"].tobytes(),
+                 b["title_input_ids"].tobytes())
+                for b in src.batches(4, shuffle=False, epoch=epoch,
+                                     drop_remainder=False)]
+
+    a, b = collect(0), collect(0)
+    assert a == b                              # eval: fixed pairs
+    assert collect(1) != a                     # train: resamples per epoch

@@ -462,3 +462,30 @@ def test_grad_accum_cadence_in_optimizer_steps(tmp_path):
     opt_steps = [l["train/opt_step"] for l in lines
                  if "train/opt_step" in l]
     assert opt_steps == [1.0, 2.0]
+
+
+def test_fit_does_not_consume_callers_initial_state():
+    """fit(initial_state=...) must COPY: _place_state aliases already-
+    placed buffers and the donated train step then deletes the caller's
+    arrays — a second fit/evaluate from the same warm start used to raise
+    'Array has been deleted' (the convergence-parity harness pattern)."""
+    df = _toy_text_problem(32)
+    tok = TextTokenizer.from_corpus(df["spu_name"])
+    model = NlpTextClassifier(BertConfig.tiny(), num_labels=4,
+                              policy=DTypePolicy.full_precision())
+    src = TextClassificationSource(df, tok, max_length=12)
+    mesh = create_mesh()
+    tx = dual_group_adamw(lambda s: 1e-4, lambda s: 1e-2)
+    trainer = Trainer(text_arcface_task(model), tx, mesh,
+                      TrainerConfig(log_every=10**9))
+    sample = next(src.batches(16, shuffle=False))
+    state0 = trainer.init_state(sample)
+    trainer.fit(src, num_epochs=1, batch_size=16, initial_state=state0)
+    # the caller's state is still alive and usable — twice
+    for _ in range(2):
+        ev = trainer.evaluate(state0, src.batches(16, shuffle=False,
+                                                  drop_remainder=False))
+        assert np.isfinite(ev["acc"])
+    s2 = trainer.fit(src, num_epochs=1, batch_size=16,
+                     initial_state=state0)
+    assert int(s2.step) > 0
