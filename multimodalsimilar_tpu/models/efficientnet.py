@@ -86,7 +86,8 @@ class EfficientNetConfig:
     @classmethod
     def variant(cls, name: str, **kw) -> "EfficientNetConfig":
         if name == "tiny":  # 3-block test/smoke backbone, not a real B-variant
-            return cls.tiny()
+            # kw overrides still apply ('tiny' used to drop them silently)
+            return dataclasses.replace(cls.tiny(), **kw)
         w, d, res, drop = _VARIANTS[name]
         base = dict(width_mult=w, depth_mult=d, resolution=res,
                     dropout=drop)

@@ -56,13 +56,23 @@ def quantize_bert_params(params: Dict) -> Dict:
         if not name.startswith("layer_"):
             continue
         ql: Dict = {}
-        attn = layer["attention"]
+        attn = dict(layer["attention"])
+        if "qkv" in attn:
+            # unfuse a fused-qkv checkpoint: _QuantAttention only
+            # instantiates unfused query/key/value modules (a dead 'qkv'
+            # subtree raised ScopeParamNotFoundError at apply). Kernel is
+            # [H, 3, heads, head_dim], bias [3, heads, head_dim]
+            # (bert.py fused DenseGeneral) — slice per projection.
+            fused = attn.pop("qkv")
+            k3 = np.asarray(fused["kernel"], np.float32)
+            b3 = np.asarray(fused["bias"], np.float32)
+            for i, proj in enumerate(("query", "key", "value")):
+                attn[proj] = {"kernel": k3[:, i], "bias": b3[i]}
         qattn: Dict = {}
-        for proj in ("query", "key", "value", "qkv"):
-            if proj in attn:
-                kq, s = _quantize_weight(attn[proj]["kernel"])
-                qattn[proj] = {"kernel_q": kq, "scale": s,
-                               "bias": attn[proj]["bias"]}
+        for proj in ("query", "key", "value"):
+            kq, s = _quantize_weight(attn[proj]["kernel"])
+            qattn[proj] = {"kernel_q": kq, "scale": s,
+                           "bias": attn[proj]["bias"]}
         # attention out kernel is [heads, head_dim, H]; the quant module
         # consumes flattened [heads*head_dim, H]
         out_kernel = np.asarray(attn["out"]["kernel"], np.float32)
@@ -192,14 +202,9 @@ class QuantTextEmbModel(nn.Module):
         if self.pool != "mean":
             raise ValueError(f"unknown pool {self.pool!r}")
         # inference-only module: TextTower's dropout is a no-op here
-        h = out["last_hidden_state"].astype(self.policy.reduce_dtype)
-        if attention_mask is None:
-            attention_mask = jnp.ones(input_ids.shape, jnp.int32)
-        mask = attention_mask.astype(h.dtype)[:, :, None]
-        total = jnp.sum(h * mask, axis=1)
-        denom = jnp.sum(attention_mask.astype(h.dtype), axis=1,
-                        keepdims=True)
-        return total / denom
+        from multimodalsimilar_tpu.models.towers import masked_mean_pool
+        return masked_mean_pool(out["last_hidden_state"], input_ids,
+                                attention_mask, self.policy.reduce_dtype)
 
     def __call__(self, *args, **kwargs):
         return self.predict_emb(*args, **kwargs)

@@ -240,10 +240,31 @@ def multimodal_to_reference(params: Mapping, stats: Mapping,
     classifier.weight = fused ArcFace — multimodal_classifier.py:16-22
     loads whole pickled sub-models, so both sub-heads are present)."""
     out: Dict[str, np.ndarray] = {}
-    cv = cv_classifier_to_reference(params["cv"], stats["cv"], image_config)
+
+    def with_default_head(sub: Mapping, dim: int) -> Mapping:
+        # Sub-model ArcFace heads are dead weights in the fused model —
+        # only predict_emb runs (multimodal_classifier.py:50-53) — so a
+        # checkpoint trained BY THIS framework never materializes them
+        # (flax init only creates called modules). Export defaults (zeros,
+        # like the dead TransformerEmb weights) sized to the model's
+        # default sub-head class count so strict loading and re-import
+        # both shape-check.
+        if "head" in sub:
+            return sub
+        sub = dict(sub)
+        sub["head"] = {"weight": np.zeros((2, dim), np.float32)}
+        return sub
+
+    cv_p = params["cv"]
+    cv_dim = (np.asarray(cv_p["fc"]["kernel"]).shape[1] if "fc" in cv_p
+              else image_config.num_features)
+    cv = cv_classifier_to_reference(with_default_head(cv_p, cv_dim),
+                                    stats["cv"], image_config)
     for k, v in cv.items():
         out[f"cv.{k}"] = v
-    nlp = nlp_classifier_to_reference(params["nlp"], text_config)
+    nlp = nlp_classifier_to_reference(
+        with_default_head(params["nlp"], text_config.hidden_size),
+        text_config)
     for k, v in nlp.items():
         out[f"nlp.{k}"] = v
     out["classifier.weight"] = _np32(params["head"]["weight"])

@@ -17,6 +17,22 @@ from multimodalsimilar_tpu.models.bert import BertConfig, BertEncoderModel
 from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
 
 
+def masked_mean_pool(last_hidden_state, input_ids, attention_mask,
+                     reduce_dtype):
+    """Masked mean over the sequence axis — the reference's
+    TransformerSeqEmb pooling with the broadcast bug fixed
+    (transformer_seq_emb.py:24-32; SURVEY.md §7). ONE copy shared by
+    TextTower (mean path) and the int8 QuantTextEmbModel so the serving
+    paths can't drift."""
+    h = last_hidden_state.astype(reduce_dtype)
+    if attention_mask is None:
+        attention_mask = jnp.ones(input_ids.shape, jnp.int32)
+    mask = attention_mask.astype(h.dtype)[:, :, None]
+    total = jnp.sum(h * mask, axis=1)
+    denom = jnp.sum(attention_mask.astype(h.dtype), axis=1, keepdims=True)
+    return total / denom
+
+
 class TextTower(nn.Module):
     config: BertConfig
     pool: str = "cls"           # 'cls' | 'mean'
@@ -35,10 +51,5 @@ class TextTower(nn.Module):
             raise ValueError(f"unknown pool {self.pool!r}")
         h = out["last_hidden_state"].astype(self.policy.reduce_dtype)
         h = nn.Dropout(self.dropout)(h, deterministic)
-        if attention_mask is None:
-            attention_mask = jnp.ones(input_ids.shape, jnp.int32)
-        mask = attention_mask.astype(h.dtype)[:, :, None]
-        total = jnp.sum(h * mask, axis=1)
-        denom = jnp.sum(attention_mask.astype(h.dtype), axis=1,
-                        keepdims=True)
-        return total / denom
+        return masked_mean_pool(h, input_ids, attention_mask,
+                                self.policy.reduce_dtype)

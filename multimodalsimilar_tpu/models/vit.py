@@ -86,13 +86,23 @@ class ViTBlock(nn.Module):
         out = nn.DenseGeneral(cfg.hidden_size, axis=(-2, -1),
                               dtype=pol.compute_dtype,
                               param_dtype=pol.param_dtype, name="proj")(out)
+        if cfg.dropout:
+            # timm drop_rate semantics: dropout after the attention proj
+            # and after each MLP dense (VisionTransformer proj_drop /
+            # mlp.drop) — cfg.dropout used to gate only the post-embedding
+            # dropout, leaving `deterministic` dead here
+            out = nn.Dropout(cfg.dropout)(out, deterministic)
         x = x + out.astype(x.dtype)
         h = ln("norm2")(x)
         h = nn.Dense(cfg.mlp_dim, dtype=pol.compute_dtype,
                      param_dtype=pol.param_dtype, name="fc1")(h)
         h = nn.gelu(h, approximate=False)
+        if cfg.dropout:
+            h = nn.Dropout(cfg.dropout)(h, deterministic)
         h = nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype,
                      param_dtype=pol.param_dtype, name="fc2")(h)
+        if cfg.dropout:
+            h = nn.Dropout(cfg.dropout)(h, deterministic)
         return x + h.astype(x.dtype)
 
 

@@ -179,3 +179,10 @@ def test_train_mode_batchnorm_and_droppath():
     # batch stats moved away from init
     leaf = jax.tree_util.tree_leaves(mutated["batch_stats"])[0]
     assert np.asarray(leaf).any()
+
+
+def test_variant_tiny_honors_kw_overrides():
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    c = EfficientNetConfig.variant("tiny", resolution=64, drop_path_rate=0.0)
+    assert c.resolution == 64 and c.drop_path_rate == 0.0
+    assert c.stem_channels == 8            # the tiny preset still applies

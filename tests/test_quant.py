@@ -55,3 +55,31 @@ def test_quantized_encoder_jits():
     f = jax.jit(lambda p, i: qmodel.apply({"params": p}, i))
     out = f(qparams, ids)
     assert out["pooler_output"].shape == (4, cfg.hidden_size)
+
+
+def test_quantize_unfuses_fused_qkv_checkpoints():
+    """A fused-qkv float checkpoint must quantize into the unfused
+    query/key/value modules _QuantAttention instantiates (the dead 'qkv'
+    subtree raised ScopeParamNotFoundError at apply) — and match the
+    unfused quantization of the same weights numerically."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsimilar_tpu.models.bert import (BertConfig,
+                                                   BertEncoderModel)
+    from multimodalsimilar_tpu.models.quant import (QuantBertEncoderModel,
+                                                    quantize_bert_params)
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    pol = DTypePolicy.full_precision()
+    cfg_f = BertConfig.tiny(fused_qkv=True)
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        1, 64, size=(2, 8)), jnp.int32)
+    pf = jax.jit(lambda i: BertEncoderModel(cfg_f, pol).init(
+        {"params": jax.random.key(0)}, i))(ids)["params"]
+    qp = quantize_bert_params(pf)
+    assert "qkv" not in qp["layer_0"]["attention"]
+    cfg_u = BertConfig.tiny()
+    out = QuantBertEncoderModel(cfg_u, pol).apply(
+        {"params": qp}, ids)
+    assert np.isfinite(np.asarray(out["pooler_output"])).all()

@@ -318,3 +318,35 @@ def test_bert_export_fused_qkv_layout(cfgs):
             continue
         np.testing.assert_allclose(back[k], v.numpy(), rtol=0, atol=0,
                                    err_msg=k)
+
+
+def test_multimodal_export_from_framework_trained_checkpoint():
+    """A multimodal checkpoint trained BY THIS framework has no cv/nlp
+    sub-heads (the fused forward never calls them, so flax init never
+    materializes them) — export must synthesize defaults, not KeyError."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsimilar_tpu.models.multimodal import MultimodalClassifier
+    from multimodalsimilar_tpu.models.reference_export import (
+        multimodal_to_reference)
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    cfg = BertConfig.tiny()
+    ecfg = EfficientNetConfig(
+        stages=((1, 8, 1, 1, 3), (6, 16, 2, 2, 3)),
+        stem_channels=8, head_channels=32, drop_path_rate=0.0)
+    model = MultimodalClassifier(cfg, ecfg, num_labels=6, fc_dim=12,
+                                 policy=DTypePolicy.full_precision())
+    B, S, I = 2, 6, 16
+    variables = jax.jit(lambda im, ii: model.init(
+        {"params": jax.random.key(0)}, im, ii,
+        label=jnp.zeros(im.shape[0], jnp.int32)))(
+            jnp.zeros((B, I, I, 3)), jnp.ones((B, S), jnp.int32))
+    params = variables["params"]
+    assert "head" not in params["cv"]          # the precondition
+    sd = multimodal_to_reference(params, variables["batch_stats"], cfg,
+                                 ecfg)
+    assert sd["cv.classifier.weight"].shape == (2, 12)
+    assert sd["nlp.classifier.weight"].shape == (2, cfg.hidden_size)
+    assert sd["classifier.weight"].shape == (6, 12 + cfg.hidden_size)

@@ -182,3 +182,31 @@ def test_vit_import_interpolates_pos_embed_to_new_resolution():
     out = model.apply({"params": p_new}, x, method=model.features)
     assert out.shape == (2, cfg32.hidden_size)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vit_block_dropout_active_in_train_mode():
+    """cfg.dropout must regularize the blocks (timm drop_rate semantics:
+    proj + mlp dropout), not just the post-embedding sum — `deterministic`
+    was dead in ViTBlock."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsimilar_tpu.models.vit import ViT, ViTConfig
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    cfg = ViTConfig.variant("vit_test", dropout=0.4)
+    model = ViT(cfg, DTypePolicy.full_precision())
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 32, 32, 3)), jnp.float32)
+    v = jax.jit(lambda im: model.init(
+        {"params": jax.random.key(0)}, im))(x)
+    # eval: deterministic regardless of rng
+    e1 = model.apply(v, x, train=False)
+    e2 = model.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    # train: different dropout rngs -> different block outputs
+    t1 = model.apply(v, x, train=True,
+                     rngs={"dropout": jax.random.key(1)})
+    t2 = model.apply(v, x, train=True,
+                     rngs={"dropout": jax.random.key(2)})
+    assert np.abs(np.asarray(t1) - np.asarray(t2)).max() > 1e-4
