@@ -41,8 +41,44 @@ def _apply_yaml_config(args, argv):
         for k, v in cfg.items():
             explicit = any(t == f"--{k}" or t.startswith(f"--{k}=")
                            for t in argv)
-            if not explicit:
+            # None never applies: _inject_yaml_argv already put every
+            # non-None value into argv (so this pass sees them as
+            # 'explicit' and is a no-op for them); applying a raw YAML
+            # `key: null` here would bypass argparse's type conversion and
+            # clobber the parser default with None (TypeError later in
+            # range()/max()). The residual live case is `key: false` for
+            # store_true flags, which the injector can't express.
+            if not explicit and v is not None:
                 setattr(args, k, v)
+
+
+def _require_tokenizer_with_checkpoint(args):
+    """--checkpoint without --tokenizer would derive a FRESH char vocab
+    from the serving data: token ids shuffle relative to training and the
+    restored tower silently embeds garbage (the job 'succeeds', writing
+    meaningless neighbors). train saves {output}/vocab.txt exactly so
+    serving jobs can reuse the training ids — require it."""
+    if getattr(args, "checkpoint", None) \
+            and not getattr(args, "tokenizer", None):
+        raise SystemExit(
+            "--checkpoint given without --tokenizer: a vocab derived from "
+            "the serving data would not match the training vocab and the "
+            "restored tower would embed garbage. Pass --tokenizer "
+            "{train_output}/vocab.txt (saved by train) or the HF "
+            "tokenizer name used at training.")
+
+
+def _load_fasttext(args):
+    """Pickled FastTextClassifier for --kind/--kinds fasttext — fail with
+    one line when --fasttext_model is missing instead of open(None)."""
+    import pickle
+    if not getattr(args, "fasttext_model", None):
+        raise SystemExit(
+            "--fasttext_model is required for the fasttext embedder "
+            "(train one with: cli train fasttext ... — it pickles "
+            "{output}/fasttext.pkl)")
+    with open(args.fasttext_model, "rb") as f:
+        return pickle.load(f)
 
 
 def _mesh(args=None):
@@ -555,58 +591,65 @@ def cmd_embed_incremental(args):
                           "mode": "rebuild"}))
         return
     elif kind == "fasttext":
-        import pickle
-        with open(args.fasttext_model, "rb") as f:
-            ft = pickle.load(f)
+        ft = _load_fasttext(args)
 
         def embed_fn(sub):
             em = ft.get_sentence_vector(
                 sub[args.text_col].astype(str).tolist())
             return dict(zip(sub[args.key_col].astype(str), em))
     else:
-        embed_fn = _build_embed_fn(args)
+        embed_fn = _build_embed_fn(args, df=df)
     n = incremental_export(df, embed_fn, sink, key_col=args.key_col,
                            dt=args.dt)
     print(json.dumps({"written": n, "table": args.table}))
 
 
-def _build_cv_embed_fn(args):
+def _load_cv_tower(args, checkpoint, num_labels):
+    """(model, variables) in the measured serving config —
+    DTypePolicy.inference() (+43% on EffNet-B4) with BN folded into convs
+    (+12%, exact math). ONE construction site: `similar daodian` used to
+    hand-roll the tower on the training dtype path with unfolded BN."""
     import jax
     import jax.numpy as jnp
     from multimodalsimilar_tpu.models.vision import (
         CvImageClassifier, backbone_config)
-    from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
     from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
 
     cfg = backbone_config(args.backbone)
-    model = CvImageClassifier(cfg, num_labels=args.num_labels,
+    model = CvImageClassifier(cfg, num_labels=num_labels,
                               fc_dim=args.fc_dim,
                               policy=DTypePolicy.inference())
     x = jnp.zeros((1, args.image_size, args.image_size, 3))
     variables = jax.jit(lambda x: model.init(
         {"params": jax.random.key(0)}, x,
         label=jnp.zeros(1, jnp.int32)))(x)
-    if args.checkpoint:
-        state = _restore_required(args.checkpoint)
+    if checkpoint:
+        state = _restore_required(checkpoint)
         variables = {"params": state["params"],
                      "batch_stats": state.get("batch_stats", {})}
     from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
     if isinstance(cfg, EfficientNetConfig):
-        # fold BN into convs for serving (+12% on v5e, exact math);
-        # ViT backbones have no BN to fold
+        # fold BN into convs for serving; ViT backbones have no BN to fold
         from multimodalsimilar_tpu.models.fold_bn import fold_cv_classifier
-        import jax as _jax
         folded_cfg, variables = fold_cv_classifier(
-            _jax.device_get(variables), cfg)
-        model = CvImageClassifier(folded_cfg, num_labels=args.num_labels,
+            jax.device_get(variables), cfg)
+        model = CvImageClassifier(folded_cfg, num_labels=num_labels,
                                   fc_dim=args.fc_dim,
                                   policy=DTypePolicy.inference())
+    return model, variables
+
+
+def _build_cv_embed_fn(args):
+    from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
+
+    model, variables = _load_cv_tower(args, args.checkpoint,
+                                      args.num_labels)
     embedder = ImageEmbedder(
         model, variables, image_size=args.image_size,
         batch_size=args.batch_size,
         cache_path_for_key=lambda k: os.path.join(args.img_root, str(k),
                                                   "emb.txt"),
-        cache=_emb_cache(args))
+        cache=_emb_cache(args), emb_dim=args.fc_dim)
 
     def embed_fn(sub):
         keys = sub[args.key_col].astype(str).tolist()
@@ -628,22 +671,18 @@ def _emb_cache(args):
     from multimodalsimilar_tpu.pipelines.embcache import EmbeddingCache
     return EmbeddingCache.open(d, args.fc_dim)
 
-def _build_embed_fn(args):
+def _build_embed_fn(args, df=None):
     """Text embedder from a checkpoint (or random init for smoke runs)."""
     import jax
     import jax.numpy as jnp
-    from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
     from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
     from multimodalsimilar_tpu.pipelines.embedders import TextEmbedder
-    from multimodalsimilar_tpu.data.datasets import read_table
 
-    df = read_table(args.data)
-    if args.tokenizer and args.tokenizer.endswith("vocab.txt"):
-        tok = TextTokenizer.from_vocab_file(args.tokenizer)
-    elif args.tokenizer:
-        tok = TextTokenizer.from_hf(args.tokenizer)
-    else:
-        tok = TextTokenizer.from_corpus(df[args.text_col].astype(str))
+    _require_tokenizer_with_checkpoint(args)
+    # _tokenizer reads --data itself only in the vocab-from-corpus case;
+    # callers pass their already-loaded df so a multi-GB table isn't read
+    # twice (and the --tokenizer branch never needs it at all)
+    tok = _tokenizer(args, df=df)
     from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
     model = NlpTextClassifier(_bert_config(args.bert_preset), args.num_labels,
                               pool=getattr(args, "pool", "cls"),
@@ -709,7 +748,7 @@ def cmd_similar_nlp(args):
             raise SystemExit(f"--dt {args.dt}: no rows match in the input "
                              f"table")
     sink = _kv_sink(args)
-    embed_fn = _build_embed_fn_texts(args)
+    embed_fn = _build_embed_fn_texts(args, df=df)
     backend, mesh = _knn_backend_mesh(args)
     n = nlp_similar_job(df, embed_fn, sink, text_col=args.text_col,
                         key_col=args.key_col, k=args.k,
@@ -719,8 +758,8 @@ def cmd_similar_nlp(args):
     print(json.dumps({"written": n}))
 
 
-def _build_embed_fn_texts(args):
-    fn = _build_embed_fn(args)
+def _build_embed_fn_texts(args, df=None):
+    fn = _build_embed_fn(args, df=df)
 
     def embed_texts(texts):
         import pandas as pd
@@ -826,6 +865,19 @@ def cmd_similar_multimodal(args):
         emb, keep = _fused_embeddings(args, df)
         df = df.iloc[keep].reset_index(drop=True)
     elif args.embedding_col in df.columns:
+        # bulk_export's outer merge leaves NaN (parquet) or '' (Hive,
+        # spark.py fillna) where a key misses the fused tower — skip those
+        # rows with a count instead of crashing the whole job on
+        # parse_embedding
+        col = df[args.embedding_col]
+        ok = col.notna() & (col.astype(str).str.strip("[] ").str.len() > 0)
+        if (~ok).any():
+            print(f"similar multimodal: skipping {int((~ok).sum())} rows "
+                  f"with empty {args.embedding_col!r}", file=sys.stderr)
+            df = df[ok].reset_index(drop=True)
+            if not len(df):
+                raise SystemExit(
+                    f"no rows with a non-empty {args.embedding_col!r}")
         emb = np.stack([parse_embedding(s) for s in df[args.embedding_col]])
     else:
         raise SystemExit(
@@ -852,28 +904,21 @@ def cmd_similar_daodian(args):
     df = read_table(args.data)
     if "title" not in df.columns:
         df["title"] = df.apply(gen_title, axis=1)
-    with open(args.fasttext_model, "rb") as f:
-        ft = pickle.load(f)
+    ft = _load_fasttext(args)
 
     def embed_titles(titles):
         return ft.get_sentence_vector(list(titles))
 
     if args.cv_checkpoint:
-        import jax
-        from multimodalsimilar_tpu.models.vision import (
-            CvImageClassifier, backbone_config)
         from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
-        state = _restore_required(args.cv_checkpoint)
-        model = CvImageClassifier(
-            backbone_config(args.backbone),
-            num_labels=args.cv_num_labels, fc_dim=args.fc_dim)
+        model, variables = _load_cv_tower(args, args.cv_checkpoint,
+                                          args.cv_num_labels)
         emb = ImageEmbedder(
-            model, {"params": state["params"],
-                    "batch_stats": state["batch_stats"]},
+            model, variables,
             image_size=args.image_size,
             cache_path_for_key=lambda k: os.path.join(
                 args.img_root, str(k), "emb.txt"),
-            cache=_emb_cache(args))
+            cache=_emb_cache(args), emb_dim=args.fc_dim)
 
         def embed_skus(area_df):
             return _sku_to_spusn(area_df, emb, args)
@@ -931,11 +976,9 @@ def cmd_embed_bulk(args):
     embedders = {}
     kinds = [k.strip() for k in args.kinds.split(",")]
     if "bert" in kinds:
-        embedders["bert"] = _build_embed_fn(args)
+        embedders["bert"] = _build_embed_fn(args, df=df)
     if "fasttext" in kinds:
-        import pickle
-        with open(args.fasttext_model, "rb") as f:
-            ft = pickle.load(f)
+        ft = _load_fasttext(args)
 
         def ft_fn(sub):
             em = ft.get_sentence_vector(sub[args.text_col].astype(str)
@@ -976,6 +1019,7 @@ def cmd_eval(args):
     from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig
 
     df = read_table(args.data)
+    _require_tokenizer_with_checkpoint(args)
     tok = _tokenizer(args, df=df)
     src = TextClassificationSource(df, tok, args.text_col, args.label_col,
                                    args.max_length,

@@ -92,6 +92,11 @@ def incremental_export(
     if rows:
         sink.append(pd.DataFrame(rows))
         written += len(rows)
+    # merge any append parts into the single table file on success (sinks
+    # that append in place, e.g. Spark INSERT INTO, have no compact)
+    compact = getattr(sink, "compact", None)
+    if compact is not None:
+        compact()
     return written
 
 

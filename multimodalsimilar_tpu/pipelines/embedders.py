@@ -158,7 +158,11 @@ class ImageEmbedder:
     def __init__(self, model, variables, image_size: int = 512,
                  batch_size: int = 64,
                  cache_path_for_key: Optional[Callable[[str], str]] = None,
-                 cache=None):
+                 cache=None, emb_dim: Optional[int] = None):
+        # expected embedding dim for validating legacy emb.txt reads; when
+        # absent it is taken from the packed cache (if any) or learned
+        # from the first computed embedding
+        self.emb_dim = emb_dim or (cache.dim if cache is not None else None)
         self.image_size = image_size
         self.batch_size = batch_size
         self.cache_path_for_key = cache_path_for_key
@@ -226,8 +230,8 @@ class ImageEmbedder:
                     emb = np.loadtxt(txt).astype(np.float32).reshape(-1)
                 except (ValueError, OSError):
                     pass
-                if emb is not None and (self.cache is None
-                                        or emb.shape == (self.cache.dim,)):
+                if emb is not None and (self.emb_dim is None
+                                        or emb.shape == (self.emb_dim,)):
                     result[key] = emb
                     if self.cache is not None:   # migrate legacy emb.txt
                         migrate[key] = emb
@@ -298,6 +302,8 @@ class ImageEmbedder:
             fresh: Dict[str, np.ndarray] = {}
             for key in pending:
                 emb = (sums[key] / counts[key]).astype(np.float32)
+                if self.emb_dim is None:
+                    self.emb_dim = int(emb.shape[-1])
                 result[key] = emb
                 if self.cache is not None:
                     fresh[key] = emb.reshape(-1)

@@ -122,27 +122,72 @@ class InMemoryTableSink(TableSink):
 class ParquetTableSink(TableSink):
     """Hive-table stand-in: a parquet file per table. ``overwrite`` mimics
     the reference's tmp-table + INSERT OVERWRITE (atomic replace via
-    rename)."""
+    rename).
+
+    ``append`` writes a sidecar part file ({path}.parts/part-*.parquet)
+    instead of read-whole + rewrite — a warehouse backfill flushing every
+    50k rows paid quadratic parquet I/O otherwise, the exact cost
+    embed.py's flush design exists to avoid (the Spark sink appends via
+    INSERT INTO for the same reason). read()/existing_keys() see main +
+    parts; ``compact()`` (called by incremental_export on success) merges
+    parts back into the single file external consumers read."""
 
     def __init__(self, path: str):
         self.path = path
+        self.parts_dir = path + ".parts"
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
 
+    def _part_files(self):
+        if not os.path.isdir(self.parts_dir):
+            return []
+        return sorted(os.path.join(self.parts_dir, f)
+                      for f in os.listdir(self.parts_dir)
+                      if f.endswith(".parquet"))
+
     def existing_keys(self, key_col):
-        if not os.path.exists(self.path):
-            return set()
-        return set(pd.read_parquet(self.path, columns=[key_col])[key_col])
+        keys = set()
+        if os.path.exists(self.path):
+            keys.update(pd.read_parquet(self.path,
+                                        columns=[key_col])[key_col])
+        for p in self._part_files():
+            keys.update(pd.read_parquet(p, columns=[key_col])[key_col])
+        return keys
 
     def read(self):
-        if not os.path.exists(self.path):
+        frames = ([pd.read_parquet(self.path)]
+                  if os.path.exists(self.path) else [])
+        frames += [pd.read_parquet(p) for p in self._part_files()]
+        if not frames:
             return pd.DataFrame()
-        return pd.read_parquet(self.path)
+        return pd.concat(frames, ignore_index=True)
+
+    def _write(self, df, dest):
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        df.reset_index(drop=True).to_parquet(tmp)
+        os.replace(tmp, dest)
 
     def append(self, df):
-        combined = pd.concat([self.read(), df], ignore_index=True)
-        self.overwrite(combined)
+        if not os.path.exists(self.path) and not self._part_files():
+            self._write(df, self.path)        # first write creates the table
+            return
+        os.makedirs(self.parts_dir, exist_ok=True)
+        n = len(self._part_files())
+        self._write(df, os.path.join(self.parts_dir,
+                                     f"part-{os.getpid()}-{n:06d}.parquet"))
 
     def overwrite(self, df):
-        tmp = self.path + ".tmp"
-        df.reset_index(drop=True).to_parquet(tmp)
-        os.replace(tmp, self.path)
+        self._write(df, self.path)
+        for p in self._part_files():
+            os.remove(p)
+        if os.path.isdir(self.parts_dir):
+            try:
+                os.rmdir(self.parts_dir)
+            except OSError:
+                pass
+
+    def compact(self):
+        """Merge append parts into the single file (one O(N) rewrite at
+        job end; a crash before compact leaves parts that read()/
+        existing_keys() still see, so a retry resumes correctly)."""
+        if self._part_files():
+            self.overwrite(self.read())

@@ -127,12 +127,20 @@ class SimilarityEngine:
                 corpus, true_n = pad_corpus(self._emb, block, self.metric)
                 self._corpus_dev = (jax.numpy.asarray(corpus), true_n, block)
         corpus_dev, true_n, block = self._corpus_dev
+        # per-call chunk: the fixed QUERY_CHUNK is the k<=100 warehouse
+        # operating point, but the running top-k carry is O(q*k) — the
+        # daodian v1 text side searches with k = len(area), where a 32768
+        # chunk's carry alone busts the HBM budget (knn.plan_query_chunk)
+        from multimodalsimilar_tpu.retrieval.knn import plan_query_chunk
+        chunk_rows = min(self.QUERY_CHUNK,
+                         plan_query_chunk(self.n, self._emb.shape[1],
+                                          k_eff))
         # results land in preallocated host arrays: accumulating per-chunk
         # parts + one np.concatenate doubled peak host memory of the
         # [Q, k] results (1.6 GB transient at 1M x k=100)
         out_v = out_i = None
-        for s in range(0, len(q), self.QUERY_CHUNK):
-            chunk = jax.numpy.asarray(q[s: s + self.QUERY_CHUNK])
+        for s in range(0, len(q), chunk_rows):
+            chunk = jax.numpy.asarray(q[s: s + chunk_rows])
             if sharded:
                 v, i = sharded_knn_search(self.mesh, corpus_dev, chunk, k,
                                           self.metric, true_n=true_n)

@@ -149,6 +149,35 @@ def plan_search(n: int, d: int, q: int) -> Tuple[int, int]:
     return block, n + ((-n) % block)
 
 
+def plan_query_chunk(n: int, d: int, k: int, q_cap: int = 32768,
+                     budget_bytes: float = 8.0e9) -> int:
+    """Largest query-chunk whose whole-program footprint fits the HBM
+    budget INCLUDING the O(q*k) running top-k carry and the merge temps —
+    ``plan_search``'s block model alone misses them, which only matters at
+    large k: the daodian v1 text side searches with k = len(area), where
+    at q=32768, k_run=32768 the carry alone is 8.6 GB (above the level
+    that crashed the shared-pool worker). The SimilarityEngine derives its
+    per-call chunk from this; at the k<=100 warehouse operating point it
+    returns q_cap, leaving the measured 1M x 1M numbers unchanged."""
+    k_run = _next_pow2(min(k, n), lo=16)
+    resident = 4.0 * n * d + 5e8
+    q = q_cap
+    while q > 256:
+        block, _ = plan_search(n, d, q)
+        bk = min(k_run, block)
+        gw = block // _WINMAX_W
+        use_winmax = (block % _WINMAX_W == 0 and bk <= gw
+                      and bk * _WINMAX_W + k_run < block)
+        cand = bk * _WINMAX_W if use_winmax else bk
+        tile = 2.3 * q * block * 4.0
+        carry = 8.0 * q * k_run                       # f32 vals + i32 idx
+        merge = 8.0 * q * (k_run + cand) * 2.0        # concat + sort scratch
+        if resident + 4.0 * q * d + tile + carry + merge <= budget_bytes:
+            return q
+        q //= 2
+    return q
+
+
 def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
                metric: str = "ip", block_rows: Optional[int] = None,
                bucket: bool = True, true_n: Optional[int] = None
@@ -383,11 +412,21 @@ def sharded_knn_search(mesh: Mesh, corpus: jax.Array, queries: jax.Array,
     local_k = min(k, rows)
     k_out = min(k, limit, n_dev * local_k)
 
-    block_rows = min(block_rows_hint or
-                     _default_block_rows(queries.shape[0]), rows)
+    # bucket the query count like knn_search does: the per-area sweeps
+    # reuse ONE compiled shard_map program across similarly-sized areas
+    # instead of a fresh relay compile per distinct row count (zero-pad
+    # queries contribute extra result rows, sliced off below)
+    q = queries.shape[0]
+    q_b = _bucket_q(q)
+    if q_b != q:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((q_b - q, d), queries.dtype)], axis=0)
+
+    block_rows = min(block_rows_hint or _default_block_rows(q_b), rows)
     fn = _sharded_search_fn(mesh, k_out, local_k, metric, block_rows,
                             n_dev, rows, n)
     vals, idx = fn(corpus, queries, jnp.asarray(limit, jnp.int32))
+    vals, idx = vals[:q], idx[:q]
     if metric == "l2":
         vals = -vals
     return vals, idx

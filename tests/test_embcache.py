@@ -203,3 +203,34 @@ def test_image_embedder_recomputes_malformed_legacy_emb_txt(tmp_path):
     assert set(out) == {"100", "200"}          # recomputed, not crashed
     assert out["100"].shape == (8,)
     np.testing.assert_allclose(cache.get("100"), out["100"], rtol=1e-6)
+
+
+def test_image_embedder_rejects_wrong_dim_emb_txt_without_cache(tmp_path):
+    """The wrong-dim legacy guard must not depend on a packed cache being
+    configured: with emb_dim given (the CLI passes --fc_dim), a stale
+    different-fc_dim emb.txt recomputes instead of flowing a (256,) vector
+    into a (512,) np.stack downstream."""
+    import cv2
+
+    from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
+    from multimodalsimilar_tpu.models.vision import CvImageClassifier
+    from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
+    from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
+
+    model = CvImageClassifier(EfficientNetConfig.tiny(), num_labels=3,
+                              fc_dim=8,
+                              policy=DTypePolicy.full_precision())
+    x = jax.numpy.zeros((1, 16, 16, 3))
+    variables = model.init({"params": jax.random.key(0)}, x,
+                           label=jax.numpy.zeros(1, jax.numpy.int32))
+    root = str(tmp_path / "imgs")
+    os.makedirs(f"{root}/100")
+    cv2.imwrite(f"{root}/100/0.jpg", np.full((20, 20, 3), 200, np.uint8))
+    np.savetxt(f"{root}/100/emb.txt",
+               np.arange(4, dtype=np.float32))       # stale wrong dim
+    emb = ImageEmbedder(model, variables, image_size=16, batch_size=4,
+                        cache_path_for_key=lambda k: f"{root}/{k}/emb.txt",
+                        emb_dim=8)                   # NO packed cache
+    out = emb.embed_keys(
+        ["100"], lambda k: [f"{root}/{k}/{i}.jpg" for i in range(8)])
+    assert out["100"].shape == (8,)                  # recomputed

@@ -367,3 +367,56 @@ def test_download_and_copy_kv(tmp_path):
     src.set_many({"k1": "v1", "k2": "v2"})
     assert copy_kv(src, dst, ["k1", "k2", "missing"]) == 2
     assert dst.get("k1") == "v1" and dst.ttl("k1") > 0
+
+
+def test_parquet_sink_appends_are_parts_not_rewrites(tmp_path):
+    """append() must not rewrite the whole table per flush (quadratic
+    backfill I/O): later appends land as sidecar parts visible to
+    read()/existing_keys(), and compact() merges them into the one file
+    external consumers read."""
+    import os
+
+    from multimodalsimilar_tpu.pipelines.sinks import ParquetTableSink
+
+    path = str(tmp_path / "t.parquet")
+    sink = ParquetTableSink(path)
+    sink.append(pd.DataFrame({"k": ["a"], "v": ["1"]}))
+    main_mtime = os.path.getmtime(path)
+    sink.append(pd.DataFrame({"k": ["b"], "v": ["2"]}))
+    sink.append(pd.DataFrame({"k": ["c"], "v": ["3"]}))
+    assert os.path.getmtime(path) == main_mtime     # main untouched
+    assert len(sink._part_files()) == 2
+    assert sink.existing_keys("k") == {"a", "b", "c"}
+    assert sorted(sink.read()["k"]) == ["a", "b", "c"]
+    # a FRESH instance (crash + retry) sees the parts too
+    assert ParquetTableSink(path).existing_keys("k") == {"a", "b", "c"}
+    sink.compact()
+    assert not sink._part_files()
+    assert sorted(pd.read_parquet(path)["k"]) == ["a", "b", "c"]
+    # overwrite drops parts as well
+    sink.append(pd.DataFrame({"k": ["d"], "v": ["4"]}))
+    sink.overwrite(pd.DataFrame({"k": ["z"], "v": ["9"]}))
+    assert list(pd.read_parquet(path)["k"]) == ["z"]
+    assert not sink._part_files()
+
+
+def test_incremental_export_compacts_on_success(tmp_path):
+    from multimodalsimilar_tpu.pipelines.embed import incremental_export
+    from multimodalsimilar_tpu.pipelines.sinks import ParquetTableSink
+
+    path = str(tmp_path / "t.parquet")
+    sink = ParquetTableSink(path)
+    df = pd.DataFrame({"goods_sku": [f"k{i}" for i in range(10)]})
+
+    def embed_fn(sub):
+        return {k: np.ones(4, np.float32) for k in sub["goods_sku"]}
+
+    n = incremental_export(df, embed_fn, sink, buffer_rows=3,
+                           flush_rows=3, dt="2026-08-18")
+    assert n == 10
+    assert not sink._part_files()              # compacted
+    out = pd.read_parquet(path)
+    assert len(out) == 10
+    # rerun: everything skipped
+    assert incremental_export(df, embed_fn, sink, buffer_rows=3,
+                              flush_rows=3) == 0

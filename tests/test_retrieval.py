@@ -423,3 +423,42 @@ def test_sharded_knn_fuzz_exactness_with_heavy_ties():
         np.testing.assert_array_equal(got_i, want_i, err_msg=msg)
         np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-5,
                                    err_msg=msg)
+
+
+def test_plan_query_chunk_large_k_shrinks_chunk():
+    """The O(q*k) top-k carry must count against the HBM budget: the
+    warehouse k=100 operating point keeps the full 32768 chunk (measured
+    numbers unchanged), while daodian-v1-style k=len(area) searches get a
+    smaller chunk instead of an on-chip OOM."""
+    from multimodalsimilar_tpu.retrieval.knn import plan_query_chunk
+
+    assert plan_query_chunk(1_007_616, 768, 100) == 32768
+    small = plan_query_chunk(30_000, 100, 30_000)
+    assert small <= 8192
+    # monotone in k
+    assert plan_query_chunk(30_000, 100, 100) >= small
+
+
+def test_sharded_knn_buckets_query_count():
+    """Nearby query counts must reuse ONE compiled sharded program (the
+    per-area loop would otherwise pay a fresh relay compile per distinct
+    area size) — and the zero-pad rows must not affect results."""
+    from multimodalsimilar_tpu.retrieval.knn import _sharded_search_fn
+
+    mesh = create_mesh()
+    rng = np.random.default_rng(3)
+    corpus = rng.normal(size=(64, 8)).astype(np.float32)
+    padded, true_n = pad_corpus(corpus, 8, "ip")
+    _sharded_search_fn.cache_clear()
+    for q in (100, 120, 128):              # all bucket to 128
+        queries = rng.normal(size=(q, 8)).astype(np.float32)
+        want_s, want_i = _brute(corpus, queries, 5, "ip")
+        got_s, got_i = sharded_knn_search(mesh, jnp.asarray(padded),
+                                          jnp.asarray(queries), 5,
+                                          metric="ip", true_n=true_n)
+        assert got_i.shape == (q, 5)
+        np.testing.assert_array_equal(np.asarray(got_i), want_i)
+        np.testing.assert_allclose(np.asarray(got_s), want_s,
+                                   rtol=1e-4, atol=1e-4)
+    info = _sharded_search_fn.cache_info()
+    assert info.misses == 1                # one program for all three
