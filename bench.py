@@ -19,7 +19,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
-import sys
 import time
 
 import numpy as np

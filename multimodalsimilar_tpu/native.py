@@ -28,12 +28,23 @@ _tried = False
 def _build() -> bool:
     # build to a temp path and rename: a concurrent process must never
     # dlopen a half-written .so (and a killed build must not leave a
-    # corrupt file that shadows future rebuilds)
+    # corrupt file that shadows future rebuilds). Flags come from the ONE
+    # recipe (native/Makefile CXXFLAGS) so the lazy rebuild can't diverge
+    # from a make-built library.
     tmp = f"{_LIB}.build.{os.getpid()}"
+    flags = ["-O3", "-fPIC", "-std=c++17", "-Wall"]
+    try:
+        with open(os.path.join(os.path.dirname(_SRC), "Makefile")) as f:
+            for line in f:
+                if line.startswith("CXXFLAGS"):
+                    flags = line.split("=", 1)[1].split()
+                    break
+    except OSError:
+        pass
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", "-o", tmp,
-             _SRC], check=True, capture_output=True)
+            ["g++", *flags, "-shared", "-o", tmp, _SRC],
+            check=True, capture_output=True)
         os.replace(tmp, _LIB)
         return True
     except Exception:
@@ -72,7 +83,7 @@ def load() -> Optional[ctypes.CDLL]:
         lib.ft_vocab_create.restype = ctypes.c_void_p
         lib.ft_vocab_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32]
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64]
         lib.ft_vocab_free.argtypes = [ctypes.c_void_p]
         lib.ft_encode_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
@@ -111,7 +122,7 @@ class NativeFtEncoder:
         arr, keep = _c_strings(keys)
         self._handle = self.lib.ft_vocab_create(
             arr, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            len(keys), bucket, nwords, words.get("</s>", -1))
+            len(keys), bucket, nwords)
 
     def encode_batch(self, lines: Sequence[str], max_tokens: int,
                      word_ngrams: int = 2):

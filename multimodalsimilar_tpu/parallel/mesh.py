@@ -111,10 +111,23 @@ def shard_batch(mesh: Mesh, batch):
     if multi_host:
         from jax.experimental import multihost_utils
 
+        if data_size % jax.process_count() != 0:
+            # e.g. create_mesh(data=1, model=8) on 2 hosts: host-local
+            # slices cannot be assembled along a data axis that doesn't
+            # span the processes — the old max(..., 1) fallback silently
+            # treated each host's DIFFERENT slice as one consistent
+            # replicated array (wrong results, exit 0)
+            raise ValueError(
+                f"shard_batch: the mesh data axis ({data_size}) must be a "
+                f"multiple of the process count ({jax.process_count()}) "
+                f"to assemble per-host batch slices. For a model axis "
+                f"spanning hosts, feed the IDENTICAL global batch on "
+                f"every process and place it with jax.device_put instead.")
+        per_host = data_size // jax.process_count()
+
         def put(x):
             x = np.asarray(x)
-            if x.ndim >= 1 and x.shape[0] % max(
-                    data_size // jax.process_count(), 1) == 0:
+            if x.ndim >= 1 and x.shape[0] % per_host == 0:
                 return multihost_utils.host_local_array_to_global_array(
                     x, mesh, P(DATA_AXIS))
             return multihost_utils.host_local_array_to_global_array(

@@ -34,7 +34,6 @@ struct FtVocab {
     std::unordered_map<std::string, int32_t> words;
     int64_t bucket;
     int64_t nwords;
-    int32_t eos_id = -1;
 };
 
 struct CharVocab {
@@ -44,15 +43,21 @@ struct CharVocab {
 };
 
 // Iterate UTF-8 codepoints of `s`, calling fn(ptr, len) for each.
+// The declared lead-byte length is clamped to the remaining bytes: a
+// string ending in a truncated multibyte sequence (the exported C ABI
+// guarantees nothing about valid UTF-8) must not read past the
+// terminator or jump the cursor over it into foreign memory.
 template <typename F>
 void for_each_utf8(const char* s, F fn) {
     const unsigned char* p = reinterpret_cast<const unsigned char*>(s);
-    while (*p) {
+    const unsigned char* end = p + std::strlen(s);
+    while (p < end) {
         size_t len = 1;
         if ((*p & 0x80) == 0x00) len = 1;
         else if ((*p & 0xE0) == 0xC0) len = 2;
         else if ((*p & 0xF0) == 0xE0) len = 3;
         else if ((*p & 0xF8) == 0xF0) len = 4;
+        if (len > static_cast<size_t>(end - p)) len = end - p;
         fn(reinterpret_cast<const char*>(p), len);
         p += len;
     }
@@ -72,13 +77,13 @@ extern "C" {
 // ---------------- fastText-style packing ----------------
 
 void* ft_vocab_create(const char** words, const int32_t* ids, int32_t n,
-                      int64_t bucket, int64_t nwords, int32_t eos_id) {
+                      int64_t bucket, int64_t nwords) {
     auto* v = new FtVocab();
     v->words.reserve(n * 2);
-    for (int32_t i = 0; i < n; ++i) v->words.emplace(words[i], ids[i]);
+    // last duplicate wins, like the Python dict the fallback builds
+    for (int32_t i = 0; i < n; ++i) v->words[words[i]] = ids[i];
     v->bucket = bucket;
     v->nwords = nwords;
-    v->eos_id = eos_id;
     return v;
 }
 
@@ -147,7 +152,10 @@ void* char_vocab_create(const char** tokens, int32_t n, int32_t pad,
                         int32_t unk, int32_t cls, int32_t sep) {
     auto* v = new CharVocab();
     v->chars.reserve(n * 2);
-    for (int32_t i = 0; i < n; ++i) v->chars.emplace(tokens[i], i);
+    // last duplicate wins — tokenizer.py from_vocab builds {t: i for ...},
+    // where a duplicated vocab line keeps the LAST index; emplace kept the
+    // first, so the two paths tokenized a duplicated token differently
+    for (int32_t i = 0; i < n; ++i) v->chars[tokens[i]] = i;
     v->pad = pad; v->unk = unk; v->cls = cls; v->sep = sep;
     return v;
 }
@@ -177,8 +185,9 @@ void char_encode_batch(void* vp, const char** lines, int32_t n_lines,
             mask[pos] = 1;
             ++pos;
         });
-        if (pos < max_length) { ids[pos] = v->sep; mask[pos] = 1; }
-        else { ids[max_length - 1] = v->sep; }
+        // pos <= max_length-1 always (chars stop at max_length-1), so
+        // SEP always fits
+        ids[pos] = v->sep; mask[pos] = 1;
     }
 }
 

@@ -43,3 +43,18 @@ def test_sharded_mean_is_global_mean():
     xs = jax.device_put(x, MeshRules(mesh).batch)
     got = jax.jit(lambda a: jnp.mean(a))(xs)
     np.testing.assert_allclose(np.asarray(got), x.mean(), rtol=1e-6)
+
+
+def test_shard_batch_rejects_data_axis_smaller_than_processes(monkeypatch):
+    """data axis not divisible by process count: the old max(..., 1)
+    fallback silently assembled DIFFERENT per-host slices as one
+    'consistent' replicated array (wrong results, exit 0) — must raise."""
+    import numpy as np
+    import pytest
+
+    from multimodalsimilar_tpu.parallel import mesh as mesh_mod
+
+    m = mesh_mod.create_mesh(data=1, model=8)
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="process count"):
+        mesh_mod.shard_batch(m, {"x": np.zeros((4, 3), np.float32)})
