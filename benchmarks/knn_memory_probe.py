@@ -38,10 +38,13 @@ def main(n=1_000_000):
                 compiled = lowered.compile()
                 mem = compiled.memory_analysis()
                 hlo = compiled.as_text()
+                # shape is AFTER '=' ('%sort.5 = f32[16,512]{1,0}
+                # sort(...)'); grepping the instruction name counted 0
+                # always, defeating the probe's whole-row-sort detection
                 full_sorts = sum(
                     1 for line in hlo.splitlines()
                     if " sort(" in line and f"{block}]" in
-                    line.split("=")[0])
+                    line.split("=", 1)[-1].split("sort(")[0])
                 print(json.dumps({
                     "q": q, "block": block,
                     "temp_gb": round(mem.temp_size_in_bytes / 2**30, 2),

@@ -124,7 +124,13 @@ def ici_seconds(colls) -> float:
             continue
         factor = (n - 1) / n
         mult = 2.0 if c["op"] == "all-reduce" else 1.0
-        t += mult * factor * c["bytes"] / (2 * ICI_LINK_BW)
+        nbytes = c["bytes"]
+        if c["op"] == "reduce-scatter":
+            # the HLO result is the per-device SHARD; ring RS moves
+            # (n-1) x shard bytes per chip, so scale back to full-tensor
+            # bytes before the (n-1)/n factor
+            nbytes *= n
+        t += mult * factor * nbytes / (2 * ICI_LINK_BW)
     return t
 
 

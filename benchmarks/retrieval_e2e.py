@@ -14,11 +14,9 @@ Not part of bench.py's one-line contract; prints its own JSON.
 """
 
 import json
-import sys
-import time
-
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -27,8 +25,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def main(n=100_000, k=100):
-    import os
-
     import jax
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # the image's sitecustomize pre-reads JAX_PLATFORMS (axon); the env

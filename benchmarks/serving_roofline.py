@@ -187,6 +187,10 @@ def measure(name, single, chained, args):
     lowered = single.lower(*args)
     compiled = lowered.compile()
     roof = _roofline(compiled)
+    # the AOT-compiled object is callable — executing it avoids a SECOND
+    # minutes-scale remote compile of the identical program through the
+    # relay (AOT results are not installed in the jit call cache)
+    single = compiled
     np.asarray(single(*args))                      # warm single
     np.asarray(chained(*args))                     # warm chain (compile)
     # INTERLEAVED single/chain rounds: the shared pool drifts minute to
@@ -214,6 +218,8 @@ def measure(name, single, chained, args):
 
 
 def main():
+    from multimodalsimilar_tpu.cli import _enable_compile_cache
+    _enable_compile_cache()   # persistent cache: reruns skip the compiles
     print(json.dumps({"pool_probe_tflops": pool_probe(),
                       "pool_probe_hbm_gbps": bw_probe()}), flush=True)
     for build in (text_tower, image_tower):

@@ -61,7 +61,11 @@ def main(n=32768, max_length=80, batch=256):
         # whose token length lands in each rung (sampling the real titles
         # may miss a rare bucket and push its compile into the timed loop)
         for rung in (emb.length_buckets or [max_length]):
-            emb(["商" * max(rung - 2, 1)] * batch)
+            # batch+1 texts: __call__ only takes the bucketed path when
+            # len(texts) > batch_size — a plain full batch warmed only the
+            # unbucketed seq-80 program and pushed every bucket compile
+            # into the timed region
+            emb(["商" * max(rung - 2, 1)] * (batch + 1))
         t0 = time.perf_counter()
         out = emb(texts)
         dt = time.perf_counter() - t0
