@@ -812,6 +812,7 @@ def _fused_embeddings(args, df):
     from multimodalsimilar_tpu.pipelines.embedders import MultimodalEmbedder
     from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
 
+    _require_tokenizer_with_checkpoint(args)   # same garbage-vocab trap
     tok = _tokenizer(args, df=df)
     model = MultimodalClassifier(
         _bert_config(args.bert_preset), backbone_config(args.backbone),
