@@ -619,14 +619,18 @@ def _load_cv_tower(args, checkpoint, num_labels):
     model = CvImageClassifier(cfg, num_labels=num_labels,
                               fc_dim=args.fc_dim,
                               policy=DTypePolicy.inference())
-    x = jnp.zeros((1, args.image_size, args.image_size, 3))
-    variables = jax.jit(lambda x: model.init(
-        {"params": jax.random.key(0)}, x,
-        label=jnp.zeros(1, jnp.int32)))(x)
     if checkpoint:
+        # restore supplies the full params/batch_stats tree — a jitted
+        # init here would be minutes of relay compile whose output the
+        # restore discards wholesale
         state = _restore_required(checkpoint)
         variables = {"params": state["params"],
                      "batch_stats": state.get("batch_stats", {})}
+    else:
+        x = jnp.zeros((1, args.image_size, args.image_size, 3))
+        variables = jax.jit(lambda x: model.init(
+            {"params": jax.random.key(0)}, x,
+            label=jnp.zeros(1, jnp.int32)))(x)
     from multimodalsimilar_tpu.models.efficientnet import EfficientNetConfig
     if isinstance(cfg, EfficientNetConfig):
         # fold BN into convs for serving; ViT backbones have no BN to fold

@@ -104,13 +104,12 @@ def pallas_topk(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     displace real neighbors (an ip pad row scores 0.0, beating any
     negative-cosine real neighbor otherwise).
 
-    ``interpret=None`` auto-selects: interpreter on CPU (so the
-    SimilarityEngine backend='pallas' path stays testable on the CPU
-    mesh), compiled Mosaic everywhere else — matching on != 'tpu' would
-    silently interpret on this harness's relay backend, whose platform
-    name is 'axon', not 'tpu'."""
+    ``interpret=None`` auto-selects: compiled Mosaic on TPU-like backends
+    ('tpu', or this harness's relay platform 'axon' — matching on
+    != 'tpu' silently interpreted there), the interpreter everywhere
+    else (CPU tests; a GPU backend can't lower Mosaic at all)."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() not in ("tpu", "axon")
     n, d = corpus.shape
     if true_n is None:
         true_n = n

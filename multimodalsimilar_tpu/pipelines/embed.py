@@ -75,7 +75,12 @@ def incremental_export(
     flushed.
     """
     existing = sink.existing_keys(key_col)
-    todo = df[~df[key_col].astype(str).isin(existing)]
+    keys = df[key_col].astype(str)
+    # in-df duplicate keys must collapse too: existing_keys only guards
+    # against the SINK's keys, and a key recurring across two flushes
+    # would otherwise append twice (the warehouse pulls group by key —
+    # goodssku_emb_bert_di.py:113-122 — but a raw extract may not)
+    todo = df[~keys.isin(existing) & ~keys.duplicated()]
     rows, written = [], 0
     for s in range(0, len(todo), buffer_rows):
         chunk = todo.iloc[s: s + buffer_rows]

@@ -113,15 +113,26 @@ class SparkTableSink(TableSink):
     def _exists(self) -> bool:
         """Target-table existence — a brand-new warehouse table must act
         like ParquetTableSink's missing file (empty keys / empty read /
-        create-on-first-write), not raise AnalysisException."""
+        create-on-first-write), not raise AnalysisException.
+
+        Only a MISSING table maps to False. A transient metastore or
+        connection error must PROPAGATE: swallowing it would route
+        append()/overwrite() into the create branch, whose
+        mode('overwrite').saveAsTable would silently replace the whole
+        warehouse table with one flush chunk."""
+        cat = getattr(self.spark, "catalog", None)
+        if cat is not None and hasattr(cat, "tableExists"):
+            # returns False for a missing table; raises on real errors
+            return bool(cat.tableExists(self.table))
         try:
-            return bool(self.spark.catalog.tableExists(self.table))
-        except Exception:
-            try:
-                self.spark.sql(f"describe table {self.table}")
-                return True
-            except Exception:
+            self.spark.sql(f"describe table {self.table}")
+            return True
+        except Exception as e:
+            msg = str(e).lower()
+            if "not found" in msg or "not exist" in msg \
+                    or "table_or_view_not_found" in msg:
                 return False
+            raise
 
     def existing_keys(self, key_col: str) -> set:
         if not self._exists():

@@ -215,18 +215,28 @@ class Trainer:
     # -- evaluation -------------------------------------------------------
 
     def evaluate(self, state: TrainState, batches: Iterator) -> Dict[str, float]:
-        # dispatch the whole split before any readback: float(v) per batch
-        # would serialize host and device (one round-trip per eval batch
-        # through the relay); the per-batch outputs are scalars, so holding
-        # their handles until the end costs nothing
-        results = []
-        for batch in prefetch_to_device(batches, self.mesh):
-            n = int(jax.tree_util.tree_leaves(batch)[0].shape[0])
-            results.append((self._eval_step(state, batch), n))
+        # depth-2 lagged readback: float(v) per batch serializes host and
+        # device (one round-trip per eval batch through the relay), but
+        # dispatching the WHOLE split first would keep every batch's input
+        # buffers alive on device at once (image eval batches are ~100s of
+        # MB each — a long split OOMs HBM). Consuming the (N-2)th batch's
+        # scalars while batch N dispatches overlaps the round-trip and
+        # bounds device-resident batches like the train loop's lag.
+        from collections import deque
         accs: Dict[str, MeanAccumulator] = {}
-        for metrics, n in results:
+        pending: deque = deque()
+
+        def consume(metrics, n):
             for k, v in metrics.items():
                 accs.setdefault(k, MeanAccumulator()).update(float(v), n)
+
+        for batch in prefetch_to_device(batches, self.mesh):
+            n = int(jax.tree_util.tree_leaves(batch)[0].shape[0])
+            pending.append((self._eval_step(state, batch), n))
+            if len(pending) > 2:
+                consume(*pending.popleft())
+        while pending:
+            consume(*pending.popleft())
         return {k: a.compute() for k, a in accs.items()}
 
     # -- main loop ---------------------------------------------------------

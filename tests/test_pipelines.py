@@ -420,3 +420,22 @@ def test_incremental_export_compacts_on_success(tmp_path):
     # rerun: everything skipped
     assert incremental_export(df, embed_fn, sink, buffer_rows=3,
                               flush_rows=3) == 0
+
+
+def test_incremental_export_collapses_in_df_duplicate_keys(tmp_path):
+    """existing_keys only guards the SINK's keys: a key recurring within
+    the input df (raw extract without the reference's group-by) must
+    still export once, not append twice across flushes."""
+    from multimodalsimilar_tpu.pipelines.embed import incremental_export
+    from multimodalsimilar_tpu.pipelines.sinks import ParquetTableSink
+
+    sink = ParquetTableSink(str(tmp_path / "t.parquet"))
+    df = pd.DataFrame({"goods_sku": ["a", "b", "a", "c", "b"]})
+
+    def embed_fn(sub):
+        return {k: np.ones(4, np.float32) for k in sub["goods_sku"]}
+
+    n = incremental_export(df, embed_fn, sink, buffer_rows=2, flush_rows=2)
+    assert n == 3
+    out = sink.read()
+    assert sorted(out["goods_sku"]) == ["a", "b", "c"]

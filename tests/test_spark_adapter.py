@@ -388,3 +388,26 @@ def test_stage_fills_nan_with_empty_string(pyspark_stub):
     out = spark.tables["dm.t"].sort_values("goods_sku")
     assert list(out["bert_emb"]) == ["[1]", ""]
     assert list(out["cv_emb"]) == ["", "[2]"]
+
+
+def test_exists_propagates_transient_errors(pyspark_stub):
+    """A metastore/connection error during _exists must RAISE: swallowing
+    it would route append() into the create branch, whose
+    mode('overwrite').saveAsTable silently replaces the whole warehouse
+    table with one flush chunk."""
+    from multimodalsimilar_tpu.pipelines.spark import (SparkTableSink,
+                                                       spark_session)
+    spark = spark_session("err")
+    spark.tables["dm.t"] = pd.DataFrame({"goods_sku": ["a"],
+                                         "embedding": ["[1]"]})
+    sink = SparkTableSink(spark, "dm.t", key_col="goods_sku")
+
+    def boom(name):
+        raise RuntimeError("metastore connection reset")
+
+    spark.catalog.tableExists = boom
+    with pytest.raises(RuntimeError, match="metastore"):
+        sink.append(pd.DataFrame({"goods_sku": ["b"],
+                                  "embedding": ["[2]"]}))
+    # the pre-existing table is untouched
+    assert list(spark.tables["dm.t"]["goods_sku"]) == ["a"]
