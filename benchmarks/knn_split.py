@@ -34,6 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def main(n=262_144, q=65_536, block=16_384, k=128, d=768):
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # sitecustomize pre-reads JAX_PLATFORMS (axon); the env var alone
+        # doesn't stick — same guard as retrieval_e2e.py (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from multimodalsimilar_tpu.retrieval.knn import (
         _knn_search, _merge_topk)
@@ -200,6 +204,96 @@ def main(n=262_144, q=65_536, block=16_384, k=128, d=768):
                               (jnp.arange(n_blocks), blocks))
         return out
 
+    # -- production winmax EXTRACTION only: merge replaced by a max-fold.
+    # full_s - extract_only_s isolates what the per-block stable-merge
+    # top_k costs — the input to deciding whether amortizing merges over
+    # M blocks (merge_every_m below) can pay.
+    @jax.jit
+    def winmax_extract_only(c, qq):
+        blocks = c.reshape(n_blocks, block, d)
+        gw = block // _WINMAX_W
+        bk = min(k, block)
+
+        def body(carry, inp):
+            b, blk = inp
+            s = jnp.dot(qq, blk.T, preferred_element_type=jnp.float32)
+            xw = s.reshape(s.shape[0], gw, _WINMAX_W)
+            wmax = xw.max(-1)
+            _, wi = jax.lax.top_k(wmax, bk)
+            wi = jax.lax.sort(wi, dimension=-1)
+            cand = jnp.take_along_axis(xw, wi[:, :, None], 1)
+            ci = (wi[:, :, None] * _WINMAX_W
+                  + jax.lax.iota(jnp.int32, _WINMAX_W)[None, None, :]
+                  + b * block)
+            return (jnp.maximum(carry[0],
+                                cand.reshape(cand.shape[0], -1)[:, :k]),
+                    carry[1] + ci.reshape(ci.shape[0], -1)[:, :k]), None
+
+        init = (jnp.full((qq.shape[0], k), -np.inf, jnp.float32),
+                jnp.zeros((qq.shape[0], k), jnp.int32))
+        out, _ = jax.lax.scan(body, init,
+                              (jnp.arange(n_blocks), blocks))
+        return out
+
+    # -- production winmax body, merging every M blocks instead of every
+    # block: per-block candidates land in a [Q, M*bk*W] buffer
+    # (dynamic_update_slice — bandwidth, not sort), one stable top_k per
+    # M blocks. Exactness: the carry keeps (value desc, idx asc); buffer
+    # slots fill in ascending block order with within-block ascending
+    # window ids, so the concat stays tie-stable and the stable top_k
+    # reproduces FAISS tie-break (same precondition as production,
+    # knn.py:_stable_merge). Leftover buffered blocks merge once after
+    # the scan.
+    def make_merge_every_m(M):
+        @jax.jit
+        def merge_every_m(c, qq):
+            blocks = c.reshape(n_blocks, block, d)
+            gw = block // _WINMAX_W
+            bk = min(k, block)
+            cw = bk * _WINMAX_W
+
+            def body(carry, inp):
+                vals, idx, buf_v, buf_i = carry
+                b, blk = inp
+                s = jnp.dot(qq, blk.T,
+                            preferred_element_type=jnp.float32)
+                xw = s.reshape(s.shape[0], gw, _WINMAX_W)
+                wmax = xw.max(-1)
+                _, wi = jax.lax.top_k(wmax, bk)
+                wi = jax.lax.sort(wi, dimension=-1)
+                cand = jnp.take_along_axis(xw, wi[:, :, None], 1)
+                ci = (wi[:, :, None] * _WINMAX_W
+                      + jax.lax.iota(jnp.int32, _WINMAX_W)[None, None, :]
+                      + b * block)
+                slot = (b % M) * cw
+                buf_v = jax.lax.dynamic_update_slice(
+                    buf_v, cand.reshape(-1, cw), (0, slot))
+                buf_i = jax.lax.dynamic_update_slice(
+                    buf_i, ci.reshape(-1, cw), (0, slot))
+
+                def do_merge(a):
+                    v, i, bv, bi = a
+                    nv, ni = _stable_merge(v, i, bv, bi, k)
+                    return (nv, ni, jnp.full_like(bv, -jnp.inf),
+                            jnp.full_like(bi, n))
+
+                vals, idx, buf_v, buf_i = jax.lax.cond(
+                    (b % M) == M - 1, do_merge, lambda a: a,
+                    (vals, idx, buf_v, buf_i))
+                return (vals, idx, buf_v, buf_i), None
+
+            init = (jnp.full((qq.shape[0], k), -np.inf, jnp.float32),
+                    jnp.zeros((qq.shape[0], k), jnp.int32),
+                    jnp.full((qq.shape[0], M * cw), -jnp.inf,
+                             jnp.float32),
+                    jnp.full((qq.shape[0], M * cw), n, jnp.int32))
+            (vals, idx, buf_v, buf_i), _ = jax.lax.scan(
+                body, init, (jnp.arange(n_blocks), blocks))
+            if n_blocks % M:
+                vals, idx = _stable_merge(vals, idx, buf_v, buf_i, k)
+            return vals, idx
+        return merge_every_m
+
     res = {"n": n, "q": q, "block": block, "k": k}
     res["matmul_s"] = round(timed(matmul_only, c_dev, q_dev), 3)
     res["topk_s"] = round(timed(topk_no_merge, c_dev, q_dev), 3)
@@ -218,6 +312,16 @@ def main(n=262_144, q=65_536, block=16_384, k=128, d=768):
     if q * n * 4 <= 6e9:
         res["approx_flat_s"] = round(timed(approx_flat, c_dev, q_dev), 3)
     res["bf16_rescore_s"] = round(timed(bf16_rescore, c_dev, q_dev), 3)
+
+    res["winmax_extract_only_s"] = round(
+        timed(winmax_extract_only, c_dev, q_dev), 3)
+    for M in (2, 4, 8):
+        fn = make_merge_every_m(M)
+        res[f"merge_every_{M}_s"] = round(timed(fn, c_dev, q_dev), 3)
+        if M == 4:
+            mv, mi = fn(c_dev, q_dev)
+            res["merge_every_4_index_match_pct"] = round(
+                100.0 * float((fi_ref == np.asarray(mi)).mean()), 3)
 
     # exactness of the approx_max_k path vs the production search
     av, ai = approx_scan(c_dev, q_dev)
