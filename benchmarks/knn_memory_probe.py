@@ -32,6 +32,7 @@ def main(n=1_000_000):
             corpus = jax.ShapeDtypeStruct((n_pad, d), jnp.float32)
             queries = jax.ShapeDtypeStruct((q, d), jnp.float32)
             true_n = jax.ShapeDtypeStruct((), jnp.int32)
+            merge_every = knn._plan_merge_every(q, k, block)
             try:
                 lowered = knn._knn_search.lower(
                     corpus, queries, true_n, k, "ip", block)
@@ -46,7 +47,7 @@ def main(n=1_000_000):
                     if " sort(" in line and f"{block}]" in
                     line.split("=", 1)[-1].split("sort(")[0])
                 print(json.dumps({
-                    "q": q, "block": block,
+                    "q": q, "block": block, "merge_every": merge_every,
                     "temp_gb": round(mem.temp_size_in_bytes / 2**30, 2),
                     "args_gb": round(
                         mem.argument_size_in_bytes / 2**30, 2),

@@ -149,6 +149,41 @@ def plan_search(n: int, d: int, q: int) -> Tuple[int, int]:
     return block, n + ((-n) % block)
 
 
+def _cand_width(block_rows: int, k: int) -> int:
+    """Candidate columns each scanned block contributes to the merge —
+    ``bk * _WINMAX_W`` under the window-max prefilter, ``bk`` on the plain
+    path. ONE predicate shared by ``_scan_topk`` and the memory planners
+    (they used to duplicate it, so a prefilter-eligibility change could
+    silently de-sync the OOM margins)."""
+    bk = min(k, block_rows)
+    gw = block_rows // _WINMAX_W
+    use_winmax = (block_rows % _WINMAX_W == 0 and bk <= gw
+                  and bk * _WINMAX_W + k < block_rows)
+    return bk * _WINMAX_W if use_winmax else bk
+
+
+def _plan_merge_every(q: int, k: int, block_rows: int,
+                      allowance_bytes: float = 1.1e9) -> int:
+    """How many blocks' candidates to buffer between running-top-k merges.
+
+    The per-block stable-merge top_k is ~24% of warehouse search time and
+    its cost is dominated by fixed per-op overhead, not concat width
+    (benchmarks/knn_split.py at 262k x 32k, block 8192: production 8.43 s,
+    merge every 2 blocks 6.45 s == the extraction-only floor, every 8:
+    6.28 s — M=2 already captures ~92% of the win). Buffering M blocks
+    costs HBM: the [Q, M*cand] f32+i32 buffer plus the merge concat/sort
+    growth (M-1 extra cand columns, x2 for sort scratch). Grant the
+    largest M in {8, 4, 2} whose incremental footprint fits the allowance
+    — at the 1M-warehouse point (q=32768, cand=1024) that is M=2
+    (+1.0 GB, compile-probed total within the crash-safe zone)."""
+    cand = _cand_width(block_rows, k)
+    for m in (8, 4, 2):
+        extra = 8.0 * q * m * cand + 16.0 * q * (m - 1) * cand
+        if extra <= allowance_bytes:
+            return m
+    return 1
+
+
 def plan_query_chunk(n: int, d: int, k: int, q_cap: int = 32768,
                      budget_bytes: float = 8.0e9) -> int:
     """Largest query-chunk whose whole-program footprint fits the HBM
@@ -164,15 +199,14 @@ def plan_query_chunk(n: int, d: int, k: int, q_cap: int = 32768,
     q = q_cap
     while q > 256:
         block, _ = plan_search(n, d, q)
-        bk = min(k_run, block)
-        gw = block // _WINMAX_W
-        use_winmax = (block % _WINMAX_W == 0 and bk <= gw
-                      and bk * _WINMAX_W + k_run < block)
-        cand = bk * _WINMAX_W if use_winmax else bk
+        cand = _cand_width(block, k_run)
+        m = _plan_merge_every(q, k_run, block)
         tile = 2.3 * q * block * 4.0
         carry = 8.0 * q * k_run                       # f32 vals + i32 idx
-        merge = 8.0 * q * (k_run + cand) * 2.0        # concat + sort scratch
-        if resident + 4.0 * q * d + tile + carry + merge <= budget_bytes:
+        buf = 8.0 * q * m * cand if m > 1 else 0.0    # merge-every-M buffer
+        merge = 8.0 * q * (k_run + m * cand) * 2.0    # concat + sort scratch
+        if (resident + 4.0 * q * d + tile + carry + buf + merge
+                <= budget_bytes):
             return q
         q //= 2
     return q
@@ -250,14 +284,27 @@ _WINMAX_W = 8
 
 
 def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
-               index_base=0, fill_idx=None):
+               index_base=0, fill_idx=None, merge_every=None):
     """Blockwise exact top-k core: scan corpus blocks, merge running top-k.
     ``true_n`` (traced) masks padding; ``index_base`` offsets returned
     indices (a device's shard position in the sharded search); ``fill_idx``
     is the out-of-range index for empty slots (must be >= the GLOBAL corpus
     size so downstream index filters drop it — a middle shard's local end
     would collide with the next shard's real rows). The [Q, N] score matrix
-    never exists — only [Q, block_rows] per step."""
+    never exists — only [Q, block_rows] per step.
+
+    ``merge_every=M`` buffers M blocks' candidates ([Q, M*cand] via
+    dynamic_update_slice — bandwidth, not sort) and runs ONE stable-merge
+    top_k per M blocks instead of per block: the merge's cost is mostly
+    fixed per-op overhead, so amortizing it is a measured 1.3x on the
+    warehouse scan (benchmarks/knn_split.py; see _plan_merge_every).
+    ``None`` plans M from the static shapes. Exactness: buffer slots fill
+    in ascending block order with within-block ascending indices, and
+    reset slots hold (-inf, fill) which stable top_k ranks below the
+    carry's earlier-position fill entries — the (value desc, idx asc)
+    tie-stable concat precondition of _stable_merge holds exactly as it
+    does block-per-block, so indices stay FAISS-bit-exact (fuzz-pinned in
+    tests/test_retrieval.py)."""
     n_rows, d = corpus.shape
     q = queries.shape[0]
     k = min(k, n_rows)
@@ -272,10 +319,9 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
             [corpus, jnp.zeros((pad, d), corpus.dtype)], axis=0)
     blocks = corpus.reshape(-1, block_rows, d)
 
+    fill = (index_base + n_rows) if fill_idx is None else fill_idx
     init_vals = jnp.full((q, k), -jnp.inf, jnp.float32)
-    init_idx = jnp.full(
-        (q, k), (index_base + n_rows) if fill_idx is None else fill_idx,
-        jnp.int32)
+    init_idx = jnp.full((q, k), fill, jnp.int32)
 
     col = jax.lax.iota(jnp.int32, block_rows)    # [block], 1-D
     bk = min(k, block_rows)
@@ -284,10 +330,14 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
     # strictly shrink the top_k input; tiny blocks take the plain path
     use_winmax = (block_rows % _WINMAX_W == 0 and bk <= gw
                   and bk * _WINMAX_W + k < block_rows)
+    cand_w = bk * _WINMAX_W if use_winmax else bk
+    n_blocks = blocks.shape[0]
+    if merge_every is None:
+        merge_every = _plan_merge_every(q, k, block_rows)
+    m = max(1, min(merge_every, n_blocks))
 
-    def body(carry, inp):
-        vals, idx = carry
-        b, block = inp
+    def extract(b, block):
+        """One block's [Q, cand_w] candidates, ascending-global-index."""
         s = _scores(queries.astype(jnp.float32),
                     block.astype(jnp.float32), metric)
         base = b * block_rows
@@ -319,21 +369,54 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
             ci = (wi[:, :, None] * _WINMAX_W
                   + jax.lax.iota(jnp.int32, _WINMAX_W)[None, None, :]
                   + (base + index_base))
-            vals, idx = _stable_merge(
-                vals, idx, cand.reshape(cand.shape[0], bk * _WINMAX_W),
-                ci.reshape(ci.shape[0], bk * _WINMAX_W), k)
-        else:
-            bv, bi = jax.lax.top_k(s, bk)
-            bidx = bi + (base + index_base)
-            # bv/bidx from a stable top_k are (value desc, ties idx asc)
-            # within the block; block indices all exceed the carry's —
-            # the stable merge precondition holds here too
-            vals, idx = _stable_merge(vals, idx, bv, bidx, k)
-        return (vals, idx), None
+            return (cand.reshape(cand.shape[0], cand_w),
+                    ci.reshape(ci.shape[0], cand_w))
+        bv, bi = jax.lax.top_k(s, bk)
+        # bv/bi from a stable top_k are (value desc, ties idx asc)
+        # within the block; block indices all exceed the carry's —
+        # the stable merge precondition holds here too
+        return bv, bi + (base + index_base)
 
-    (vals, idx), _ = jax.lax.scan(
-        body, (init_vals, init_idx),
-        (jnp.arange(blocks.shape[0]), blocks))
+    if m == 1:
+        def body(carry, inp):
+            vals, idx = carry
+            cv, ci = extract(*inp)
+            return _stable_merge(vals, idx, cv, ci, k), None
+
+        (vals, idx), _ = jax.lax.scan(
+            body, (init_vals, init_idx),
+            (jnp.arange(n_blocks), blocks))
+        return vals, idx
+
+    # merge-every-M: park each block's candidates in its slot of a
+    # [Q, M*cand_w] buffer (dynamic_update_slice), stable-merge once per M
+    # blocks; reset slots hold (-inf, fill) so they lose every tie to the
+    # carry's earlier-position entries (see docstring)
+    def body(carry, inp):
+        vals, idx, buf_v, buf_i = carry
+        b, block = inp
+        cv, ci = extract(b, block)
+        slot = (b % m) * cand_w
+        buf_v = jax.lax.dynamic_update_slice(buf_v, cv, (0, slot))
+        buf_i = jax.lax.dynamic_update_slice(buf_i, ci, (0, slot))
+
+        def do_merge(a):
+            v, i, bv, bi = a
+            nv, ni = _stable_merge(v, i, bv, bi, k)
+            return (nv, ni, jnp.full_like(bv, -jnp.inf),
+                    jnp.full_like(bi, fill))
+
+        return jax.lax.cond((b % m) == m - 1, do_merge, lambda a: a,
+                            (vals, idx, buf_v, buf_i)), None
+
+    init = (init_vals, init_idx,
+            jnp.full((q, m * cand_w), -jnp.inf, jnp.float32),
+            jnp.full((q, m * cand_w), fill, jnp.int32))
+    (vals, idx, buf_v, buf_i), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_blocks), blocks))
+    if n_blocks % m:
+        # trailing partial group never hit the in-scan merge
+        vals, idx = _stable_merge(vals, idx, buf_v, buf_i, k)
     return vals, idx
 
 

@@ -425,6 +425,62 @@ def test_sharded_knn_fuzz_exactness_with_heavy_ties():
                                    err_msg=msg)
 
 
+def test_scan_topk_merge_every_exactness():
+    """merge-every-M (round-3 cont.: one stable-merge top_k per M blocks,
+    measured 1.3x on the warehouse scan) must stay FAISS-bit-exact for
+    every M — including non-divisors of the block count (trailing partial
+    buffer merges once after the scan) and heavy score ties (the buffer's
+    tie-stable concat precondition)."""
+    from multimodalsimilar_tpu.retrieval.knn import _scan_topk
+
+    rng = np.random.default_rng(5)
+    n, q, d, k, block = 23 * 16, 17, 6, 9, 16      # 23 blocks
+    corpus = rng.integers(-2, 3, size=(n, d)).astype(np.float32)
+    queries = rng.integers(-2, 3, size=(q, d)).astype(np.float32)
+    want_s, want_i = _brute(corpus, queries, k, "ip")
+    for m in (1, 2, 3, 5, 8, 23, 64):              # 23%m != 0 for m=2,3,5,8
+        got_s, got_i = _scan_topk(
+            jnp.asarray(corpus), jnp.asarray(queries),
+            jnp.asarray(n, jnp.int32), k, "ip", block, merge_every=m)
+        np.testing.assert_array_equal(np.asarray(got_i), want_i,
+                                      err_msg=f"merge_every={m}")
+        np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-5,
+                                   atol=1e-5, err_msg=f"merge_every={m}")
+
+
+def test_scan_topk_merge_every_fill_semantics():
+    """When true_n < k the invalid slots must keep the fill index (>= the
+    global corpus size so downstream filters drop them) — buffered masked
+    -inf candidates carry real pad-row indices and must lose every tie to
+    the carry's fill entries, exactly like the per-block merge."""
+    from multimodalsimilar_tpu.retrieval.knn import _scan_topk
+
+    rng = np.random.default_rng(8)
+    corpus = rng.normal(size=(64, 4)).astype(np.float32)
+    queries = rng.normal(size=(3, 4)).astype(np.float32)
+    for m in (1, 4):
+        vals, idx = _scan_topk(
+            jnp.asarray(corpus), jnp.asarray(queries),
+            jnp.asarray(5, jnp.int32), 12, "ip", 16, merge_every=m,
+            fill_idx=999)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        assert (idx[:, 5:] == 999).all(), f"merge_every={m}"
+        assert np.isneginf(vals[:, 5:]).all(), f"merge_every={m}"
+        assert (idx[:, :5] < 5).all(), f"merge_every={m}"
+
+
+def test_plan_merge_every_properties():
+    """The planner grants the largest M in {8,4,2} fitting the incremental
+    HBM allowance: small shapes get 8, the warehouse operating point
+    (q=32768, block 8192, k_run=128 -> cand 1024) gets exactly 2 (the
+    compile-probed crash-safe point), and huge-k searches fall back to 1."""
+    from multimodalsimilar_tpu.retrieval.knn import _plan_merge_every
+
+    assert _plan_merge_every(1024, 16, 512) == 8
+    assert _plan_merge_every(32768, 128, 8192) == 2
+    assert _plan_merge_every(32768, 8192, 8192) == 1
+
+
 def test_plan_query_chunk_large_k_shrinks_chunk():
     """The O(q*k) top-k carry must count against the HBM budget: the
     warehouse k=100 operating point keeps the full 32768 chunk (measured
