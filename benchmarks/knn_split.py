@@ -16,6 +16,8 @@ measures it; 11.06 s -> 3.35 s at this shape). Variants:
              (f32 accumulation via preferred_element_type) and the
              [Q, block] score matrix kept bf16 through top_k; candidate
              indices are then exact-rescored in f32 at the end
+  approxNN — the production path with approx_recall=0.NN (the opt-in
+             approx_max_k mode, knn.py) + measured end-to-end set recall
 
 Timing via device->host readback (the only honest barrier through the
 relay — CLAUDE.md). Run: python benchmarks/knn_split.py [n] [q] [block]
@@ -300,11 +302,28 @@ def main(n=262_144, q=65_536, block=16_384, k=128, d=768):
     full = lambda c, qq: _knn_search(c, qq, jnp.asarray(n, jnp.int32),
                                      k, "ip", block)
     res["full_s"] = round(timed(full, c_dev, q_dev), 3)
+
+    # -- production path with approx_recall (knn.py approx_max_k branch):
+    # times the opt-in approximate mode and measures its REAL end-to-end
+    # recall vs the exact search (per-block recall_target composes across
+    # the cross-block merge; the honest number is measured, not the target)
+    for r in (0.99, 0.95, 0.9):
+        apx = lambda c, qq, _r=r: _knn_search(
+            c, qq, jnp.asarray(n, jnp.int32), k, "ip", block,
+            approx_recall=_r)
+        res[f"approx{int(r * 100)}_s"] = round(timed(apx, c_dev, q_dev), 3)
+        if r == 0.95:
+            apx_i = np.asarray(apx(c_dev, q_dev)[1])
     res["winmax_approx_s"] = round(timed(winmax_approx, c_dev, q_dev), 3)
     # ONE reference execution reused by every match check below (each
     # full() run is seconds of duplicate work on the contended chip)
     fv, fi = full(c_dev, q_dev)
     fi_ref = np.asarray(fi)
+    # measured set recall of the approx_recall=0.95 production path (row
+    # subsample: set ops on all Q rows are minutes on this host)
+    rows = range(0, q, max(1, q // 512))
+    res["approx95_recall_pct"] = round(100.0 * float(np.mean(
+        [len(np.intersect1d(fi_ref[i], apx_i[i])) / k for i in rows])), 3)
     wv, wi_ = winmax_approx(c_dev, q_dev)
     res["winmax_approx_index_match_pct"] = round(
         100.0 * float((fi_ref == np.asarray(wi_)).mean()), 3)

@@ -753,12 +753,12 @@ def cmd_similar_nlp(args):
                              f"table")
     sink = _kv_sink(args)
     embed_fn = _build_embed_fn_texts(args, df=df)
-    backend, mesh = _knn_backend_mesh(args)
+    backend, mesh, approx = _knn_backend_mesh(args)
     n = nlp_similar_job(df, embed_fn, sink, text_col=args.text_col,
                         key_col=args.key_col, k=args.k,
                         score_th=args.score_th,
                         ttl_seconds=args.exp_seconds,
-                        backend=backend, mesh=mesh)
+                        backend=backend, mesh=mesh, approx_recall=approx)
     print(json.dumps({"written": n}))
 
 
@@ -777,19 +777,33 @@ def _build_embed_fn_texts(args, df=None):
 
 
 def _knn_backend_mesh(args):
-    """(backend, mesh) for the similar jobs: 'pallas' when --pallas_topk,
-    with the same loud measured-slower notice --fused_loss gives (judge
-    finding: shelf-ware needs a call path). The Pallas kernel is
-    single-chip, so it runs mesh-less (on a >1-device data mesh the
-    corpus-sharded XLA path would otherwise win the dispatch)."""
+    """(backend, mesh, approx_recall) for the similar jobs: 'pallas' when
+    --pallas_topk, with the same loud measured-slower notice --fused_loss
+    gives (judge finding: shelf-ware needs a call path). The Pallas kernel
+    is single-chip, so it runs mesh-less (on a >1-device data mesh the
+    corpus-sharded XLA path would otherwise win the dispatch).
+    --approx_recall opts into approximate search (TPU approx_max_k) —
+    mutually exclusive with --pallas_topk, single-chip."""
+    approx = getattr(args, "approx_recall", None)
     if getattr(args, "pallas_topk", False):
+        if approx is not None:
+            raise SystemExit("--approx_recall and --pallas_topk are "
+                             "mutually exclusive")
         print("--pallas_topk: Pallas streaming top-k kernel (single-chip) "
               "— results are identical to the XLA scan, but it measured "
               "~5x slower through this harness's remote Mosaic path and "
               "each Mosaic compile takes 5-7 min (PERF.md headroom #4); "
               "intended for direct-attach TPUs", file=sys.stderr)
-        return "pallas", None
-    return "xla", _mesh(args)
+        return "pallas", None, None
+    if approx is not None:
+        print(f"--approx_recall {approx}: APPROXIMATE k-NN via the TPU "
+              "approx_max_k PartialReduce op — the reference's FAISS "
+              "IndexFlat is exact; expected recall >= the target per "
+              "corpus block, measured end-to-end recall in PERF.md. "
+              "Single-chip; exact fallback on non-TPU backends",
+              file=sys.stderr)
+        return "xla", None, approx
+    return "xla", _mesh(args), None
 
 
 def _kv_sink(args):
@@ -891,10 +905,11 @@ def cmd_similar_multimodal(args):
             "in-process like the reference job, or point at a table with "
             "precomputed fused embeddings")
     sink = _kv_sink(args)
-    backend, mesh = _knn_backend_mesh(args)
+    backend, mesh, approx = _knn_backend_mesh(args)
     n = multimodal_similar_job(df, emb, sink, key_col=args.key_col,
                                k=args.k, ttl_seconds=args.exp_seconds,
-                               backend=backend, mesh=mesh)
+                               backend=backend, mesh=mesh,
+                               approx_recall=approx)
     print(json.dumps({"written": n}))
 
 
@@ -948,11 +963,12 @@ def cmd_similar_daodian(args):
             "need the target date; pass --dt YYYY-MM-DD.")
     date_key = args.dt.replace("-", "") if (args.dt and args.date_keyed) \
         else None
-    backend, mesh = _knn_backend_mesh(args)
+    backend, mesh, approx = _knn_backend_mesh(args)
     merged = daodian_similar_job(
         df, embed_titles, embed_skus, sink, ttl_seconds=args.exp_seconds,
         date_key=date_key, dt_col=args.dt_col, target_dt=args.dt,
-        recent_days=args.recent_days, backend=backend, mesh=mesh)
+        recent_days=args.recent_days, backend=backend, mesh=mesh,
+        approx_recall=approx)
     print(json.dumps({"skus": len(merged)}))
 
 
@@ -1385,6 +1401,14 @@ def build_parser() -> argparse.ArgumentParser:
                       "results; measured ~5x SLOWER through this harness's "
                       "remote Mosaic path (PERF.md headroom #4); opt-in "
                       "for direct-attach TPUs")
+    s_nlp.add_argument("--approx_recall", type=float, default=None,
+                 metavar="R",
+                 help="APPROXIMATE k-NN: per-block recall target in "
+                      "(0, 1] via the TPU approx_max_k PartialReduce op "
+                      "(no sort-based top_k). The reference's FAISS "
+                      "IndexFlat is exact — this is a deliberate "
+                      "recall/throughput trade; single-chip, exact "
+                      "fallback off-TPU (retrieval/knn.py)")
     s_nlp.add_argument("--int8", action="store_true",
                  help="int8 weight + dynamic-activation PTQ for the text "
                       "tower (models/quant.py) — cosine parity < 1e-3 vs "
@@ -1428,6 +1452,14 @@ def build_parser() -> argparse.ArgumentParser:
                       "results; measured ~5x SLOWER through this harness's "
                       "remote Mosaic path (PERF.md headroom #4); opt-in "
                       "for direct-attach TPUs")
+    s_mm.add_argument("--approx_recall", type=float, default=None,
+                 metavar="R",
+                 help="APPROXIMATE k-NN: per-block recall target in "
+                      "(0, 1] via the TPU approx_max_k PartialReduce op "
+                      "(no sort-based top_k). The reference's FAISS "
+                      "IndexFlat is exact — this is a deliberate "
+                      "recall/throughput trade; single-chip, exact "
+                      "fallback off-TPU (retrieval/knn.py)")
     s_mm.set_defaults(fn=cmd_similar_multimodal)
 
     s_dd = sim.add_parser("daodian", allow_abbrev=False)
@@ -1470,6 +1502,14 @@ def build_parser() -> argparse.ArgumentParser:
                       "results; measured ~5x SLOWER through this harness's "
                       "remote Mosaic path (PERF.md headroom #4); opt-in "
                       "for direct-attach TPUs")
+    s_dd.add_argument("--approx_recall", type=float, default=None,
+                 metavar="R",
+                 help="APPROXIMATE k-NN: per-block recall target in "
+                      "(0, 1] via the TPU approx_max_k PartialReduce op "
+                      "(no sort-based top_k). The reference's FAISS "
+                      "IndexFlat is exact — this is a deliberate "
+                      "recall/throughput trade; single-chip, exact "
+                      "fallback off-TPU (retrieval/knn.py)")
     s_dd.add_argument("--emb_cache", default=None, metavar="DIR",
                  help="packed embedding cache directory (pipelines/"
                       "embcache.py): one data.bin instead of per-SKU "

@@ -47,14 +47,16 @@ def nlp_similar_job(df: pd.DataFrame, embed_texts, sink: KVSink,
                     text_col: str = "spu_name", key_col: str = "spu_sn",
                     k: int = 13, score_th: float = 0.9,
                     ttl_seconds: int = WEEK, mesh=None,
-                    backend: str = "xla") -> int:
+                    backend: str = "xla",
+                    approx_recall: Optional[float] = None) -> int:
     """Divergence kept ON PURPOSE: the reference loop (nlp_infer.py:161-163)
     has no self/dedup check beyond skipping rank 0, so with duplicate
     spu_sn rows it can write a key as its own neighbor; we always drop
     same-key neighbors and dedup (see retrieval/filters.py docstring)."""
     emb = embed_texts(df[text_col].astype(str).tolist())
     engine = SimilarityEngine(emb, df[key_col].tolist(), metric="ip",
-                              normalize=True, mesh=mesh, backend=backend)
+                              normalize=True, mesh=mesh, backend=backend,
+                              approx_recall=approx_recall)
     nmap = engine.similar_map(k, FilterRules(score_threshold=score_th,
                                              same_category=False))
     return write_neighbor_map(sink, nmap, ttl_seconds,
@@ -64,12 +66,14 @@ def nlp_similar_job(df: pd.DataFrame, embed_texts, sink: KVSink,
 def multimodal_similar_job(df: pd.DataFrame, embeddings: np.ndarray,
                            sink: KVSink, key_col: str = "spu_sn",
                            k: int = 13, ttl_seconds: int = WEEK,
-                           mesh=None, backend: str = "xla") -> int:
+                           mesh=None, backend: str = "xla",
+                           approx_recall: Optional[float] = None) -> int:
     """L2 metric on raw (un-normalized) fused embeddings, no threshold
     (multimodal_infer.py:140-159)."""
     engine = SimilarityEngine(embeddings, df[key_col].tolist(),
                               metric="l2", normalize=False, mesh=mesh,
-                              backend=backend)
+                              backend=backend,
+                              approx_recall=approx_recall)
     nmap = engine.similar_map(k, FilterRules(same_category=False))
     return write_neighbor_map(sink, nmap, ttl_seconds,
                               lambda s: f"dj_similar:{s}")
@@ -102,6 +106,7 @@ def daodian_similar_job(
     recent_days: int = 7,             # v2 window (daodian_infer_v2_recent_days)
     mesh=None,
     backend: str = "xla",
+    approx_recall: Optional[float] = None,
 ) -> Dict[str, List[str]]:
     """Per-area fastText + CV retrieval, cv-first merge, KV write.
 
@@ -149,7 +154,8 @@ def daodian_similar_job(
         text_engine = SimilarityEngine(
             text_emb, area[key_col].tolist(), area[lv1_col].tolist(),
             dts=([norm_dt(v) for v in area[dt_col]] if dt_col else None),
-            metric="ip", normalize=True, mesh=mesh, backend=backend)
+            metric="ip", normalize=True, mesh=mesh, backend=backend,
+            approx_recall=approx_recall)
         # +1: the reference appends, then breaks once len > ann_cnt
         nlp_map = text_engine.similar_map(
             k_text,
@@ -173,7 +179,8 @@ def daodian_similar_job(
                 cv_rows[lv2_col].tolist(),
                 dts=([norm_dt(v) for v in cv_rows[dt_col]]
                      if dt_col else None),
-                metric="ip", normalize=True, mesh=mesh, backend=backend)
+                metric="ip", normalize=True, mesh=mesh, backend=backend,
+                approx_recall=approx_recall)
             cv_map = cv_engine.similar_map(
                 k_cv,
                 FilterRules(score_threshold=cv_score_th,

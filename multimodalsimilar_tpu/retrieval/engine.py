@@ -33,7 +33,8 @@ class SimilarityEngine:
                  categories: Optional[Sequence] = None,
                  dts: Optional[Sequence] = None,
                  metric: str = "ip", normalize: bool = True,
-                 mesh=None, backend: str = "xla"):
+                 mesh=None, backend: str = "xla",
+                 approx_recall: Optional[float] = None):
         """``normalize=True`` reproduces faiss.normalize_L2 before indexing
         (cosine similarity); the fused-L2 job passes normalize=False,
         metric='l2'.
@@ -44,6 +45,12 @@ class SimilarityEngine:
         remote Mosaic path and 5-7 min/compile; opt-in for direct-attach
         TPUs where Mosaic overheads don't apply). 'pallas' is single-chip
         only (no sharded path).
+
+        ``approx_recall`` (0 < r <= 1) opts into APPROXIMATE search via
+        the TPU ``approx_max_k`` PartialReduce op (knn_search docstring) —
+        the reference's FAISS IndexFlat is exact, so this is a deliberate
+        recall/throughput trade the operator must choose. xla backend,
+        single-chip only.
         """
         if backend not in ("xla", "pallas"):
             raise ValueError(f"backend must be 'xla' or 'pallas', "
@@ -52,6 +59,16 @@ class SimilarityEngine:
                 and mesh.shape.get(DATA_AXIS, 1) > 1:
             raise ValueError("backend='pallas' has no corpus-sharded path; "
                              "drop the mesh or use backend='xla'")
+        if approx_recall is not None:
+            if not (0.0 < approx_recall <= 1.0):
+                raise ValueError(f"approx_recall must be in (0, 1], "
+                                 f"got {approx_recall!r}")
+            if backend != "xla":
+                raise ValueError("approx_recall requires backend='xla'")
+            if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
+                raise ValueError("approx_recall has no corpus-sharded "
+                                 "path; drop the mesh")
+        self.approx_recall = approx_recall
         self.backend = backend
         emb = np.asarray(embeddings, np.float32)
         self.keys = list(keys)
@@ -154,7 +171,8 @@ class SimilarityEngine:
                                    self.metric, true_n=true_n)
             else:
                 v, i = knn_search(corpus_dev, chunk, k, self.metric,
-                                  block_rows=block, true_n=true_n)
+                                  block_rows=block, true_n=true_n,
+                                  approx_recall=self.approx_recall)
             v, i = np.asarray(v), np.asarray(i)
             if out_v is None:
                 out_v = np.empty((len(q), v.shape[1]), v.dtype)

@@ -149,13 +149,16 @@ def plan_search(n: int, d: int, q: int) -> Tuple[int, int]:
     return block, n + ((-n) % block)
 
 
-def _cand_width(block_rows: int, k: int) -> int:
+def _cand_width(block_rows: int, k: int, approx: bool = False) -> int:
     """Candidate columns each scanned block contributes to the merge —
     ``bk * _WINMAX_W`` under the window-max prefilter, ``bk`` on the plain
-    path. ONE predicate shared by ``_scan_topk`` and the memory planners
+    path AND the approx path (approx_max_k aggregates to exactly bk). ONE
+    predicate shared by ``_scan_topk`` and the memory planners
     (they used to duplicate it, so a prefilter-eligibility change could
     silently de-sync the OOM margins)."""
     bk = min(k, block_rows)
+    if approx:
+        return bk
     gw = block_rows // _WINMAX_W
     use_winmax = (block_rows % _WINMAX_W == 0 and bk <= gw
                   and bk * _WINMAX_W + k < block_rows)
@@ -163,7 +166,8 @@ def _cand_width(block_rows: int, k: int) -> int:
 
 
 def _plan_merge_every(q: int, k: int, block_rows: int,
-                      allowance_bytes: float = 1.1e9) -> int:
+                      allowance_bytes: float = 1.1e9,
+                      approx: bool = False) -> int:
     """How many blocks' candidates to buffer between running-top-k merges.
 
     The per-block stable-merge top_k is ~24% of warehouse search time and
@@ -176,7 +180,7 @@ def _plan_merge_every(q: int, k: int, block_rows: int,
     largest M in {8, 4, 2} whose incremental footprint fits the allowance
     — at the 1M-warehouse point (q=32768, cand=1024) that is M=2
     (+1.0 GB, compile-probed total within the crash-safe zone)."""
-    cand = _cand_width(block_rows, k)
+    cand = _cand_width(block_rows, k, approx)
     for m in (8, 4, 2):
         extra = 8.0 * q * m * cand + 16.0 * q * (m - 1) * cand
         if extra <= allowance_bytes:
@@ -214,7 +218,8 @@ def plan_query_chunk(n: int, d: int, k: int, q_cap: int = 32768,
 
 def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
                metric: str = "ip", block_rows: Optional[int] = None,
-               bucket: bool = True, true_n: Optional[int] = None
+               bucket: bool = True, true_n: Optional[int] = None,
+               approx_recall: Optional[float] = None
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over the corpus, blockwise.
 
@@ -236,7 +241,15 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
     scale the per-call eager pad concatenate transiently duplicated a
     multi-GB corpus in HBM). Padding rows are masked out exactly like the
     internally-added ones.
+
+    ``approx_recall=r`` (0 < r <= 1) opts into APPROXIMATE search via the
+    TPU ``approx_max_k`` PartialReduce op per block (see ``_scan_topk``).
+    Results are not FAISS-exact: expected per-block recall >= r, ties not
+    index-ordered. Exact on non-TPU backends (the op falls back to sort).
     """
+    if approx_recall is not None and not (0.0 < approx_recall <= 1.0):
+        raise ValueError(f"approx_recall must be in (0, 1], "
+                         f"got {approx_recall!r}")
     n, d = corpus.shape
     if true_n is None:
         true_n = n
@@ -252,7 +265,8 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
         if block_rows is None:
             block_rows = _default_block_rows(q, resident_bytes=resident)
         return _knn_search(corpus, queries, jnp.asarray(true_n, jnp.int32),
-                           k_true, metric, block_rows)
+                           k_true, metric, block_rows,
+                           approx_recall=approx_recall)
     q_b = _bucket_q(q)
     if block_rows is None:
         block_rows, _ = plan_search(n, d, q)
@@ -266,7 +280,8 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
         corpus = jnp.concatenate(
             [corpus, jnp.zeros((n_pad, d), corpus.dtype)], axis=0)
     vals, idx = _knn_search(corpus, queries, jnp.asarray(true_n, jnp.int32),
-                            k_run, metric, block_rows)
+                            k_run, metric, block_rows,
+                            approx_recall=approx_recall)
     return vals[:q, :k_true], idx[:q, :k_true]
 
 
@@ -284,7 +299,8 @@ _WINMAX_W = 8
 
 
 def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
-               index_base=0, fill_idx=None, merge_every=None):
+               index_base=0, fill_idx=None, merge_every=None,
+               approx_recall=None):
     """Blockwise exact top-k core: scan corpus blocks, merge running top-k.
     ``true_n`` (traced) masks padding; ``index_base`` offsets returned
     indices (a device's shard position in the sharded search); ``fill_idx``
@@ -304,7 +320,15 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
     carry's earlier-position fill entries — the (value desc, idx asc)
     tie-stable concat precondition of _stable_merge holds exactly as it
     does block-per-block, so indices stay FAISS-bit-exact (fuzz-pinned in
-    tests/test_retrieval.py)."""
+    tests/test_retrieval.py).
+
+    ``approx_recall=r`` (0 < r <= 1) swaps each block's exact extraction
+    for ``jax.lax.approx_max_k(s, bk, recall_target=r)`` — the TPU
+    PartialReduce custom op, which avoids the sort-based top_k that
+    dominates exact search (98% of warehouse search time,
+    benchmarks/knn_split.py). APPROXIMATE: per-block recall is >= r in
+    expectation; ties are not FAISS-ordered. On non-TPU backends the op
+    falls back to an exact top_k, so CPU tests see exact results."""
     n_rows, d = corpus.shape
     q = queries.shape[0]
     k = min(k, n_rows)
@@ -328,12 +352,14 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
     gw = block_rows // _WINMAX_W                 # windows per block
     # the prefilter needs enough windows to pick bk of them, and must
     # strictly shrink the top_k input; tiny blocks take the plain path
-    use_winmax = (block_rows % _WINMAX_W == 0 and bk <= gw
+    use_winmax = (approx_recall is None
+                  and block_rows % _WINMAX_W == 0 and bk <= gw
                   and bk * _WINMAX_W + k < block_rows)
-    cand_w = bk * _WINMAX_W if use_winmax else bk
+    cand_w = _cand_width(block_rows, k, approx=approx_recall is not None)
     n_blocks = blocks.shape[0]
     if merge_every is None:
-        merge_every = _plan_merge_every(q, k, block_rows)
+        merge_every = _plan_merge_every(q, k, block_rows,
+                                        approx=approx_recall is not None)
     m = max(1, min(merge_every, n_blocks))
 
     def extract(b, block):
@@ -348,6 +374,12 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
         # materialized [Q, block] s32 iota + gather was the largest HLO
         # temp (4 GB) in the 1M-row OOM dump.
         s = jnp.where((col + base)[None, :] < true_n, s, -jnp.inf)
+        if approx_recall is not None:
+            # TPU PartialReduce: no sort-based top_k at all. Output is
+            # value-descending; ties/recall are approximate (docstring).
+            bv, bi = jax.lax.approx_max_k(s, bk,
+                                          recall_target=approx_recall)
+            return bv, bi + (base + index_base)
         if use_winmax:
             # exact window-max prefilter (see _WINMAX_W). Window ids are
             # re-sorted ASCENDING before the gather so the candidate array
@@ -420,11 +452,14 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
     return vals, idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows"))
+@functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows",
+                                             "approx_recall"))
 def _knn_search(corpus: jnp.ndarray, queries: jnp.ndarray,
-                true_n: jnp.ndarray, k: int, metric: str, block_rows: int
+                true_n: jnp.ndarray, k: int, metric: str, block_rows: int,
+                approx_recall: Optional[float] = None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    vals, idx = _scan_topk(corpus, queries, true_n, k, metric, block_rows)
+    vals, idx = _scan_topk(corpus, queries, true_n, k, metric, block_rows,
+                           approx_recall=approx_recall)
     if metric == "l2":
         vals = -vals
     return vals, idx

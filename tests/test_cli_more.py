@@ -97,3 +97,28 @@ def test_sku_to_spusn_shared_goods_sku():
     assert set(out) == {"a", "b", "c"}
     np.testing.assert_allclose(out["a"], out["b"])   # shared sku 1
     np.testing.assert_allclose(out["c"], np.full(3, 2.0))
+
+
+def test_cli_similar_daodian_approx_recall(tmp_path, capsys):
+    """--approx_recall threads to the engines and (on the CPU backend,
+    where approx_max_k is exact) writes the same neighbor map as the
+    exact run."""
+    texts = ["苹果 水果", "苹果 水果", "牛奶 乳品", "牛奶 乳品"]
+    ft = train_supervised(texts * 10, ["a", "a", "b", "b"] * 10, dim=8,
+                          epochs=3, bucket=500)
+    ft_path = str(tmp_path / "ft.pkl")
+    with open(ft_path, "wb") as f:
+        pickle.dump(ft, f)
+    df = pd.DataFrame({
+        "area_id": [1, 1, 1, 1],
+        "spu_sn": ["a1", "a2", "b1", "b2"],
+        "sku": ["10", "11", "12", "13"],
+        "title": texts,
+        "first_level_category_id": [5, 5, 6, 6],
+        "second_level_category_id": [51, 51, 61, 61]})
+    data = str(tmp_path / "skus.csv")
+    df.to_csv(data, index=False)
+    main(["similar", "daodian", "--data", data, "--fasttext_model",
+          ft_path, "--text_only", "--approx_recall", "0.9"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["skus"] == 4

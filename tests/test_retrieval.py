@@ -518,3 +518,94 @@ def test_sharded_knn_buckets_query_count():
                                    rtol=1e-4, atol=1e-4)
     info = _sharded_search_fn.cache_info()
     assert info.misses == 1                # one program for all three
+
+
+# -- approx_recall (TPU approx_max_k; exact fallback on CPU) ---------------
+
+def test_knn_search_approx_recall_matches_exact_sets():
+    """approx_recall on the CPU backend: approx_max_k falls back to an
+    exact top_k, so the returned NEIGHBOR SETS must equal the exact
+    path's (tie ORDER is not FAISS-guaranteed in approx mode, so compare
+    sets; random f32 scores make ties measure-zero anyway)."""
+    rng = np.random.default_rng(21)
+    corpus = rng.normal(size=(300, 16)).astype(np.float32)
+    queries = rng.normal(size=(40, 16)).astype(np.float32)
+    for metric in ("ip", "l2"):
+        ev, ei = knn_search(jnp.asarray(corpus), jnp.asarray(queries), 9,
+                            metric=metric, block_rows=64)
+        av, ai = knn_search(jnp.asarray(corpus), jnp.asarray(queries), 9,
+                            metric=metric, block_rows=64,
+                            approx_recall=0.9)
+        ev, ei = np.asarray(ev), np.asarray(ei)
+        av, ai = np.asarray(av), np.asarray(ai)
+        assert av.shape == ev.shape and ai.shape == ei.shape
+        for r in range(len(queries)):
+            assert set(ai[r]) == set(ei[r])
+        # scores sorted in metric order (ip desc / squared-L2 asc)
+        s = av if metric == "ip" else -av
+        assert (np.diff(s, axis=-1) <= 1e-6).all()
+
+
+def test_knn_search_approx_recall_respects_true_n():
+    """Caller-padded corpus rows must never surface in approx mode either
+    (the -inf mask runs before approx_max_k)."""
+    rng = np.random.default_rng(22)
+    corpus = rng.normal(size=(50, 8)).astype(np.float32)
+    padded = np.concatenate(
+        [corpus, np.zeros((14, 8), np.float32)], axis=0)
+    queries = rng.normal(size=(7, 8)).astype(np.float32)
+    av, ai = knn_search(jnp.asarray(padded), jnp.asarray(queries), 10,
+                        metric="ip", block_rows=16, true_n=50,
+                        approx_recall=0.8)
+    assert np.asarray(ai).max() < 50
+    ev, ei = knn_search(jnp.asarray(corpus), jnp.asarray(queries), 10,
+                        metric="ip", block_rows=16)
+    for r in range(7):
+        assert set(np.asarray(ai)[r]) == set(np.asarray(ei)[r])
+
+
+def test_knn_search_approx_recall_validates_range():
+    corpus = np.eye(8, dtype=np.float32)
+    q = corpus[:2]
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="approx_recall"):
+            knn_search(jnp.asarray(corpus), jnp.asarray(q), 3,
+                       approx_recall=bad)
+
+
+def test_engine_approx_recall_matches_exact_on_cpu():
+    rng = np.random.default_rng(23)
+    emb = rng.normal(size=(130, 16)).astype(np.float32)
+    keys = list(range(130))
+    ev, ei = SimilarityEngine(emb, keys, metric="ip").search(k=7)
+    av, ai = SimilarityEngine(emb, keys, metric="ip",
+                              approx_recall=0.95).search(k=7)
+    for r in range(130):
+        assert set(ai[r]) == set(ei[r])
+    np.testing.assert_allclose(np.sort(av, -1), np.sort(ev, -1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_engine_approx_recall_validation():
+    emb = np.eye(8, dtype=np.float32)
+    keys = list(range(8))
+    with pytest.raises(ValueError, match="approx_recall"):
+        SimilarityEngine(emb, keys, approx_recall=1.5)
+    with pytest.raises(ValueError, match="backend='xla'"):
+        SimilarityEngine(emb, keys, backend="pallas", approx_recall=0.9)
+    mesh = create_mesh()
+    if mesh.shape["data"] > 1:
+        with pytest.raises(ValueError, match="no corpus-sharded"):
+            SimilarityEngine(emb, keys, mesh=mesh, approx_recall=0.9)
+
+
+def test_approx_cand_width_and_merge_plan():
+    """Planner invariants in approx mode: candidate width is bk (no winmax
+    expansion), so merge-every-M gets a bigger grant at the same
+    allowance."""
+    from multimodalsimilar_tpu.retrieval.knn import (
+        _cand_width, _plan_merge_every)
+    assert _cand_width(8192, 128, approx=True) == 128
+    assert _cand_width(8192, 128) == 128 * 8
+    assert (_plan_merge_every(32768, 128, 8192, approx=True)
+            >= _plan_merge_every(32768, 128, 8192))
