@@ -7,8 +7,15 @@ cap 13), KV write. Reports the wall-clock split device vs host — VERDICT
 round 1 asked for proof that host filtering is not the bottleneck after the
 vectorization of retrieval/filters.py.
 
-Run on the TPU:  python benchmarks/retrieval_e2e.py [N] [k]
+Run on the TPU:  python benchmarks/retrieval_e2e.py [N] [k] [approx_recall]
 (CPU works too with small N, e.g. 5000.)
+
+The optional third arg runs the k-NN phase in the opt-in APPROXIMATE mode
+(knn_search approx_recall: per-block jax.lax.approx_max_k instead of the
+sort-based top_k — the warehouse sweep's dominant cost). When set, the
+benchmark also measures END-TO-END set recall vs the exact path on a
+2048-query sample (cheap: the exact reference costs 1/500th of the full
+sweep and reuses the engine's uploaded corpus).
 
 Not part of bench.py's one-line contract; prints its own JSON.
 """
@@ -24,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def main(n=100_000, k=100):
+def main(n=100_000, k=100, approx=None):
     import jax
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # the image's sitecustomize pre-reads JAX_PLATFORMS (axon); the env
@@ -82,30 +89,54 @@ def main(n=100_000, k=100):
     # queries in QUERY_CHUNK (32768-row) chunks, so no step ever holds a
     # [Q, N] score matrix — host or device (judge item #3: 1M-row
     # evidence).
-    use_engine = n >= 200_000
+    use_engine = n >= int(os.environ.get("E2E_ENGINE_MIN", 200_000))
     if use_engine:
         from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
         keys_tmp = np.arange(n)
         t0 = time.perf_counter()
         engine = SimilarityEngine(emb, keys_tmp, metric="ip",
-                                  normalize=True)
+                                  normalize=True, approx_recall=approx)
         scores, indices = engine.search(k)
         t_knn_cold = time.perf_counter() - t0
         t0 = time.perf_counter()
         s2, i2 = engine.search(k)
         t_knn = time.perf_counter() - t0
         del s2, i2
+        if approx is not None:
+            # measured end-to-end recall on a query sample: exact search
+            # over the SAME cached device corpus (engine.approx_recall
+            # flipped off), compared row-set-wise against the approx sweep
+            sample = np.arange(0, n, max(1, n // 2048))
+            t0 = time.perf_counter()
+            engine.approx_recall = None
+            try:
+                ev, ei = engine.search(k, queries=emb[sample])
+            finally:
+                engine.approx_recall = approx
+            t_exact_sample = time.perf_counter() - t0
+            recall = float(np.mean(
+                [len(np.intersect1d(indices[i], ei[j])) / ei.shape[1]
+                 for j, i in enumerate(sample)]))
     else:
         t0 = time.perf_counter()
         embn = l2_normalize_rows(jnp.asarray(emb))
-        vals, idx = knn_search(embn, embn, k, "ip")
+        vals, idx = knn_search(embn, embn, k, "ip", approx_recall=approx)
         scores = np.asarray(vals)
         indices = np.asarray(idx)
         t_knn_cold = time.perf_counter() - t0
         t0 = time.perf_counter()
-        v2, i2 = knn_search(embn, embn, k, "ip")
+        v2, i2 = knn_search(embn, embn, k, "ip", approx_recall=approx)
         np.asarray(v2), np.asarray(i2)
         t_knn = time.perf_counter() - t0
+        if approx is not None:
+            sample = np.arange(0, n, max(1, n // 2048))
+            t0 = time.perf_counter()
+            ev, ei = knn_search(embn, embn[sample], k, "ip")
+            ei = np.asarray(ei)
+            t_exact_sample = time.perf_counter() - t0
+            recall = float(np.mean(
+                [len(np.intersect1d(indices[i], ei[j])) / ei.shape[1]
+                 for j, i in enumerate(sample)]))
 
     # --- host filter (nlp_infer.py rules: th=0.9, k=13 cap; plus the
     # daodian-style category constraint to exercise the full rule set)
@@ -131,9 +162,15 @@ def main(n=100_000, k=100):
         resource.RUSAGE_SELF).ru_maxrss / 1e6     # linux: KB
     total = t_embed + t_knn + t_filter + t_sink
     host = t_filter + t_sink
+    extra = {}
+    if approx is not None:
+        extra = {"approx_recall_target": approx,
+                 "approx_recall_measured_pct": round(100 * recall, 3),
+                 "exact_sample_s": round(t_exact_sample, 2)}
     print(json.dumps({
         "n": n, "k": k,
         "engine_path": use_engine,
+        **extra,
         "peak_host_rss_gb": round(peak_rss_gb, 2),
         "embed_s": round(t_embed, 2),
         "knn_cold_s": round(t_knn_cold, 2),
@@ -151,4 +188,5 @@ def main(n=100_000, k=100):
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    main(n, k)
+    approx = float(sys.argv[3]) if len(sys.argv) > 3 else None
+    main(n, k, approx)
