@@ -16,6 +16,9 @@ mirroring (but batching) the reference's per-job FAISS usage:
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -156,7 +159,15 @@ class SimilarityEngine:
         # parts + one np.concatenate doubled peak host memory of the
         # [Q, k] results (1.6 GB transient at 1M x k=100)
         out_v = out_i = None
+        # MMS_KNN_CHUNK_LOG=1: per-chunk wall times to stderr (readback-
+        # bounded, so honest through the relay). The shared pool's rate
+        # drifts minute-to-minute; on a 25-min warehouse sweep this is the
+        # only way to tell "slow pool window" from "slow program".
+        chunk_log = bool(os.environ.get("MMS_KNN_CHUNK_LOG"))
+        n_chunks = (len(q) + chunk_rows - 1) // chunk_rows
         for s in range(0, len(q), chunk_rows):
+            if chunk_log:
+                t_chunk = time.perf_counter()
             chunk = jax.numpy.asarray(q[s: s + chunk_rows])
             if sharded:
                 v, i = sharded_knn_search(self.mesh, corpus_dev, chunk, k,
@@ -174,6 +185,11 @@ class SimilarityEngine:
                                   block_rows=block, true_n=true_n,
                                   approx_recall=self.approx_recall)
             v, i = np.asarray(v), np.asarray(i)
+            if chunk_log:
+                print(f"[knn chunk {s // chunk_rows + 1}/{n_chunks}] "
+                      f"{len(v)} queries in "
+                      f"{time.perf_counter() - t_chunk:.2f}s",
+                      file=sys.stderr, flush=True)
             if out_v is None:
                 out_v = np.empty((len(q), v.shape[1]), v.dtype)
                 out_i = np.empty((len(q), i.shape[1]), i.dtype)
