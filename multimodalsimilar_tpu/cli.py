@@ -987,6 +987,68 @@ def _sku_to_spusn(area_df, emb, args):
     return {sp: by_sku[sk] for sk, sp in zip(skus, spusns) if sk in by_sku}
 
 
+def _build_serve_service(args):
+    """(SimilarityService, corpus_rows) for ``cli serve`` — factored out of
+    cmd_serve so tests can build the hot service without the blocking
+    serve_forever loop."""
+    import time as _time
+
+    from multimodalsimilar_tpu.data.datasets import read_table
+    from multimodalsimilar_tpu.pipelines.serving import SimilarityService
+    from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+
+    df = read_table(args.data)
+    if not len(df):
+        raise SystemExit("--data table is empty — nothing to serve")
+    for col in (args.text_col, args.key_col):
+        if col not in df.columns:
+            raise SystemExit(f"column {col!r} not in {args.data} "
+                             f"(has: {list(df.columns)})")
+    cats = None
+    if args.category_col:
+        if args.category_col not in df.columns:
+            raise SystemExit(f"--category_col {args.category_col!r} not in "
+                             f"{args.data} (has: {list(df.columns)})")
+        cats = df[args.category_col].tolist()
+    embed_texts = _build_embed_fn_texts(args, df=df)
+    backend, mesh, approx = _knn_backend_mesh(args)
+    t0 = _time.perf_counter()
+    emb = embed_texts(df[args.text_col].astype(str).tolist())
+    print(f"corpus embedded: {len(df)} rows in "
+          f"{_time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    engine = SimilarityEngine(emb, df[args.key_col].astype(str).tolist(),
+                              categories=cats, metric="ip", normalize=True,
+                              mesh=mesh, backend=backend,
+                              approx_recall=approx)
+    service = SimilarityService(embed_texts, engine, k=args.k,
+                                score_th=args.score_th,
+                                max_batch=args.max_batch,
+                                max_wait_ms=args.max_wait_ms)
+    return service, len(df)
+
+
+def cmd_serve(args):
+    """Online similarity daemon — the capability the reference's
+    precomputed Redis KV can't give (a query NOT in last night's batch).
+    Micro-batched HTTP serving; see pipelines/serving.py."""
+    from multimodalsimilar_tpu.pipelines.serving import make_server
+    service, n = _build_serve_service(args)
+    # warm the serving programs BEFORE accepting traffic: the first
+    # request must not pay the tower + k-NN compiles (minutes via relay)
+    service.similar("warmup", k=1)
+    httpd = make_server(service, args.host, args.port)
+    host, port = httpd.server_address[:2]
+    print(json.dumps({"serving": f"http://{host}:{port}", "corpus": n,
+                      "k": service.k}), flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+        service.close()
+
+
 def cmd_embed_bulk(args):
     """goodssku_emb.py capability: one table with a column per tower
     (fastText + BERT + CV), outer-merged over the key."""
@@ -1517,6 +1579,51 @@ def build_parser() -> argparse.ArgumentParser:
                       "warehouse key counts; existing emb.txt files are "
                       "migrated in on first miss")
     s_dd.set_defaults(fn=cmd_similar_daodian)
+
+    srv = sub.add_parser("serve", allow_abbrev=False)
+    srv.add_argument("--config")
+    srv.add_argument("--data", required=True,
+                     help="corpus table (csv/parquet/hive://db.table)")
+    srv.add_argument("--key_col", default="spu_sn")
+    srv.add_argument("--text_col", default="spu_name")
+    srv.add_argument("--category_col", default=None,
+                     help="corpus category column: requests passing "
+                          "'category' keep only same-category neighbors "
+                          "(the batch jobs' same-lv1/lv2 rule, online)")
+    srv.add_argument("--tokenizer")
+    srv.add_argument("--checkpoint")
+    srv.add_argument("--bert_preset", default="tiny")
+    srv.add_argument("--num_labels", type=int, default=2)
+    srv.add_argument("--pool", default="cls", choices=["cls", "mean"],
+                     help="must match the trained model")
+    srv.add_argument("--max_length", type=int, default=128)
+    srv.add_argument("--batch_size", type=int, default=64,
+                     help="device batch the micro-batches pad to (ONE "
+                          "compiled program; keep >= --max_batch)")
+    srv.add_argument("--length_buckets", default=None,
+                     help="comma list of shorter seq buckets, e.g. 24,48")
+    srv.add_argument("--k", type=int, default=13)
+    srv.add_argument("--score_th", type=float, default=0.9,
+                     help="default score threshold (requests may override "
+                          "with 'score_th', null disables)")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8476,
+                     help="0 picks a free port (printed on the ready line)")
+    srv.add_argument("--max_batch", type=int, default=64,
+                     help="max requests coalesced into one device call")
+    srv.add_argument("--max_wait_ms", type=float, default=5.0,
+                     help="how long the device worker waits for more "
+                          "requests after the first — burst latency floor")
+    srv.add_argument("--pallas_topk", action="store_true",
+                     help="Pallas streaming top-k kernel instead of the "
+                          "XLA scan (see 'similar nlp --pallas_topk')")
+    srv.add_argument("--approx_recall", type=float, default=None,
+                     metavar="R",
+                     help="APPROXIMATE k-NN via the TPU approx_max_k op "
+                          "(see 'similar nlp --approx_recall')")
+    srv.add_argument("--int8", action="store_true",
+                     help="int8 PTQ text tower (see 'similar nlp --int8')")
+    srv.set_defaults(fn=cmd_serve)
 
     ckv = sub.add_parser("copy-kv", allow_abbrev=False)
     ckv.add_argument("--config")

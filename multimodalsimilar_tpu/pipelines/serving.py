@@ -1,0 +1,309 @@
+"""Online similarity serving daemon (``cli serve``).
+
+The reference has NO online query path: retrieval is precomputed by daily
+batch jobs and served as static Redis KV (nlp_infer.py:154-172 writes
+``dj_similar:{spu_sn}``; daodian_infer.py:379-392 writes per-area maps —
+consumers only GET). A production user of the framework needs the
+complementary capability those jobs can't give: answering for a query
+that was NOT in last night's batch. This daemon keeps the text tower and
+the corpus hot on the chip and serves embed / similar queries over HTTP.
+
+TPU-shaped design (PERF.md "Serving roofline decomposition"):
+
+* **Micro-batching.** A batch-1 synchronous call pays the full ~50-60 ms
+  relay dispatch round-trip per row (finding #3 there), while one
+  batch-N program amortizes it N ways. HTTP handler threads therefore
+  never touch the device: they enqueue the request and block on a
+  future; ONE device worker drains the queue, coalesces up to
+  ``max_batch`` requests that arrived within ``max_wait_ms`` of the
+  first, and runs a single padded program call (embed -> k-NN) for the
+  whole group. Under load, concurrency becomes batch size.
+* **Static shapes.** The embedder pads each micro-batch to its
+  configured batch size (or length bucket), so every call reuses one
+  compiled program — no per-request compiles.
+* **One device owner.** All jax dispatch happens on the worker thread;
+  the engine's cached device corpus is uploaded once at startup.
+
+Filtering reproduces the reference's per-job rules for EXTERNAL queries
+(the batch jobs are self-searches, so their query-row machinery in
+retrieval/filters.py does not apply): strict ``score > th``
+(nlp_infer.py:163), optional same-category constraint against a request-
+supplied category (daodian_infer.py:237-245 keeps same-lv1 neighbors),
+key dedup preserving rank, optional self-key exclusion, cap at k.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+_CLOSE = object()
+_UNSET = object()
+
+
+class MicroBatcher:
+    """Coalesce concurrent blocking submissions into batched calls.
+
+    ``run_batch(items) -> results`` runs on ONE worker thread (the only
+    thread that may touch the device); ``submit`` blocks the calling
+    thread until its item's result (or exception) is available.
+
+    The worker blocks for the first item, then keeps draining the queue
+    until either ``max_batch`` items are in hand or ``max_wait_ms`` has
+    elapsed since the first item — a trickle of lone requests pays at
+    most ``max_wait_ms`` extra latency, a concurrent burst becomes one
+    device call.
+    """
+
+    def __init__(self, run_batch: Callable[[List], List],
+                 max_batch: int = 64, max_wait_ms: float = 5.0):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.run_batch = run_batch
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.stats = {"batches": 0, "items": 0, "max_batch_seen": 0}
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="microbatch-worker")
+        self._worker.start()
+
+    def submit_nowait(self, item) -> Future:
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut
+
+    def submit(self, item):
+        return self.submit_nowait(item).result()
+
+    def close(self):
+        if not self._closed:
+            self._closed = True
+            self._q.put(_CLOSE)
+            self._worker.join(timeout=30)
+
+    def _run(self):
+        while True:
+            first = self._q.get()
+            if first is _CLOSE:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            closing = False
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is _CLOSE:
+                    closing = True
+                    break
+                batch.append(nxt)
+            items = [it for it, _ in batch]
+            self.stats["batches"] += 1
+            self.stats["items"] += len(items)
+            self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
+                                               len(items))
+            try:
+                results = self.run_batch(items)
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"run_batch returned {len(results)} results for "
+                        f"{len(items)} items")
+                for (_, fut), res in zip(batch, results):
+                    fut.set_result(res)
+            except Exception as e:  # propagate to every waiter, keep serving
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+            if closing:
+                return
+
+
+class SimilarityService:
+    """Hot tower + corpus; answers embed / similar queries.
+
+    ``embed_texts(list[str]) -> [N, D] np.ndarray`` is the batched tower
+    call (a TextEmbedder closure); ``engine`` is a SimilarityEngine whose
+    corpus rows correspond to ``engine.keys`` / ``engine.categories``.
+    """
+
+    def __init__(self, embed_texts: Callable[[Sequence[str]], np.ndarray],
+                 engine, k: int = 13, score_th: Optional[float] = None,
+                 max_batch: int = 64, max_wait_ms: float = 5.0):
+        self.engine = engine
+        self.k = min(k, engine.n) if engine.n else k
+        self.score_th = score_th
+        self._embed_texts = embed_texts
+        self._cats = (np.asarray(engine.categories, dtype=object)
+                      if engine.categories is not None else None)
+        self._keys = np.asarray(engine.keys, dtype=object)
+        # two batchers would split one burst's device work in two; a
+        # single one keeps ALL dispatch on one thread and lets embed and
+        # similar requests share a batch's tower call
+        self._batcher = MicroBatcher(self._run_batch, max_batch=max_batch,
+                                     max_wait_ms=max_wait_ms)
+
+    # -- device-worker side -------------------------------------------------
+
+    def _run_batch(self, items: List[dict]) -> List[object]:
+        emb = self._embed_texts([it["text"] for it in items])
+        need_knn = [i for i, it in enumerate(items) if it["op"] == "similar"]
+        out: List[object] = [None] * len(items)
+        if need_knn:
+            scores, idx = self.engine.search(self.k,
+                                             queries=emb[need_knn])
+            for row, i in enumerate(need_knn):
+                out[i] = (scores[row], idx[row])
+        for i, it in enumerate(items):
+            if it["op"] == "embed":
+                out[i] = emb[i]
+        return out
+
+    # -- request side (any thread) -------------------------------------------
+
+    def embed(self, texts: Sequence[str]) -> np.ndarray:
+        # each text is its own queue item so concurrent callers coalesce
+        # fairly; ALL futures are enqueued before the first blocking wait,
+        # so one caller's list still lands in one batch rather than
+        # serializing one-item batches
+        if not texts:
+            return np.zeros((0, 0), np.float32)
+        futs = [self._batcher.submit_nowait({"op": "embed", "text": t})
+                for t in texts]
+        return np.stack([f.result() for f in futs])
+
+    def similar(self, text: str, k: Optional[int] = None,
+                score_th=_UNSET,
+                category: Optional[str] = None,
+                exclude_key: Optional[str] = None) -> List[dict]:
+        """Ranked ``[{key, score}, ...]`` under the request's rules.
+
+        ``k`` caps the answer (never exceeds the service k the search ran
+        with); ``score_th`` overrides the service default (None disables);
+        ``category`` keeps only same-category corpus neighbors;
+        ``exclude_key`` drops that key (the query item itself, when it is
+        already in the corpus — the online analogue of the batch jobs'
+        self-drop).
+        """
+        scores, idx = self._batcher.submit({"op": "similar", "text": text})
+        th = self.score_th if score_th is _UNSET else score_th
+        k_out = self.k if k is None else max(0, min(k, self.k))
+        out: List[dict] = []
+        seen = set()
+        for s, i in zip(scores.tolist(), idx.tolist()):
+            if len(out) >= k_out:
+                break
+            if i < 0 or i >= len(self._keys):
+                continue
+            if th is not None:
+                # strict >, like the reference (nlp_infer.py:163); IP
+                # metric only — the fused job's L2 path has no threshold
+                # (multimodal_infer.py:147-159)
+                if self.engine.metric == "ip" and not (s > th):
+                    continue
+                if self.engine.metric == "l2" and not (s < th):
+                    continue
+            key = self._keys[i]
+            if key in seen:
+                continue
+            if exclude_key is not None and str(key) == str(exclude_key):
+                continue
+            if category is not None and self._cats is not None \
+                    and str(self._cats[i]) != str(category):
+                continue
+            seen.add(key)
+            out.append({"key": str(key), "score": float(s)})
+        return out
+
+    @property
+    def stats(self):
+        return dict(self._batcher.stats)
+
+    def close(self):
+        self._batcher.close()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # the owning server carries the service (set by make_server)
+
+    def log_message(self, fmt, *args):  # stderr chatter off the hot path
+        pass
+
+    def _reply(self, code: int, payload: dict):
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            svc = self.server.service
+            self._reply(200, {"ok": True, "corpus": svc.engine.n,
+                              "k": svc.k, "stats": svc.stats})
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+        except Exception as e:
+            return self._reply(400, {"error": f"bad json: {e}"})
+        svc = self.server.service
+        try:
+            if self.path == "/embed":
+                texts = req.get("texts")
+                if texts is None and "text" in req:
+                    texts = [req["text"]]
+                if not isinstance(texts, list) or \
+                        not all(isinstance(t, str) for t in texts):
+                    return self._reply(400, {"error": "need 'texts': "
+                                                      "[str, ...]"})
+                emb = svc.embed(texts)
+                return self._reply(200, {"embeddings": emb.tolist()})
+            if self.path == "/similar":
+                text = req.get("text")
+                if not isinstance(text, str):
+                    return self._reply(400, {"error": "need 'text': str"})
+                kwargs = {}
+                if "k" in req:
+                    kwargs["k"] = int(req["k"])
+                if "score_th" in req:   # explicit null disables the default
+                    kwargs["score_th"] = (None if req["score_th"] is None
+                                          else float(req["score_th"]))
+                if req.get("category") is not None:
+                    kwargs["category"] = str(req["category"])
+                if req.get("exclude_key") is not None:
+                    kwargs["exclude_key"] = str(req["exclude_key"])
+                neighbors = svc.similar(text, **kwargs)
+                return self._reply(200, {"neighbors": neighbors})
+            return self._reply(404, {"error": f"unknown path {self.path}"})
+        except Exception as e:  # a failed request must not kill the server
+            return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(service: SimilarityService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Bound, ready-to-serve HTTP server (``port=0`` picks a free port —
+    the bound one is at ``server.server_address[1]``). Caller runs
+    ``serve_forever()`` (blocking) and ``shutdown()`` + ``service.close()``
+    to stop."""
+    httpd = ThreadingHTTPServer((host, port), _Handler)
+    httpd.service = service
+    return httpd

@@ -1,0 +1,282 @@
+"""Online serving daemon: MicroBatcher, SimilarityService, HTTP surface.
+
+The reference serves retrieval as precomputed Redis KV only
+(nlp_infer.py:154-172) — `cli serve` is the online-query capability on
+top of the same engine/filter semantics. These tests run the real CLI
+builder (parser -> _build_serve_service) on the CPU backend and drive the
+real HTTP server over localhost.
+"""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodalsimilar_tpu.pipelines.serving import (
+    MicroBatcher, SimilarityService, make_server)
+
+
+# ---------------------------------------------------------------- batcher
+
+def test_microbatcher_coalesces_concurrent_submissions():
+    calls = []
+
+    def run_batch(items):
+        calls.append(len(items))
+        time.sleep(0.01)              # let the queue fill behind us
+        return [x * 2 for x in items]
+
+    b = MicroBatcher(run_batch, max_batch=64, max_wait_ms=200.0)
+    try:
+        results = [None] * 16
+        threads = [threading.Thread(target=lambda i=i: results.__setitem__(
+            i, b.submit(i))) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results == [i * 2 for i in range(16)]
+        # 16 concurrent submissions must not take 16 device calls; the
+        # first call may race ahead with few items, the rest coalesce
+        assert sum(calls) == 16
+        assert len(calls) < 16
+        assert b.stats["max_batch_seen"] > 1
+    finally:
+        b.close()
+
+
+def test_microbatcher_respects_max_batch():
+    seen = []
+
+    def run_batch(items):
+        seen.append(len(items))
+        return items
+
+    b = MicroBatcher(run_batch, max_batch=4, max_wait_ms=50.0)
+    try:
+        threads = [threading.Thread(target=b.submit, args=(i,))
+                   for i in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert max(seen) <= 4 and sum(seen) == 10
+    finally:
+        b.close()
+
+
+def test_microbatcher_propagates_errors_and_keeps_serving():
+    def run_batch(items):
+        if any(x == "boom" for x in items):
+            raise ValueError("boom")
+        return items
+
+    b = MicroBatcher(run_batch, max_batch=1, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="boom"):
+            b.submit("boom")
+        assert b.submit("ok") == "ok"   # the worker survived the failure
+    finally:
+        b.close()
+
+
+def test_microbatcher_close_rejects_new_work():
+    b = MicroBatcher(lambda items: items, max_batch=2, max_wait_ms=1.0)
+    assert b.submit(1) == 1
+    b.close()
+    with pytest.raises(RuntimeError):
+        b.submit(2)
+
+
+# ------------------------------------------------------- service + filters
+
+def _toy_service(**kw):
+    """Service over a hand-built engine: identity 'embedding' of 4-d
+    one-hotish vectors so neighbor order is fully controlled."""
+    from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+
+    emb = np.array([[1.0, 0.0, 0.0, 0.0],
+                    [0.9, 0.1, 0.0, 0.0],
+                    [0.8, 0.0, 0.1, 0.0],
+                    [0.0, 1.0, 0.0, 0.0]], np.float32)
+    keys = ["a", "b", "c", "d"]
+    cats = ["x", "x", "y", "y"]
+    # normalize=False: scores are the raw dot products above, so the
+    # threshold expectations below read off the matrix directly
+    engine = SimilarityEngine(emb, keys, categories=cats, metric="ip",
+                              normalize=False)
+    table = {"qa": np.array([1.0, 0.0, 0.0, 0.0], np.float32),
+             "qd": np.array([0.0, 1.0, 0.0, 0.0], np.float32)}
+
+    def embed_texts(texts):
+        return np.stack([table[t] for t in texts])
+
+    svc = SimilarityService(embed_texts, engine,
+                            k=kw.pop("k", 4), max_wait_ms=1.0, **kw)
+    return svc
+
+
+def test_service_similar_ranking_threshold_category_exclude():
+    svc = _toy_service(score_th=None)
+    try:
+        got = svc.similar("qa")
+        assert [g["key"] for g in got] == ["a", "b", "c", "d"]
+        assert got[0]["score"] == pytest.approx(1.0)
+        # strict > threshold (reference semantics, nlp_infer.py:163)
+        got = svc.similar("qa", score_th=0.85)
+        assert [g["key"] for g in got] == ["a", "b"]
+        # per-request k caps the answer
+        assert [g["key"] for g in svc.similar("qa", k=1)] == ["a"]
+        # same-category keeps only category 'x' corpus rows
+        got = svc.similar("qa", category="x")
+        assert [g["key"] for g in got] == ["a", "b"]
+        # exclude_key drops the query's own corpus row
+        got = svc.similar("qa", exclude_key="a")
+        assert [g["key"] for g in got] == ["b", "c", "d"]
+    finally:
+        svc.close()
+
+
+def test_service_default_threshold_and_embed():
+    svc = _toy_service(score_th=0.5)
+    try:
+        assert [g["key"] for g in svc.similar("qd")] == ["d"]
+        # request-side null disables the service default
+        assert len(svc.similar("qd", score_th=None)) == 4
+        emb = svc.embed(["qa", "qd", "qa"])
+        assert emb.shape == (3, 4)
+        np.testing.assert_allclose(emb[0], emb[2])
+        assert svc.stats["items"] >= 4
+    finally:
+        svc.close()
+
+
+# ------------------------------------------------------------ HTTP + CLI
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def serve_cli(tmp_path_factory):
+    """Real CLI path: corpus csv -> _build_serve_service -> HTTP server."""
+    from multimodalsimilar_tpu.cli import _build_serve_service, build_parser
+
+    tmp = tmp_path_factory.mktemp("serve")
+    df = pd.DataFrame({
+        "spu_sn": [f"sku{i}" for i in range(32)],
+        "spu_name": [f"{'甲乙丙丁'[i % 4] * 3}商品{i}" for i in range(32)],
+        "lv1": [str(i % 4) for i in range(32)]})
+    data = str(tmp / "corpus.csv")
+    df.to_csv(data, index=False)
+    args = build_parser().parse_args(
+        ["serve", "--data", data, "--category_col", "lv1",
+         "--max_length", "8", "--batch_size", "8", "--k", "5",
+         "--score_th", "0.0", "--port", "0", "--max_wait_ms", "2"])
+    service, n = _build_serve_service(args)
+    assert n == 32
+    httpd = make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, service, df
+    httpd.shutdown()
+    httpd.server_close()
+    service.close()
+    thread.join(timeout=10)
+
+
+def test_http_healthz(serve_cli):
+    base, service, df = serve_cli
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["ok"] and h["corpus"] == 32 and h["k"] == 5
+
+
+def test_http_similar_matches_offline_engine(serve_cli):
+    base, service, df = serve_cli
+    text = df["spu_name"][7]
+    got = _post(base + "/similar", {"text": text,
+                                    "exclude_key": "sku7"})["neighbors"]
+    assert 1 <= len(got) <= 5
+    assert all(g["key"] != "sku7" for g in got)
+    # parity with a direct engine query through the same embedder
+    emb = service.embed([text])
+    scores, idx = service.engine.search(5, queries=emb)
+    keys = [service.engine.keys[i] for i in idx[0]]
+    expect = [k for k, s in zip(keys, scores[0])
+              if s > 0.0 and k != "sku7"]
+    # dedup preserving order, as the service does
+    seen, expect_dedup = set(), []
+    for k in expect:
+        if k not in seen:
+            seen.add(k)
+            expect_dedup.append(k)
+    assert [g["key"] for g in got] == expect_dedup
+
+
+def test_http_similar_category_filter(serve_cli):
+    base, service, df = serve_cli
+    cat = dict(zip(df["spu_sn"], df["lv1"]))
+    # the category rule filters WITHIN the top-k candidates (the batch
+    # jobs filter FAISS's k results the same way, daodian_infer.py:237) —
+    # so pick a category that is present in the unfiltered answer
+    text = df["spu_name"][4]
+    plain = _post(base + "/similar",
+                  {"text": text, "score_th": None})["neighbors"]
+    want = cat[plain[0]["key"]]
+    got = _post(base + "/similar",
+                {"text": text, "category": want,
+                 "score_th": None})["neighbors"]
+    assert got and all(cat[g["key"]] == want for g in got)
+    assert {g["key"] for g in got} <= {p["key"] for p in plain
+                                       if cat[p["key"]] == want}
+
+
+def test_http_embed_and_errors(serve_cli):
+    base, service, df = serve_cli
+    out = _post(base + "/embed", {"texts": ["甲甲甲", "乙乙乙"]})
+    emb = np.asarray(out["embeddings"], np.float32)
+    assert emb.shape[0] == 2 and emb.shape[1] >= 8
+    # malformed requests get 4xx JSON, not a dead server
+    for path, payload in [("/similar", {}), ("/embed", {"texts": "x"}),
+                          ("/nope", {})]:
+        try:
+            _post(base + path, payload)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code in (400, 404)
+            assert "error" in json.loads(e.read())
+    # and the server still answers
+    assert _post(base + "/similar",
+                 {"text": df["spu_name"][0]})["neighbors"]
+
+
+def test_http_concurrent_burst_coalesces(serve_cli):
+    base, service, df = serve_cli
+    before = service.stats["batches"]
+    results = [None] * 12
+
+    def hit(i):
+        results[i] = _post(base + "/similar",
+                           {"text": df["spu_name"][i % 32],
+                            "score_th": None})
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None and r["neighbors"] for r in results)
+    # 12 concurrent requests must take fewer than 12 device batches
+    assert service.stats["batches"] - before < 12
+    assert service.stats["max_batch_seen"] > 1
