@@ -23,7 +23,7 @@ CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 SERVING = ["similar_nlp", "similar_daodian_v1",
            "similar_daodian_v2_recent_days", "embed_bulk",
-           "embed_incremental_bert"]
+           "embed_incremental_bert", "serve"]
 
 
 @pytest.fixture(scope="module")
@@ -154,6 +154,54 @@ def test_embed_bulk_config(artifacts, capsys, tmp_path):
     assert res["rows"] if "rows" in res else res
     out = pd.read_parquet(table)
     assert len(out) == 24 and "bert_emb" in out.columns
+
+
+def test_serve_config(artifacts):
+    """serve.yaml through the real argv machinery (inject + parse + apply),
+    then the built service driven over real HTTP — everything cmd_serve
+    does except the blocking serve_forever loop."""
+    import threading
+    import urllib.request
+
+    from multimodalsimilar_tpu.cli import (
+        _apply_yaml_config, _build_serve_service, _inject_yaml_argv,
+        build_parser)
+    from multimodalsimilar_tpu.pipelines.serving import make_server
+
+    cfg = os.path.join(CONFIG_DIR, "serve.yaml")
+    argv = ["serve", "--config", cfg, "--data", artifacts["data"],
+            "--tokenizer", artifacts["vocab"],
+            "--checkpoint", artifacts["nlp_ckpt"],
+            "--bert_preset", "tiny", "--num_labels", "3",
+            "--max_length", "10", "--batch_size", "8",
+            "--score_th", "0.0", "--k", "3", "--port", "0"]
+    parser = build_parser()
+    argv = _inject_yaml_argv(argv, parser)
+    args = parser.parse_args(argv)
+    _apply_yaml_config(args, argv)
+    # YAML values that explicit flags did not override took effect
+    assert args.category_col == "first_level_category_id"
+    assert args.max_wait_ms == 5.0
+    service, n = _build_serve_service(args)
+    httpd = make_server(service, args.host, 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        req = urllib.request.Request(
+            base + "/similar",
+            data=json.dumps({"text": "甲甲甲商品0",
+                             "exclude_key": "s0"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            res = json.loads(r.read())
+        assert n == 24 and isinstance(res["neighbors"], list)
+        assert all(g["key"] != "s0" for g in res["neighbors"])
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        service.close()
+        t.join(timeout=10)
 
 
 def test_all_serving_configs_covered():
