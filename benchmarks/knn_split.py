@@ -171,7 +171,8 @@ def main(n=262_144, q=65_536, block=16_384, k=128, d=768):
     # recall_target=1.0; window ids are re-sorted ascending after, so the
     # stable-merge tie-break precondition is preserved and indices should
     # match production bitwise (checked below).
-    from multimodalsimilar_tpu.retrieval.knn import _WINMAX_W, _stable_merge
+    from multimodalsimilar_tpu.retrieval.knn import _stable_merge, _winmax_w
+    _WINMAX_W = _winmax_w(block)   # the width production would pick here
 
     @jax.jit
     def winmax_approx(c, qq):

@@ -15,6 +15,14 @@ have max > x, and tie-windows selected instead contain equal values at
 lower indices — exactly FAISS's tie preference; pinned per-W against the
 W=8 reference below). Run: python benchmarks/knn_winmax_width.py [n] [q]
 [block] [k]
+
+Measured (262k x 32k, k=100, v5e, leading/trailing W=8 brackets stable):
+block 8192:  W4 3.98 < W8 4.52/4.72 < W16 7.43 < W32 10.17
+block 16384: W8 3.03/3.10 < W4 3.29 < W16 3.97 < W32 6.24
+block 32768: W8 2.45/2.55 < W16 2.59 ~ W4 2.62 < W32 3.77
+-> production auto-picks W per block (knn._winmax_w): 4 for <= 8192
+(the 1M memory-budgeted operating point, ~1.13x), 8 above. Setting
+knn._WINMAX_W (as this sweep does) overrides the rule.
 """
 
 import json

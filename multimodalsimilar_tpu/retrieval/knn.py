@@ -159,10 +159,11 @@ def _cand_width(block_rows: int, k: int, approx: bool = False) -> int:
     bk = min(k, block_rows)
     if approx:
         return bk
-    gw = block_rows // _WINMAX_W
-    use_winmax = (block_rows % _WINMAX_W == 0 and bk <= gw
-                  and bk * _WINMAX_W + k < block_rows)
-    return bk * _WINMAX_W if use_winmax else bk
+    w = _winmax_w(block_rows)
+    gw = block_rows // w
+    use_winmax = (block_rows % w == 0 and bk <= gw
+                  and bk * w + k < block_rows)
+    return bk * w if use_winmax else bk
 
 
 def _plan_merge_every(q: int, k: int, block_rows: int,
@@ -293,9 +294,29 @@ def knn_search(corpus: jnp.ndarray, queries: jnp.ndarray, k: int,
 # sort-based top_k is the whole cost of exact k-NN on TPU (98% of search
 # time at warehouse scale — benchmarks/knn_split.py: matmul 0.12 s vs
 # top_k 7.4 s at 262k x 32k); shrinking its input 16384 -> 1152 columns
-# makes the full scan body 2.4x faster (622 -> 260 ms measured). W=8 beat
-# 16/32 (249/284/400 ms for the standalone block top-k).
-_WINMAX_W = 8
+# makes the full scan body 2.4x faster (622 -> 260 ms measured).
+_WINMAX_W = None     # explicit width override; None = auto per block size
+
+
+def _winmax_w(block_rows: int) -> int:
+    """Window width, chosen per block size. W trades the [Q, block/W]
+    window sort against the [Q, bk*W] candidate gather + merge width;
+    the best point moves with the block (benchmarks/knn_winmax_width.py,
+    262k x 32k k=100 on v5e, exact-index-match pinned per W):
+
+      block  8192: W4 3.98 s  < W8 4.52  < W16 7.43  < W32 10.2
+      block 16384: W8 3.03 s  < W4 3.29  < W16 3.97  < W32 6.24
+      block 32768: W8 2.45 s  < W16 2.59 ~ W4 2.62   < W32 3.77
+
+    W=4 ships for blocks <= 8192 (the 1M-row memory-budgeted operating
+    point: ~1.13x the old fixed W=8), W=8 above. Results are
+    W-invariant: the prefilter keeps every true top-k element for any W
+    (an excluded window is dominated by >= bk windows each holding a
+    larger element, and tie-windows selected instead hold equal values at
+    lower indices — FAISS's own tie preference)."""
+    if _WINMAX_W is not None:
+        return _WINMAX_W
+    return 4 if block_rows <= 8192 else 8
 
 
 def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
@@ -349,12 +370,13 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
 
     col = jax.lax.iota(jnp.int32, block_rows)    # [block], 1-D
     bk = min(k, block_rows)
-    gw = block_rows // _WINMAX_W                 # windows per block
+    w = _winmax_w(block_rows)                    # prefilter window width
+    gw = block_rows // w                         # windows per block
     # the prefilter needs enough windows to pick bk of them, and must
     # strictly shrink the top_k input; tiny blocks take the plain path
     use_winmax = (approx_recall is None
-                  and block_rows % _WINMAX_W == 0 and bk <= gw
-                  and bk * _WINMAX_W + k < block_rows)
+                  and block_rows % w == 0 and bk <= gw
+                  and bk * w + k < block_rows)
     cand_w = _cand_width(block_rows, k, approx=approx_recall is not None)
     n_blocks = blocks.shape[0]
     if merge_every is None:
@@ -393,13 +415,13 @@ def _scan_topk(corpus, queries, true_n, k, metric, block_rows,
             # TPU worker outright. The where/gather tile copies are paid
             # for in _default_block_rows' temp multiplier instead, which
             # picks a smaller block at warehouse scale.
-            xw = s.reshape(s.shape[0], gw, _WINMAX_W)
+            xw = s.reshape(s.shape[0], gw, w)
             wmax = xw.max(-1)
             _, wi = jax.lax.top_k(wmax, bk)
             wi = jax.lax.sort(wi, dimension=-1)
             cand = jnp.take_along_axis(xw, wi[:, :, None], 1)
-            ci = (wi[:, :, None] * _WINMAX_W
-                  + jax.lax.iota(jnp.int32, _WINMAX_W)[None, None, :]
+            ci = (wi[:, :, None] * w
+                  + jax.lax.iota(jnp.int32, w)[None, None, :]
                   + (base + index_base))
             return (cand.reshape(cand.shape[0], cand_w),
                     ci.reshape(ci.shape[0], cand_w))

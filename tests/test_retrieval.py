@@ -98,9 +98,10 @@ def test_knn_winmax_path_exact_with_ties(metric):
     corpus[512] = corpus[0]
     queries = rng.integers(-3, 4, size=(33, 16)).astype(np.float32)
     k, block = 8, 512
-    bk, gw = min(k, block), block // knn._WINMAX_W
-    assert block % knn._WINMAX_W == 0 and bk <= gw \
-        and bk * knn._WINMAX_W + k < block   # winmax branch is active
+    w = knn._winmax_w(block)
+    bk, gw = min(k, block), block // w
+    assert block % w == 0 and bk <= gw \
+        and bk * w + k < block   # winmax branch is active
     want_s, want_i = _brute(corpus, queries, k, metric)
     got_s, got_i = knn_search(jnp.asarray(corpus), jnp.asarray(queries),
                               k, metric=metric, block_rows=block)
@@ -123,10 +124,11 @@ def test_knn_winmax_path_with_padding_mid_window(metric):
     corpus = -np.abs(rng.normal(size=(997, 16))).astype(np.float32) - 0.1
     queries = np.abs(rng.normal(size=(9, 16))).astype(np.float32) + 0.1
     k, block = 8, 512
-    bk, gw = min(k, block), block // knn._WINMAX_W
-    assert 997 % knn._WINMAX_W != 0   # pad boundary splits a window
-    assert block % knn._WINMAX_W == 0 and bk <= gw \
-        and bk * knn._WINMAX_W + k < block   # winmax branch is active
+    w = knn._winmax_w(block)
+    bk, gw = min(k, block), block // w
+    assert 997 % w != 0   # pad boundary splits a window
+    assert block % w == 0 and bk <= gw \
+        and bk * w + k < block   # winmax branch is active
     padded, true_n = pad_corpus(corpus, block, metric)
     assert padded.shape[0] == 1024 and true_n == 997
     want_s, want_i = _brute(corpus, queries, k, metric)
@@ -604,8 +606,10 @@ def test_approx_cand_width_and_merge_plan():
     expansion), so merge-every-M gets a bigger grant at the same
     allowance."""
     from multimodalsimilar_tpu.retrieval.knn import (
-        _cand_width, _plan_merge_every)
+        _cand_width, _plan_merge_every, _winmax_w)
     assert _cand_width(8192, 128, approx=True) == 128
-    assert _cand_width(8192, 128) == 128 * 8
+    assert _cand_width(8192, 128) == 128 * _winmax_w(8192)
+    # the measured width rule itself (benchmarks/knn_winmax_width.py)
+    assert _winmax_w(8192) == 4 and _winmax_w(16384) == 8
     assert (_plan_merge_every(32768, 128, 8192, approx=True)
             >= _plan_merge_every(32768, 128, 8192))
