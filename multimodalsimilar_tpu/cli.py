@@ -675,8 +675,8 @@ def _emb_cache(args):
     from multimodalsimilar_tpu.pipelines.embcache import EmbeddingCache
     return EmbeddingCache.open(d, args.fc_dim)
 
-def _build_embed_fn(args, df=None):
-    """Text embedder from a checkpoint (or random init for smoke runs)."""
+def _build_text_embedder(args, df=None):
+    """TextEmbedder from a checkpoint (or random init for smoke runs)."""
     import jax
     import jax.numpy as jnp
     from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
@@ -718,8 +718,14 @@ def _build_embed_fn(args, df=None):
                      quantize_text_tower_params(variables["params"])}
     from multimodalsimilar_tpu.utils.buckets import parse_buckets
     buckets = parse_buckets(getattr(args, "length_buckets", None))
-    embedder = TextEmbedder(model, variables, tok, args.max_length,
-                            args.batch_size, length_buckets=buckets)
+    return TextEmbedder(model, variables, tok, args.max_length,
+                        args.batch_size, length_buckets=buckets)
+
+
+def _build_embed_fn(args, df=None):
+    """key->embedding dict interface over the text embedder (the batch
+    jobs' merge-by-key contract, goodssku_emb.py:183-195)."""
+    embedder = _build_text_embedder(args, df=df)
 
     def embed_fn(sub):
         em = embedder(sub[args.text_col].astype(str).tolist())
@@ -763,15 +769,14 @@ def cmd_similar_nlp(args):
 
 
 def _build_embed_fn_texts(args, df=None):
-    fn = _build_embed_fn(args, df=df)
+    """texts -> [N, D] by calling the TextEmbedder directly — the serve
+    hot path must not pay a DataFrame+dict round-trip per micro-batch on
+    this host's one slow CPU (review finding)."""
+    embedder = _build_text_embedder(args, df=df)
 
     def embed_texts(texts):
-        import pandas as pd
-        sub = pd.DataFrame({args.text_col: texts,
-                            args.key_col: range(len(texts))})
-        d = fn(sub)
         import numpy as np
-        return np.stack([d[str(i)] for i in range(len(texts))])
+        return np.asarray(embedder(list(texts)))
 
     return embed_texts
 

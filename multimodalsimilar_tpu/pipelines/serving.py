@@ -72,25 +72,33 @@ class MicroBatcher:
         self.stats = {"batches": 0, "items": 0, "max_batch_seen": 0}
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        # serializes the closed-check+enqueue against close(): without it a
+        # submitter could pass the check, lose the CPU while close() puts
+        # _CLOSE and the worker exits, then enqueue onto a dead queue — its
+        # Future would never resolve and submit() would block forever
+        self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="microbatch-worker")
         self._worker.start()
 
     def submit_nowait(self, item) -> Future:
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
-        self._q.put((item, fut))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put((item, fut))
         return fut
 
     def submit(self, item):
         return self.submit_nowait(item).result()
 
     def close(self):
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
             self._q.put(_CLOSE)
-            self._worker.join(timeout=30)
+        self._worker.join(timeout=30)
 
     def _run(self):
         while True:
@@ -198,7 +206,17 @@ class SimilarityService:
         ``exclude_key`` drops that key (the query item itself, when it is
         already in the corpus — the online analogue of the batch jobs'
         self-drop).
+
+        Raises ValueError if ``category`` is supplied but the server holds
+        no category column — silently skipping the filter would return
+        cross-category neighbors indistinguishable from a correctly
+        filtered answer (the exact failure the batch jobs' same-lv1 rule
+        exists to prevent, daodian_infer.py:237-245).
         """
+        if category is not None and self._cats is None:
+            raise ValueError(
+                "request passed 'category' but the server was started "
+                "without --category_col — no category data to filter on")
         scores, idx = self._batcher.submit({"op": "similar", "text": text})
         th = self.score_th if score_th is _UNSET else score_th
         k_out = self.k if k is None else max(0, min(k, self.k))
@@ -282,16 +300,22 @@ class _Handler(BaseHTTPRequestHandler):
                 if not isinstance(text, str):
                     return self._reply(400, {"error": "need 'text': str"})
                 kwargs = {}
-                if "k" in req:
-                    kwargs["k"] = int(req["k"])
-                if "score_th" in req:   # explicit null disables the default
-                    kwargs["score_th"] = (None if req["score_th"] is None
-                                          else float(req["score_th"]))
+                try:  # malformed client fields are 400s, not 500s
+                    if "k" in req:
+                        kwargs["k"] = int(req["k"])
+                    if "score_th" in req:   # explicit null disables default
+                        kwargs["score_th"] = (None if req["score_th"] is None
+                                              else float(req["score_th"]))
+                except (TypeError, ValueError) as e:
+                    return self._reply(400, {"error": f"bad field: {e}"})
                 if req.get("category") is not None:
                     kwargs["category"] = str(req["category"])
                 if req.get("exclude_key") is not None:
                     kwargs["exclude_key"] = str(req["exclude_key"])
-                neighbors = svc.similar(text, **kwargs)
+                try:
+                    neighbors = svc.similar(text, **kwargs)
+                except ValueError as e:  # e.g. category w/o --category_col
+                    return self._reply(400, {"error": str(e)})
                 return self._reply(200, {"neighbors": neighbors})
             return self._reply(404, {"error": f"unknown path {self.path}"})
         except Exception as e:  # a failed request must not kill the server

@@ -179,8 +179,11 @@ def _plan_merge_every(q: int, k: int, block_rows: int,
     costs HBM: the [Q, M*cand] f32+i32 buffer plus the merge concat/sort
     growth (M-1 extra cand columns, x2 for sort scratch). Grant the
     largest M in {8, 4, 2} whose incremental footprint fits the allowance
-    — at the 1M-warehouse point (q=32768, cand=1024) that is M=2
-    (+1.0 GB, compile-probed total within the crash-safe zone)."""
+    — at the 1M-warehouse point (q=32768, block 8192 -> W=4, cand=512)
+    that is M=2 (+0.5 GB, compile-probed total within the crash-safe
+    zone; the sweep that picked M=2 ran at the then-fixed W=8/cand=1024,
+    +1.0 GB — still safe, and M keys on the live _cand_width so the
+    width rule and the OOM margin cannot de-sync)."""
     cand = _cand_width(block_rows, k, approx)
     for m in (8, 4, 2):
         extra = 8.0 * q * m * cand + 16.0 * q * (m - 1) * cand

@@ -38,6 +38,7 @@ CASES = {
     "embed_incremental_bert.yaml": ["embed", "incremental", "--data", "x",
                                     "--table", "x"],
     "embed_bulk.yaml": ["embed", "bulk", "--data", "x", "--table", "x"],
+    "serve.yaml": ["serve", "--data", "x"],
 }
 
 

@@ -93,6 +93,34 @@ def test_microbatcher_close_rejects_new_work():
         b.submit(2)
 
 
+def test_microbatcher_submit_vs_close_race_never_strands_a_future():
+    """Review finding: a submitter that passed the closed-check while
+    close() ran could enqueue onto a dead queue and block forever on an
+    unresolved Future. The lock serializes check+enqueue against close:
+    every submit either raises RuntimeError or resolves."""
+    for _ in range(20):                     # hammer the window
+        b = MicroBatcher(lambda items: items, max_batch=8, max_wait_ms=0.1)
+        outcomes = []
+
+        def submitter():
+            try:
+                fut = b.submit_nowait(1)
+            except RuntimeError:
+                outcomes.append("rejected")
+                return
+            outcomes.append(fut.result(timeout=10))   # must resolve
+
+        threads = [threading.Thread(target=submitter) for _ in range(8)]
+        for t in threads:
+            t.start()
+        b.close()
+        for t in threads:
+            t.join(timeout=15)
+            assert not t.is_alive(), "submitter stranded on a dead queue"
+        assert all(o in ("rejected", 1) for o in outcomes)
+        assert len(outcomes) == 8
+
+
 # ------------------------------------------------------- service + filters
 
 def _toy_service(**kw):
@@ -138,6 +166,26 @@ def test_service_similar_ranking_threshold_category_exclude():
         # exclude_key drops the query's own corpus row
         got = svc.similar("qa", exclude_key="a")
         assert [g["key"] for g in got] == ["b", "c", "d"]
+    finally:
+        svc.close()
+
+
+def test_service_category_without_category_data_raises():
+    """Review finding: a request-supplied category on a server with no
+    category column must fail loudly — silently skipping the filter
+    returns cross-category neighbors indistinguishable from a correctly
+    filtered answer."""
+    from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+
+    emb = np.eye(3, dtype=np.float32)
+    engine = SimilarityEngine(emb, ["a", "b", "c"], metric="ip",
+                              normalize=False)
+    svc = SimilarityService(lambda ts: emb[: len(ts)], engine, k=3,
+                            max_wait_ms=1.0)
+    try:
+        assert svc.similar("q")          # no category: fine
+        with pytest.raises(ValueError, match="category_col"):
+            svc.similar("q", category="x")
     finally:
         svc.close()
 
@@ -240,6 +288,25 @@ def test_http_similar_category_filter(serve_cli):
     assert got and all(cat[g["key"]] == want for g in got)
     assert {g["key"] for g in got} <= {p["key"] for p in plain
                                        if cat[p["key"]] == want}
+
+
+def test_http_malformed_fields_are_400_not_500(serve_cli):
+    """Review finding: int(None)/float('x') on client-supplied fields
+    raised inside the handler and came back as 500 server errors — a load
+    balancer treats those as backend faults. They are client errors."""
+    base, service, df = serve_cli
+    text = df["spu_name"][0]
+    for payload in ({"text": text, "k": None},
+                    {"text": text, "k": "abc"},
+                    {"text": text, "score_th": "x"}):
+        try:
+            _post(base + "/similar", payload)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, f"{payload} -> {e.code}"
+            assert "error" in json.loads(e.read())
+    # the server still answers after the bad requests
+    assert _post(base + "/similar", {"text": text})["neighbors"]
 
 
 def test_http_embed_and_errors(serve_cli):
