@@ -1005,7 +1005,9 @@ def _build_serve_service(args):
     df = read_table(args.data)
     if not len(df):
         raise SystemExit("--data table is empty — nothing to serve")
-    for col in (args.text_col, args.key_col):
+    need_cols = [args.key_col] if args.tower == "cv" \
+        else [args.text_col, args.key_col]
+    for col in need_cols:
         if col not in df.columns:
             raise SystemExit(f"column {col!r} not in {args.data} "
                              f"(has: {list(df.columns)})")
@@ -1015,21 +1017,72 @@ def _build_serve_service(args):
             raise SystemExit(f"--category_col {args.category_col!r} not in "
                              f"{args.data} (has: {list(df.columns)})")
         cats = df[args.category_col].tolist()
-    embed_texts = _build_embed_fn_texts(args, df=df)
     backend, mesh, approx = _knn_backend_mesh(args)
     t0 = _time.perf_counter()
-    emb = embed_texts(df[args.text_col].astype(str).tolist())
-    print(f"corpus embedded: {len(df)} rows in "
+    if args.tower == "cv":
+        embed_queries, parser, keys, emb, cats = _serve_cv_corpus(args, df,
+                                                                  cats)
+    else:
+        parser = None    # SimilarityService defaults to TextQueryParser
+        embed_queries = _build_embed_fn_texts(args, df=df)
+        keys = df[args.key_col].astype(str).tolist()
+        emb = embed_queries(df[args.text_col].astype(str).tolist())
+    print(f"corpus embedded: {len(keys)} rows in "
           f"{_time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    engine = SimilarityEngine(emb, df[args.key_col].astype(str).tolist(),
+    engine = SimilarityEngine(emb, keys,
                               categories=cats, metric="ip", normalize=True,
                               mesh=mesh, backend=backend,
                               approx_recall=approx)
-    service = SimilarityService(embed_texts, engine, k=args.k,
+    service = SimilarityService(embed_queries, engine, k=args.k,
                                 score_th=args.score_th,
                                 max_batch=args.max_batch,
-                                max_wait_ms=args.max_wait_ms)
-    return service, len(df)
+                                max_wait_ms=args.max_wait_ms,
+                                query_parser=parser)
+    return service, len(keys)
+
+
+def _serve_cv_corpus(args, df, cats):
+    """(embed_queries, parser, keys, emb, cats) for ``serve --tower cv``:
+    the corpus is embedded from the reference's image layout
+    ({img_root}/{key}/0..7.jpg mean, emb.txt/packed cache respected —
+    daodian_infer.py:259-285); queries arrive as decoded uint8 images from
+    ImageQueryParser and run ImageEmbedder's batched program."""
+    import numpy as np
+
+    from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
+    from multimodalsimilar_tpu.pipelines.serving import ImageQueryParser
+
+    model, variables = _load_cv_tower(args, args.checkpoint,
+                                      args.num_labels)
+    embedder = ImageEmbedder(
+        model, variables, image_size=args.image_size,
+        batch_size=args.batch_size,
+        cache_path_for_key=lambda k: os.path.join(args.img_root, str(k),
+                                                  "emb.txt"),
+        cache=_emb_cache(args), emb_dim=args.fc_dim)
+    keys_all = df[args.key_col].astype(str).tolist()
+    emb_map = embedder.embed_keys(
+        keys_all, lambda k: [os.path.join(args.img_root, k, f"{j}.jpg")
+                             for j in range(8)])
+    # keys without a single readable image drop out of the corpus — and
+    # the category list must stay row-aligned with the survivors
+    live = [i for i, k in enumerate(keys_all) if k in emb_map]
+    if not live:
+        raise SystemExit(f"no readable images under {args.img_root} for "
+                         f"any corpus row — check --img_root/--key_col")
+    if len(live) < len(keys_all):
+        print(f"serve: {len(keys_all) - len(live)} of {len(keys_all)} "
+              f"corpus keys have no readable image and were dropped",
+              file=sys.stderr)
+    keys = [keys_all[i] for i in live]
+    emb = np.stack([emb_map[k] for k in keys])
+    if cats is not None:
+        cats = [cats[i] for i in live]
+
+    def embed_queries(images):
+        return embedder.embed_batch(np.stack(list(images)))
+
+    return embed_queries, ImageQueryParser(args.image_size), keys, emb, cats
 
 
 def cmd_serve(args):
@@ -1040,7 +1093,12 @@ def cmd_serve(args):
     service, n = _build_serve_service(args)
     # warm the serving programs BEFORE accepting traffic: the first
     # request must not pay the tower + k-NN compiles (minutes via relay)
-    service.similar("warmup", k=1)
+    if args.tower == "cv":
+        import numpy as np
+        warm = np.zeros((args.image_size, args.image_size, 3), np.uint8)
+        service.similar(warm, k=1)
+    else:
+        service.similar("warmup", k=1)
     httpd = make_server(service, args.host, args.port)
     host, port = httpd.server_address[:2]
     print(json.dumps({"serving": f"http://{host}:{port}", "corpus": n,
@@ -1587,6 +1645,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     srv = sub.add_parser("serve", allow_abbrev=False)
     srv.add_argument("--config")
+    srv.add_argument("--tower", default="bert", choices=["bert", "cv"],
+                     help="bert: text queries ({'text': ...}); cv: image "
+                          "queries ({'image_b64'|'image_path': ...}) "
+                          "against the EfficientNet/ViT tower — the "
+                          "online analogue of the daodian image jobs")
     srv.add_argument("--data", required=True,
                      help="corpus table (csv/parquet/hive://db.table)")
     srv.add_argument("--key_col", default="spu_sn")
@@ -1628,6 +1691,16 @@ def build_parser() -> argparse.ArgumentParser:
                           "(see 'similar nlp --approx_recall')")
     srv.add_argument("--int8", action="store_true",
                      help="int8 PTQ text tower (see 'similar nlp --int8')")
+    # --tower cv options (ignored for bert)
+    srv.add_argument("--backbone", default="efficientnet_b4")
+    srv.add_argument("--fc_dim", type=int, default=512)
+    srv.add_argument("--image_size", type=int, default=512)
+    srv.add_argument("--img_root", default="./goodssku_image_2",
+                     help="cv corpus images: {img_root}/{key}/0..7.jpg "
+                          "(mean embedding, the daodian layout)")
+    srv.add_argument("--emb_cache", default=None, metavar="DIR",
+                     help="packed embedding cache for the cv corpus "
+                          "(pipelines/embcache.py)")
     srv.set_defaults(fn=cmd_serve)
 
     ckv = sub.add_parser("copy-kv", allow_abbrev=False)

@@ -120,6 +120,22 @@ def decode_image(path: str, min_size: Optional[int] = None
         return None
 
 
+def decode_image_bytes(data: bytes) -> Optional[np.ndarray]:
+    """Decode encoded image bytes (JPEG/PNG/...) to RGB uint8 HWC; None on
+    any failure — the bytes-level analogue of ``decode_image`` for payloads
+    that arrive over the wire instead of from disk (the online serving
+    daemon's base64 image requests, pipelines/serving.py)."""
+    try:
+        import cv2
+        buf = np.frombuffer(data, np.uint8)
+        img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+        if img is None:
+            return None
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except Exception:
+        return None
+
+
 def resize(img: np.ndarray, size: int) -> np.ndarray:
     import cv2
     if img.shape[0] == size and img.shape[1] == size:

@@ -5,8 +5,11 @@ batch jobs and served as static Redis KV (nlp_infer.py:154-172 writes
 ``dj_similar:{spu_sn}``; daodian_infer.py:379-392 writes per-area maps —
 consumers only GET). A production user of the framework needs the
 complementary capability those jobs can't give: answering for a query
-that was NOT in last night's batch. This daemon keeps the text tower and
-the corpus hot on the chip and serves embed / similar queries over HTTP.
+that was NOT in last night's batch. This daemon keeps a tower and the
+corpus hot on the chip and serves embed / similar queries over HTTP —
+text queries against the BERT tower (``cli serve``) or image queries
+(base64 bytes / server paths) against the CV tower (``cli serve --tower
+cv``, the online analogue of the daodian image-similarity jobs).
 
 TPU-shaped design (PERF.md "Serving roofline decomposition"):
 
@@ -46,6 +49,77 @@ import numpy as np
 
 _CLOSE = object()
 _UNSET = object()
+
+
+class TextQueryParser:
+    """Extract text-tower query payloads from request dicts.
+
+    ``one`` (the /similar shape) and ``many`` (the /embed shape) raise
+    ValueError with a client-facing message on malformed input — the
+    handler maps that to a 400.
+    """
+
+    def one(self, req: dict) -> str:
+        text = req.get("text")
+        if not isinstance(text, str):
+            raise ValueError("need 'text': str")
+        return text
+
+    def many(self, req: dict) -> List[str]:
+        texts = req.get("texts")
+        if texts is None and "text" in req:
+            texts = [req["text"]]
+        if not isinstance(texts, list) or \
+                not all(isinstance(t, str) for t in texts):
+            raise ValueError("need 'texts': [str, ...]")
+        return texts
+
+
+class ImageQueryParser:
+    """Extract image-tower query payloads: ``image_b64`` (base64-encoded
+    JPEG/PNG bytes) or ``image_path`` (server-local file) -> resized RGB
+    uint8 [S, S, 3]. Decode + resize happen on the HANDLER thread, so the
+    device worker's micro-batch only runs the tower (the same host/device
+    split as the batch pipelines: uint8 ships to the device, normalization
+    is on-chip — PERF.md 'Relay H2D')."""
+
+    def __init__(self, image_size: int):
+        self.image_size = image_size
+
+    def one(self, req: dict) -> np.ndarray:
+        from multimodalsimilar_tpu.data import images as I
+        if req.get("image_b64") is not None:
+            import base64
+            import binascii
+            if not isinstance(req["image_b64"], str):
+                raise ValueError("'image_b64' must be a base64 string")
+            try:
+                raw = base64.b64decode(req["image_b64"], validate=True)
+            except (binascii.Error, TypeError, ValueError) as e:
+                raise ValueError(f"bad image_b64: {e}")
+            img = I.decode_image_bytes(raw)
+            if img is None:
+                raise ValueError("image_b64 bytes did not decode to an "
+                                 "image (JPEG/PNG expected)")
+        elif req.get("image_path") is not None:
+            img = I.decode_image(str(req["image_path"]))
+            if img is None:
+                raise ValueError(
+                    f"could not read image_path {req['image_path']!r}")
+        else:
+            raise ValueError("need 'image_b64' (base64 JPEG/PNG) or "
+                             "'image_path'")
+        return I.resize(img, self.image_size)
+
+    def many(self, req: dict) -> List[np.ndarray]:
+        for field, key in (("images_b64", "image_b64"),
+                           ("image_paths", "image_path")):
+            if field in req:
+                vals = req[field]
+                if not isinstance(vals, list) or not vals:
+                    raise ValueError(f"'{field}' must be a non-empty list")
+                return [self.one({key: v}) for v in vals]
+        return [self.one(req)]
 
 
 class MicroBatcher:
@@ -144,18 +218,24 @@ class MicroBatcher:
 class SimilarityService:
     """Hot tower + corpus; answers embed / similar queries.
 
-    ``embed_texts(list[str]) -> [N, D] np.ndarray`` is the batched tower
-    call (a TextEmbedder closure); ``engine`` is a SimilarityEngine whose
-    corpus rows correspond to ``engine.keys`` / ``engine.categories``.
+    ``embed_queries(list[payload]) -> [N, D] np.ndarray`` is the batched
+    tower call — a TextEmbedder closure over ``list[str]`` for the text
+    tower, or an ImageEmbedder.embed_batch closure over decoded uint8
+    images for the CV tower. ``engine`` is a SimilarityEngine whose corpus
+    rows correspond to ``engine.keys`` / ``engine.categories``.
+    ``query_parser`` (default TextQueryParser) extracts payloads from HTTP
+    request dicts; the service itself is payload-agnostic.
     """
 
-    def __init__(self, embed_texts: Callable[[Sequence[str]], np.ndarray],
+    def __init__(self, embed_queries: Callable[[Sequence], np.ndarray],
                  engine, k: int = 13, score_th: Optional[float] = None,
-                 max_batch: int = 64, max_wait_ms: float = 5.0):
+                 max_batch: int = 64, max_wait_ms: float = 5.0,
+                 query_parser=None):
         self.engine = engine
         self.k = min(k, engine.n) if engine.n else k
         self.score_th = score_th
-        self._embed_texts = embed_texts
+        self.parser = query_parser or TextQueryParser()
+        self._embed_queries = embed_queries
         self._cats = (np.asarray(engine.categories, dtype=object)
                       if engine.categories is not None else None)
         self._keys = np.asarray(engine.keys, dtype=object)
@@ -168,7 +248,7 @@ class SimilarityService:
     # -- device-worker side -------------------------------------------------
 
     def _run_batch(self, items: List[dict]) -> List[object]:
-        emb = self._embed_texts([it["text"] for it in items])
+        emb = self._embed_queries([it["query"] for it in items])
         need_knn = [i for i, it in enumerate(items) if it["op"] == "similar"]
         out: List[object] = [None] * len(items)
         if need_knn:
@@ -183,23 +263,25 @@ class SimilarityService:
 
     # -- request side (any thread) -------------------------------------------
 
-    def embed(self, texts: Sequence[str]) -> np.ndarray:
-        # each text is its own queue item so concurrent callers coalesce
+    def embed(self, queries: Sequence) -> np.ndarray:
+        # each query is its own queue item so concurrent callers coalesce
         # fairly; ALL futures are enqueued before the first blocking wait,
         # so one caller's list still lands in one batch rather than
         # serializing one-item batches
-        if not texts:
+        if not len(queries):
             return np.zeros((0, 0), np.float32)
-        futs = [self._batcher.submit_nowait({"op": "embed", "text": t})
-                for t in texts]
+        futs = [self._batcher.submit_nowait({"op": "embed", "query": q})
+                for q in queries]
         return np.stack([f.result() for f in futs])
 
-    def similar(self, text: str, k: Optional[int] = None,
+    def similar(self, query, k: Optional[int] = None,
                 score_th=_UNSET,
                 category: Optional[str] = None,
                 exclude_key: Optional[str] = None) -> List[dict]:
         """Ranked ``[{key, score}, ...]`` under the request's rules.
 
+        ``query`` is whatever ``embed_queries`` accepts one of (a str for
+        the text tower, a resized uint8 image for the CV tower).
         ``k`` caps the answer (never exceeds the service k the search ran
         with); ``score_th`` overrides the service default (None disables);
         ``category`` keeps only same-category corpus neighbors;
@@ -217,7 +299,7 @@ class SimilarityService:
             raise ValueError(
                 "request passed 'category' but the server was started "
                 "without --category_col — no category data to filter on")
-        scores, idx = self._batcher.submit({"op": "similar", "text": text})
+        scores, idx = self._batcher.submit({"op": "similar", "query": query})
         th = self.score_th if score_th is _UNSET else score_th
         k_out = self.k if k is None else max(0, min(k, self.k))
         out: List[dict] = []
@@ -286,19 +368,17 @@ class _Handler(BaseHTTPRequestHandler):
         svc = self.server.service
         try:
             if self.path == "/embed":
-                texts = req.get("texts")
-                if texts is None and "text" in req:
-                    texts = [req["text"]]
-                if not isinstance(texts, list) or \
-                        not all(isinstance(t, str) for t in texts):
-                    return self._reply(400, {"error": "need 'texts': "
-                                                      "[str, ...]"})
-                emb = svc.embed(texts)
+                try:
+                    queries = svc.parser.many(req)
+                except ValueError as e:
+                    return self._reply(400, {"error": str(e)})
+                emb = svc.embed(queries)
                 return self._reply(200, {"embeddings": emb.tolist()})
             if self.path == "/similar":
-                text = req.get("text")
-                if not isinstance(text, str):
-                    return self._reply(400, {"error": "need 'text': str"})
+                try:
+                    query = svc.parser.one(req)
+                except ValueError as e:
+                    return self._reply(400, {"error": str(e)})
                 kwargs = {}
                 try:  # malformed client fields are 400s, not 500s
                     if "k" in req:
@@ -313,7 +393,7 @@ class _Handler(BaseHTTPRequestHandler):
                 if req.get("exclude_key") is not None:
                     kwargs["exclude_key"] = str(req["exclude_key"])
                 try:
-                    neighbors = svc.similar(text, **kwargs)
+                    neighbors = svc.similar(query, **kwargs)
                 except ValueError as e:  # e.g. category w/o --category_col
                     return self._reply(400, {"error": str(e)})
                 return self._reply(200, {"neighbors": neighbors})

@@ -39,6 +39,7 @@ CASES = {
                                     "--table", "x"],
     "embed_bulk.yaml": ["embed", "bulk", "--data", "x", "--table", "x"],
     "serve.yaml": ["serve", "--data", "x"],
+    "serve_cv.yaml": ["serve", "--data", "x"],
 }
 
 

@@ -347,3 +347,142 @@ def test_http_concurrent_burst_coalesces(serve_cli):
     # 12 concurrent requests must take fewer than 12 device batches
     assert service.stats["batches"] - before < 12
     assert service.stats["max_batch_seen"] > 1
+
+
+# --------------------------------------------------- cv tower (image serve)
+
+def _b64_img(img, ext=".png"):
+    """base64 of the encoded image bytes; PNG by default so a query built
+    from a decoded corpus image is pixel-identical to what the server
+    embedded (JPEG would re-lossy-compress)."""
+    import base64
+
+    import cv2
+    ok, buf = cv2.imencode(ext, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    assert ok
+    return base64.b64encode(buf.tobytes()).decode()
+
+
+def test_image_query_parser_decodes_resizes_and_rejects():
+    from multimodalsimilar_tpu.pipelines.serving import ImageQueryParser
+
+    p = ImageQueryParser(16)
+    img = np.full((20, 24, 3), 99, np.uint8)
+    out = p.one({"image_b64": _b64_img(img)})
+    assert out.shape == (16, 16, 3) and out.dtype == np.uint8
+    # many: list form, order preserved
+    outs = p.many({"images_b64": [_b64_img(img), _b64_img(img // 2)]})
+    assert len(outs) == 2 and outs[0].mean() > outs[1].mean()
+    # malformed inputs -> ValueError with a client-facing message
+    for req, msg in [({}, "image_b64"),
+                     ({"image_b64": "!!!"}, "bad image_b64"),
+                     ({"image_b64": 42}, "base64 string"),
+                     ({"image_b64": _b64_img(img)[:-20]}, "image_b64"),
+                     ({"image_path": "/nope/missing.jpg"}, "image_path"),
+                     ({"images_b64": []}, "non-empty"),
+                     ({"images_b64": "x"}, "non-empty")]:
+        with pytest.raises(ValueError, match=msg):
+            (p.many if "images_b64" in req else p.one)(req)
+
+
+@pytest.fixture(scope="module")
+def serve_cv_cli(tmp_path_factory):
+    """Real CLI path for --tower cv: image corpus on disk (the daodian
+    {img_root}/{key}/0.jpg layout) -> _build_serve_service -> HTTP."""
+    import cv2
+
+    from multimodalsimilar_tpu.cli import _build_serve_service, build_parser
+
+    tmp = tmp_path_factory.mktemp("serve_cv")
+    root = tmp / "imgs"
+    n = 12
+    rng = np.random.default_rng(7)
+    imgs = {}
+    for i in range(n):
+        key = f"sku{i}"
+        img = rng.integers(0, 255, size=(24, 24, 3)).astype(np.uint8)
+        (root / key).mkdir(parents=True)
+        path = str(root / key / "0.jpg")
+        cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        # keep what the SERVER decoded (jpeg is lossy): a PNG query built
+        # from this is pixel-identical to the embedded corpus image
+        imgs[key] = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+    # one corpus row with NO readable image: must be dropped, with the
+    # category list re-aligned to the survivors
+    df = pd.DataFrame({
+        "spu_sn": [f"sku{i}" for i in range(n)] + ["ghost"],
+        "lv1": [str(i % 3) for i in range(n)] + ["9"]})
+    data = str(tmp / "corpus.csv")
+    df.to_csv(data, index=False)
+    args = build_parser().parse_args(
+        ["serve", "--tower", "cv", "--data", data, "--img_root", str(root),
+         "--category_col", "lv1", "--backbone", "tiny",
+         "--image_size", "16", "--fc_dim", "8", "--batch_size", "8",
+         "--k", "5", "--score_th", "0.0", "--max_wait_ms", "2"])
+    service, n_served = _build_serve_service(args)
+    assert n_served == n            # ghost dropped
+    httpd = make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, service, imgs
+    httpd.shutdown()
+    httpd.server_close()
+    service.close()
+    thread.join(timeout=10)
+
+
+def test_http_cv_similar_own_image_ranks_first(serve_cv_cli):
+    base, service, imgs = serve_cv_cli
+    # query with sku3's exact corpus image: deterministic tower, so its
+    # own key comes back at cosine ~1.0
+    got = _post(base + "/similar",
+                {"image_b64": _b64_img(imgs["sku3"]),
+                 "score_th": None})["neighbors"]
+    assert got[0]["key"] == "sku3"
+    assert got[0]["score"] == pytest.approx(1.0, abs=1e-3)
+    # exclude_key drops it (the online self-drop)
+    got = _post(base + "/similar",
+                {"image_b64": _b64_img(imgs["sku3"]), "score_th": None,
+                 "exclude_key": "sku3"})["neighbors"]
+    assert got and all(g["key"] != "sku3" for g in got)
+
+
+def test_http_cv_category_filter_and_errors(serve_cv_cli):
+    base, service, imgs = serve_cv_cli
+    got = _post(base + "/similar",
+                {"image_b64": _b64_img(imgs["sku4"]), "score_th": None,
+                 "category": "1"})["neighbors"]
+    # corpus categories are i%3: only sku1, sku4, sku7, sku10 are "1"
+    assert got and {g["key"] for g in got} <= {"sku1", "sku4", "sku7",
+                                               "sku10"}
+    # text-shaped request against a cv server is a 400, not a 500
+    for payload in ({"text": "hello"}, {"image_b64": "!!!"}):
+        try:
+            _post(base + "/similar", payload)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+    # the server still answers afterwards
+    assert _post(base + "/similar",
+                 {"image_b64": _b64_img(imgs["sku0"]),
+                  "score_th": None})["neighbors"]
+
+
+def test_http_cv_embed_batch_and_path_queries(serve_cv_cli, tmp_path):
+    import cv2
+
+    base, service, imgs = serve_cv_cli
+    out = _post(base + "/embed",
+                {"images_b64": [_b64_img(imgs["sku0"]),
+                                _b64_img(imgs["sku1"])]})
+    emb = np.asarray(out["embeddings"], np.float32)
+    assert emb.shape == (2, 8)
+    assert not np.allclose(emb[0], emb[1])
+    # image_path form: server-local file, same answer as its b64 twin
+    p = str(tmp_path / "q.png")     # lossless: pixel-equal to the corpus
+    cv2.imwrite(p, cv2.cvtColor(imgs["sku0"], cv2.COLOR_RGB2BGR))
+    got = _post(base + "/similar",
+                {"image_path": p, "score_th": None})["neighbors"]
+    assert got[0]["key"] == "sku0"
