@@ -821,15 +821,10 @@ def _kv_sink(args):
     return InMemoryKVSink()
 
 
-def _fused_embeddings(args, df):
-    """Compute fused 2560-d embeddings in-process from a multimodal
-    checkpoint — what the reference job does (multimodal_infer.py:119-134
-    torch.loads the model and embeds per row). Returns (embeddings,
-    surviving row positions): rows whose image fails to load are skipped
-    like the reference's per-row try/except."""
-    import numpy as np
-
-    from multimodalsimilar_tpu.data import images as I
+def _multimodal_embedder(args, df):
+    """MultimodalEmbedder over the checkpointed fused tower — shared by
+    the offline similar job (_fused_embeddings) and the online serving
+    daemon (serve --tower multimodal)."""
     from multimodalsimilar_tpu.models.multimodal import MultimodalClassifier
     from multimodalsimilar_tpu.models.vision import backbone_config
     from multimodalsimilar_tpu.pipelines.embedders import MultimodalEmbedder
@@ -848,8 +843,22 @@ def _fused_embeddings(args, df):
     variables = {"params": state["params"]}
     if state.get("batch_stats"):
         variables["batch_stats"] = state["batch_stats"]
-    embedder = MultimodalEmbedder(model, variables, tok, args.max_length,
-                                  args.image_size, args.batch_size)
+    return MultimodalEmbedder(model, variables, tok, args.max_length,
+                              args.image_size, args.batch_size)
+
+
+def _fused_embeddings(args, df, embedder=None):
+    """Compute fused 2560-d embeddings in-process from a multimodal
+    checkpoint — what the reference job does (multimodal_infer.py:119-134
+    torch.loads the model and embeds per row). Returns (embeddings,
+    surviving row positions): rows whose image fails to load are skipped
+    like the reference's per-row try/except."""
+    import numpy as np
+
+    from multimodalsimilar_tpu.data import images as I
+
+    if embedder is None:
+        embedder = _multimodal_embedder(args, df)
     # decode + embed in bounded chunks: a warehouse-scale table must not
     # hold every decoded image in host RAM at once (~433 KB per 380px row)
     chunk_rows = max(args.batch_size, 1) * 8
@@ -1005,8 +1014,10 @@ def _build_serve_service(args):
     df = read_table(args.data)
     if not len(df):
         raise SystemExit("--data table is empty — nothing to serve")
-    need_cols = [args.key_col] if args.tower == "cv" \
-        else [args.text_col, args.key_col]
+    need_cols = {"bert": [args.text_col, args.key_col],
+                 "multimodal": [args.text_col, args.key_col],
+                 "cv": [args.key_col],
+                 "fasttext": [args.key_col]}[args.tower]
     for col in need_cols:
         if col not in df.columns:
             raise SystemExit(f"column {col!r} not in {args.data} "
@@ -1019,9 +1030,20 @@ def _build_serve_service(args):
         cats = df[args.category_col].tolist()
     backend, mesh, approx = _knn_backend_mesh(args)
     t0 = _time.perf_counter()
+    metric, normalize = "ip", True
     if args.tower == "cv":
         embed_queries, parser, keys, emb, cats = _serve_cv_corpus(args, df,
                                                                   cats)
+    elif args.tower == "multimodal":
+        embed_queries, parser, keys, emb, cats = \
+            _serve_multimodal_corpus(args, df, cats)
+        # the fused job searches UN-normalized squared L2
+        # (multimodal_infer.py:140-145 IndexFlatL2) — scores ascend, and
+        # a request's score_th means "max distance"
+        metric, normalize = "l2", False
+    elif args.tower == "fasttext":
+        embed_queries, parser, keys, emb, cats = \
+            _serve_fasttext_corpus(args, df, cats)
     else:
         parser = None    # SimilarityService defaults to TextQueryParser
         embed_queries = _build_embed_fn_texts(args, df=df)
@@ -1030,15 +1052,30 @@ def _build_serve_service(args):
     print(f"corpus embedded: {len(keys)} rows in "
           f"{_time.perf_counter() - t0:.1f}s", file=sys.stderr)
     engine = SimilarityEngine(emb, keys,
-                              categories=cats, metric="ip", normalize=True,
+                              categories=cats, metric=metric,
+                              normalize=normalize,
                               mesh=mesh, backend=backend,
                               approx_recall=approx)
     service = SimilarityService(embed_queries, engine, k=args.k,
-                                score_th=args.score_th,
+                                score_th=_serve_score_th(args),
                                 max_batch=args.max_batch,
                                 max_wait_ms=args.max_wait_ms,
                                 query_parser=parser)
     return service, len(keys)
+
+
+# Per-tower default thresholds = the reference jobs' own operating points:
+# bert 0.9 (nlp_infer.py:152,163), cv 0.15 / fasttext -0.6
+# (daodian_infer.py:79-82), multimodal None (multimodal_infer.py:147-159
+# applies no threshold to its L2 top-13).
+_SERVE_SCORE_TH = {"bert": 0.9, "cv": 0.15, "fasttext": -0.6,
+                   "multimodal": None}
+
+
+def _serve_score_th(args):
+    if args.score_th is None:   # flag unset -> the tower's reference point
+        return _SERVE_SCORE_TH[args.tower]
+    return args.score_th
 
 
 def _serve_cv_corpus(args, df, cats):
@@ -1085,6 +1122,69 @@ def _serve_cv_corpus(args, df, cats):
     return embed_queries, ImageQueryParser(args.image_size), keys, emb, cats
 
 
+def _serve_multimodal_corpus(args, df, cats):
+    """(embed_queries, parser, keys, emb, cats) for ``serve --tower
+    multimodal``: corpus rows are (text_col, {img_root}/{key}.jpg) pairs
+    fused through the checkpointed 2560-d tower (the multimodal_infer.py
+    input layout); queries arrive as (text, image) pairs from
+    MultimodalQueryParser and run the same batched fused program."""
+    import numpy as np
+
+    from multimodalsimilar_tpu.pipelines.serving import MultimodalQueryParser
+
+    if not args.checkpoint:
+        raise SystemExit("serve --tower multimodal requires --checkpoint "
+                         "(a trained fused model — cli train multimodal)")
+    embedder = _multimodal_embedder(args, df)
+    emb, keep = _fused_embeddings(args, df, embedder=embedder)
+    keys_all = df[args.key_col].astype(str).tolist()
+    if len(keep) < len(keys_all):
+        print(f"serve: {len(keys_all) - len(keep)} of {len(keys_all)} "
+              f"corpus keys have no readable image and were dropped",
+              file=sys.stderr)
+    keys = [keys_all[i] for i in keep]
+    if cats is not None:
+        cats = [cats[i] for i in keep]
+
+    def embed_queries(pairs):
+        pairs = list(pairs)
+        return embedder(np.stack([img for _, img in pairs]),
+                        [text for text, _ in pairs])
+
+    return (embed_queries, MultimodalQueryParser(args.image_size), keys,
+            emb, cats)
+
+
+def _serve_fasttext_corpus(args, df, cats):
+    """(embed_queries, parser, keys, emb, cats) for ``serve --tower
+    fasttext``: the daodian text side online — fastText sentence vectors
+    (d=100), L2-normalized IP search (daodian_infer.py:204-247). Corpus
+    titles come from text_col, or gen_title when the column is absent
+    (the batch job's own fallback, cli similar daodian)."""
+    ft = _load_fasttext(args)
+    if args.text_col in df.columns:
+        texts = df[args.text_col].astype(str).tolist()
+    else:
+        from multimodalsimilar_tpu.data.text import gen_title
+        try:
+            texts = df.apply(gen_title, axis=1).tolist()
+        except (KeyError, AttributeError):
+            raise SystemExit(
+                f"column {args.text_col!r} not in {args.data} and the "
+                "gen_title fallback needs the daodian columns "
+                "(first/second_level_category_name, spu_name, title) — "
+                "pass --text_col")
+        print(f"serve: {args.text_col!r} not in table — corpus titles "
+              "built with gen_title (the daodian batch job's layout)",
+              file=sys.stderr)
+    keys = df[args.key_col].astype(str).tolist()
+
+    def embed_queries(qtexts):
+        return ft.get_sentence_vector(list(qtexts))
+
+    return embed_queries, None, keys, embed_queries(texts), cats
+
+
 def cmd_serve(args):
     """Online similarity daemon — the capability the reference's
     precomputed Redis KV can't give (a query NOT in last night's batch).
@@ -1093,10 +1193,11 @@ def cmd_serve(args):
     service, n = _build_serve_service(args)
     # warm the serving programs BEFORE accepting traffic: the first
     # request must not pay the tower + k-NN compiles (minutes via relay)
-    if args.tower == "cv":
+    if args.tower in ("cv", "multimodal"):
         import numpy as np
         warm = np.zeros((args.image_size, args.image_size, 3), np.uint8)
-        service.similar(warm, k=1)
+        service.similar(warm if args.tower == "cv" else ("warmup", warm),
+                        k=1)
     else:
         service.similar("warmup", k=1)
     httpd = make_server(service, args.host, args.port)
@@ -1645,11 +1746,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     srv = sub.add_parser("serve", allow_abbrev=False)
     srv.add_argument("--config")
-    srv.add_argument("--tower", default="bert", choices=["bert", "cv"],
+    srv.add_argument("--tower", default="bert",
+                     choices=["bert", "cv", "multimodal", "fasttext"],
                      help="bert: text queries ({'text': ...}); cv: image "
                           "queries ({'image_b64'|'image_path': ...}) "
-                          "against the EfficientNet/ViT tower — the "
-                          "online analogue of the daodian image jobs")
+                          "against the EfficientNet/ViT tower (the online "
+                          "daodian image job); multimodal: fused "
+                          "text+image pairs, un-normalized L2 like "
+                          "multimodal_infer; fasttext: text queries on "
+                          "fastText sentence vectors (the daodian text "
+                          "side)")
     srv.add_argument("--data", required=True,
                      help="corpus table (csv/parquet/hive://db.table)")
     srv.add_argument("--key_col", default="spu_sn")
@@ -1671,9 +1777,12 @@ def build_parser() -> argparse.ArgumentParser:
     srv.add_argument("--length_buckets", default=None,
                      help="comma list of shorter seq buckets, e.g. 24,48")
     srv.add_argument("--k", type=int, default=13)
-    srv.add_argument("--score_th", type=float, default=0.9,
+    srv.add_argument("--score_th", type=float, default=None,
                      help="default score threshold (requests may override "
-                          "with 'score_th', null disables)")
+                          "with 'score_th', null disables). Unset, each "
+                          "tower uses its reference job's operating "
+                          "point: bert 0.9, cv 0.15, fasttext -0.6, "
+                          "multimodal none (L2: th = max distance)")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=8476,
                      help="0 picks a free port (printed on the ready line)")
@@ -1691,16 +1800,21 @@ def build_parser() -> argparse.ArgumentParser:
                           "(see 'similar nlp --approx_recall')")
     srv.add_argument("--int8", action="store_true",
                      help="int8 PTQ text tower (see 'similar nlp --int8')")
-    # --tower cv options (ignored for bert)
+    # --tower cv / multimodal options (ignored for bert)
     srv.add_argument("--backbone", default="efficientnet_b4")
     srv.add_argument("--fc_dim", type=int, default=512)
     srv.add_argument("--image_size", type=int, default=512)
     srv.add_argument("--img_root", default="./goodssku_image_2",
                      help="cv corpus images: {img_root}/{key}/0..7.jpg "
-                          "(mean embedding, the daodian layout)")
+                          "(mean embedding, the daodian layout); "
+                          "multimodal corpus images: {img_root}/{key}.jpg")
     srv.add_argument("--emb_cache", default=None, metavar="DIR",
                      help="packed embedding cache for the cv corpus "
                           "(pipelines/embcache.py)")
+    # --tower fasttext option
+    srv.add_argument("--fasttext_model",
+                     help="pickled FastTextClassifier (--tower fasttext; "
+                          "train one with: cli train fasttext)")
     srv.set_defaults(fn=cmd_serve)
 
     ckv = sub.add_parser("copy-kv", allow_abbrev=False)

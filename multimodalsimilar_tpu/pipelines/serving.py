@@ -122,6 +122,38 @@ class ImageQueryParser:
         return [self.one(req)]
 
 
+class MultimodalQueryParser:
+    """Extract fused-tower queries: ``text`` (str) plus an image
+    (``image_b64`` / ``image_path`` — ImageQueryParser's fields) -> a
+    ``(text, resized uint8 image)`` pair for MultimodalEmbedder. The batch
+    form zips ``texts`` with ``images_b64``/``image_paths`` positionally
+    (equal lengths required). Mirrors the offline fused job's per-row
+    (title, {key}.jpg) input (multimodal_infer.py:127-134)."""
+
+    def __init__(self, image_size: int):
+        self._text = TextQueryParser()
+        self._image = ImageQueryParser(image_size)
+
+    def one(self, req: dict) -> tuple:
+        if not isinstance(req.get("text"), str):
+            raise ValueError("need 'text': str (plus 'image_b64' or "
+                             "'image_path') — the fused tower embeds a "
+                             "text+image pair")
+        return (req["text"], self._image.one(req))
+
+    def many(self, req: dict) -> List[tuple]:
+        if "texts" not in req and "images_b64" not in req \
+                and "image_paths" not in req:
+            return [self.one(req)]
+        texts = self._text.many(req)
+        images = self._image.many(req)
+        if len(texts) != len(images):
+            raise ValueError(
+                f"'texts' ({len(texts)}) and images ({len(images)}) must "
+                "have the same length — pairs are zipped positionally")
+        return list(zip(texts, images))
+
+
 class MicroBatcher:
     """Coalesce concurrent blocking submissions into batched calls.
 

@@ -40,6 +40,8 @@ CASES = {
     "embed_bulk.yaml": ["embed", "bulk", "--data", "x", "--table", "x"],
     "serve.yaml": ["serve", "--data", "x"],
     "serve_cv.yaml": ["serve", "--data", "x"],
+    "serve_multimodal.yaml": ["serve", "--data", "x"],
+    "serve_fasttext.yaml": ["serve", "--data", "x"],
 }
 
 

@@ -486,3 +486,211 @@ def test_http_cv_embed_batch_and_path_queries(serve_cv_cli, tmp_path):
     got = _post(base + "/similar",
                 {"image_path": p, "score_th": None})["neighbors"]
     assert got[0]["key"] == "sku0"
+
+
+# ------------------------------------------- multimodal tower (fused serve)
+
+def test_multimodal_query_parser_pairs_and_rejects():
+    from multimodalsimilar_tpu.pipelines.serving import MultimodalQueryParser
+
+    p = MultimodalQueryParser(16)
+    img = np.full((20, 24, 3), 99, np.uint8)
+    b64 = _b64_img(img)
+    text, out = p.one({"text": "苹果", "image_b64": b64})
+    assert text == "苹果" and out.shape == (16, 16, 3)
+    # batch form zips positionally
+    pairs = p.many({"texts": ["a", "b"], "images_b64": [b64, b64]})
+    assert [t for t, _ in pairs] == ["a", "b"]
+    # singular form through many
+    assert len(p.many({"text": "a", "image_b64": b64})) == 1
+    for req, msg in [({"image_b64": b64}, "text"),
+                     ({"text": "a"}, "image_b64"),
+                     ({"texts": ["a"], "images_b64": [b64, b64]},
+                      "same length"),
+                     ({"texts": ["a", "b"]}, "image"),
+                     ({"images_b64": [b64]}, "texts")]:
+        with pytest.raises(ValueError, match=msg):
+            (p.many if ("texts" in req or "images_b64" in req)
+             else p.one)(req)
+
+
+@pytest.fixture(scope="module")
+def serve_mm_cli(tmp_path_factory):
+    """Real CLI path for --tower multimodal: train a tiny fused model,
+    then serve its checkpoint over the {img_root}/{key}.jpg corpus."""
+    import cv2
+
+    from multimodalsimilar_tpu.cli import (_build_serve_service,
+                                           build_parser, main)
+
+    tmp = tmp_path_factory.mktemp("serve_mm")
+    root = tmp / "imgs"
+    root.mkdir()
+    n = 10
+    rng = np.random.default_rng(3)
+    imgs = {}
+    for i in range(n):
+        key = f"sku{i}"
+        img = rng.integers(0, 255, size=(20, 20, 3)).astype(np.uint8)
+        path = str(root / f"{key}.jpg")
+        cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        imgs[key] = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+    df = pd.DataFrame({
+        "spu_sn": [f"sku{i}" for i in range(n)] + ["ghost"],
+        "spu_name": [f"商品{i}号" for i in range(n)] + ["鬼"],
+        "cateid": [i % 2 for i in range(n)] + [0],
+        "lv1": [str(i % 2) for i in range(n)] + ["9"]})
+    data = str(tmp / "mm.csv")
+    df.to_csv(data, index=False)
+    out = str(tmp / "out")
+    main(["train", "multimodal", "--data", data, "--img_root", str(root),
+          "--output", out, "--backbone", "tiny", "--image_size", "16",
+          "--fc_dim", "8", "--text_col", "spu_name", "--label_col",
+          "cateid", "--batch_size", "8", "--epochs", "1",
+          "--max_length", "8", "--eval_every", "1000000",
+          "--save_every", "2"])
+    args = build_parser().parse_args(
+        ["serve", "--tower", "multimodal", "--data", data,
+         "--img_root", str(root), "--checkpoint", f"{out}/ckpt",
+         "--tokenizer", f"{out}/vocab.txt", "--backbone", "tiny",
+         "--bert_preset", "tiny", "--image_size", "16", "--fc_dim", "8",
+         "--num_labels", "2", "--max_length", "8", "--batch_size", "8",
+         "--category_col", "lv1", "--k", "5", "--max_wait_ms", "2"])
+    service, n_served = _build_serve_service(args)
+    assert n_served == n                 # ghost (no image) dropped
+    assert service.engine.metric == "l2" # multimodal_infer IndexFlatL2
+    assert service.score_th is None      # reference applies no threshold
+    httpd = make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    texts = {f"sku{i}": f"商品{i}号" for i in range(n)}
+    yield base, service, imgs, texts
+    httpd.shutdown()
+    httpd.server_close()
+    service.close()
+    thread.join(timeout=10)
+
+
+def test_http_multimodal_own_pair_ranks_first(serve_mm_cli):
+    base, service, imgs, texts = serve_mm_cli
+    got = _post(base + "/similar",
+                {"text": texts["sku2"],
+                 "image_b64": _b64_img(imgs["sku2"])})["neighbors"]
+    # exact corpus pair: squared-L2 distance ~0, ranked first; L2 scores
+    # ascend down the list
+    assert got[0]["key"] == "sku2"
+    assert got[0]["score"] == pytest.approx(0.0, abs=1e-3)
+    scores = [g["score"] for g in got]
+    assert scores == sorted(scores)
+    # score_th on L2 = max distance: th below the 2nd neighbor keeps 1
+    tight = _post(base + "/similar",
+                  {"text": texts["sku2"], "image_b64": _b64_img(imgs["sku2"]),
+                   "score_th": (scores[0] + scores[1]) / 2})["neighbors"]
+    assert [g["key"] for g in tight] == ["sku2"]
+
+
+def test_http_multimodal_embed_batch_and_errors(serve_mm_cli):
+    base, service, imgs, texts = serve_mm_cli
+    out = _post(base + "/embed",
+                {"texts": [texts["sku0"], texts["sku1"]],
+                 "images_b64": [_b64_img(imgs["sku0"]),
+                                _b64_img(imgs["sku1"])]})
+    emb = np.asarray(out["embeddings"], np.float32)
+    # fused dim = image fc_dim (8) + text hidden (tiny bert, 64) — the
+    # reference's 1792 + 768 = 2560 shape (multimodal_classifier.py:50-57)
+    assert emb.shape[0] == 2 and emb.shape[1] == 72
+    assert not np.allclose(emb[0], emb[1])
+    # category filter rides the same engine path
+    got = _post(base + "/similar",
+                {"text": texts["sku1"], "image_b64": _b64_img(imgs["sku1"]),
+                 "category": "1"})["neighbors"]
+    assert got and all(int(g["key"][3:]) % 2 == 1 for g in got)
+    # text-only and image-only are 400s, not 500s
+    for payload in ({"text": "x"}, {"image_b64": _b64_img(imgs["sku0"])}):
+        try:
+            _post(base + "/similar", payload)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+
+# ------------------------------------------------- fasttext tower (serve)
+
+@pytest.fixture(scope="module")
+def serve_ft_cli(tmp_path_factory):
+    """--tower fasttext: the daodian text side online. Tiny corpus with
+    two word families so nearest-neighbor structure is deterministic."""
+    import pickle
+
+    from multimodalsimilar_tpu.cli import _build_serve_service, build_parser
+    from multimodalsimilar_tpu.models.fasttext import train_supervised
+
+    tmp = tmp_path_factory.mktemp("serve_ft")
+    fruit = [f"苹果 香蕉 水果 {i}" for i in range(8)]
+    dairy = [f"牛奶 酸奶 乳品 {i}" for i in range(8)]
+    titles = fruit + dairy
+    labels = [0] * 8 + [1] * 8
+    model = train_supervised(titles, labels, dim=16, epochs=20)
+    ft_path = str(tmp / "fasttext.pkl")
+    with open(ft_path, "wb") as f:
+        pickle.dump(model, f)
+    df = pd.DataFrame({
+        "spu_sn": [f"sku{i}" for i in range(16)],
+        "title": titles,
+        "lv1": [str(l) for l in labels]})
+    data = str(tmp / "corpus.csv")
+    df.to_csv(data, index=False)
+    args = build_parser().parse_args(
+        ["serve", "--tower", "fasttext", "--data", data,
+         "--fasttext_model", ft_path, "--text_col", "title",
+         "--category_col", "lv1", "--k", "8", "--max_wait_ms", "2"])
+    service, n_served = _build_serve_service(args)
+    assert n_served == 16
+    assert service.score_th == -0.6      # daodian_infer.py:79-82 default
+    httpd = make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, service
+    httpd.shutdown()
+    httpd.server_close()
+    service.close()
+    thread.join(timeout=10)
+
+
+def test_http_fasttext_similar_and_embed(serve_ft_cli):
+    base, service = serve_ft_cli
+    got = _post(base + "/similar",
+                {"text": "苹果 香蕉 水果 0", "score_th": None})["neighbors"]
+    assert got[0]["key"] == "sku0"       # its own corpus row, cosine ~1
+    assert got[0]["score"] == pytest.approx(1.0, abs=1e-3)
+    # an UNSEEN fruit query ranks fruit rows above dairy (the online
+    # capability the precomputed-KV reference can't give)
+    got = _post(base + "/similar",
+                {"text": "水果 苹果", "score_th": None, "k": 4})["neighbors"]
+    assert got and all(int(g["key"][3:]) < 8 for g in got)
+    # same-lv1 category rule online
+    got = _post(base + "/similar",
+                {"text": "苹果 水果", "score_th": None,
+                 "category": "1"})["neighbors"]
+    assert got and all(int(g["key"][3:]) >= 8 for g in got)
+    emb = np.asarray(_post(base + "/embed",
+                           {"texts": ["苹果", "牛奶"]})["embeddings"])
+    assert emb.shape == (2, 16)
+
+
+def test_serve_score_th_defaults_per_tower():
+    """Unset --score_th resolves to each tower's reference operating
+    point (nlp_infer.py:152, daodian_infer.py:79-82,
+    multimodal_infer.py:147-159); an explicit flag always wins."""
+    from multimodalsimilar_tpu.cli import _serve_score_th, build_parser
+
+    for tower, want in [("bert", 0.9), ("cv", 0.15),
+                        ("fasttext", -0.6), ("multimodal", None)]:
+        args = build_parser().parse_args(
+            ["serve", "--tower", tower, "--data", "x"])
+        assert _serve_score_th(args) == want, tower
+    args = build_parser().parse_args(
+        ["serve", "--tower", "cv", "--data", "x", "--score_th", "0.5"])
+    assert _serve_score_th(args) == 0.5
