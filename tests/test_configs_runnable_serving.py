@@ -23,7 +23,8 @@ CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 SERVING = ["similar_nlp", "similar_daodian_v1",
            "similar_daodian_v2_recent_days", "embed_bulk",
-           "embed_incremental_bert", "serve"]
+           "embed_incremental_bert", "serve", "serve_cv",
+           "serve_fasttext", "serve_multimodal"]
 
 
 @pytest.fixture(scope="module")
@@ -85,10 +86,22 @@ def artifacts(tmp_path_factory, capsys_disabled=None):
     with open(ft_path, "wb") as f:
         pickle.dump(ft, f)
 
+    # fused (multimodal) checkpoint over the flat {goods_sku}.jpg layout
+    out_mm = str(root / "out_mm")
+    main(["train", "multimodal", "--data", data, "--img_root", img_root,
+          "--output", out_mm, "--backbone", "tiny", "--image_size", "16",
+          "--fc_dim", "8", "--key_col", "goods_sku",
+          "--text_col", "spu_name", "--label_col", "labels",
+          "--batch_size", "8", "--epochs", "1", "--max_length", "10",
+          "--eval_every", "1000000", "--save_every", "3",
+          "--log_every", "1000000"])
+
     return dict(root=root, data=data, img_root=img_root,
                 nlp_ckpt=os.path.join(out_nlp, "ckpt"),
                 vocab=os.path.join(out_nlp, "vocab.txt"),
-                cv_ckpt=os.path.join(out_cv, "ckpt"), ft=ft_path)
+                cv_ckpt=os.path.join(out_cv, "ckpt"), ft=ft_path,
+                mm_ckpt=os.path.join(out_mm, "ckpt"),
+                mm_vocab=os.path.join(out_mm, "vocab.txt"))
 
 
 def _run(argv, capsys):
@@ -156,10 +169,12 @@ def test_embed_bulk_config(artifacts, capsys, tmp_path):
     assert len(out) == 24 and "bert_emb" in out.columns
 
 
-def test_serve_config(artifacts):
-    """serve.yaml through the real argv machinery (inject + parse + apply),
-    then the built service driven over real HTTP — everything cmd_serve
-    does except the blocking serve_forever loop."""
+def _serve_config(cfg_name, overrides, payload, check_args=None,
+                  check_service=None):
+    """Drive a serve_*.yaml through the real argv machinery (inject +
+    parse + apply), then the built service over real HTTP with one
+    /similar ``payload`` — everything cmd_serve does except the blocking
+    serve_forever loop. Returns (corpus_rows, response_json)."""
     import threading
     import urllib.request
 
@@ -168,40 +183,111 @@ def test_serve_config(artifacts):
         build_parser)
     from multimodalsimilar_tpu.pipelines.serving import make_server
 
-    cfg = os.path.join(CONFIG_DIR, "serve.yaml")
-    argv = ["serve", "--config", cfg, "--data", artifacts["data"],
-            "--tokenizer", artifacts["vocab"],
-            "--checkpoint", artifacts["nlp_ckpt"],
-            "--bert_preset", "tiny", "--num_labels", "3",
-            "--max_length", "10", "--batch_size", "8",
-            "--score_th", "0.0", "--k", "3", "--port", "0"]
+    cfg = os.path.join(CONFIG_DIR, f"{cfg_name}.yaml")
+    argv = ["serve", "--config", cfg] + overrides + ["--port", "0"]
     parser = build_parser()
     argv = _inject_yaml_argv(argv, parser)
     args = parser.parse_args(argv)
     _apply_yaml_config(args, argv)
-    # YAML values that explicit flags did not override took effect
-    assert args.category_col == "first_level_category_id"
-    assert args.max_wait_ms == 5.0
+    if check_args:
+        check_args(args)
     service, n = _build_serve_service(args)
     httpd = make_server(service, args.host, 0)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     try:
+        if check_service:
+            check_service(service)
         base = f"http://127.0.0.1:{httpd.server_address[1]}"
         req = urllib.request.Request(
-            base + "/similar",
-            data=json.dumps({"text": "甲甲甲商品0",
-                             "exclude_key": "s0"}).encode(),
+            base + "/similar", data=json.dumps(payload).encode(),
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=30) as r:
+        with urllib.request.urlopen(req, timeout=60) as r:
             res = json.loads(r.read())
-        assert n == 24 and isinstance(res["neighbors"], list)
-        assert all(g["key"] != "s0" for g in res["neighbors"])
     finally:
         httpd.shutdown()
         httpd.server_close()
         service.close()
         t.join(timeout=10)
+    return n, res
+
+
+def test_serve_config(artifacts):
+    def check_args(args):
+        # YAML values that explicit flags did not override took effect
+        assert args.category_col == "first_level_category_id"
+        assert args.max_wait_ms == 5.0
+
+    n, res = _serve_config(
+        "serve",
+        ["--data", artifacts["data"], "--tokenizer", artifacts["vocab"],
+         "--checkpoint", artifacts["nlp_ckpt"], "--bert_preset", "tiny",
+         "--num_labels", "3", "--max_length", "10", "--batch_size", "8",
+         "--score_th", "0.0", "--k", "3"],
+        {"text": "甲甲甲商品0", "exclude_key": "s0"},
+        check_args=check_args)
+    assert n == 24 and isinstance(res["neighbors"], list)
+    assert all(g["key"] != "s0" for g in res["neighbors"])
+
+
+def test_serve_cv_config(artifacts):
+    def check_args(args):
+        assert args.tower == "cv"            # from the YAML
+        assert args.score_th == 0.15         # the daodian operating point
+
+    n, res = _serve_config(
+        "serve_cv",
+        ["--data", artifacts["data"], "--checkpoint", artifacts["cv_ckpt"],
+         "--key_col", "goods_sku", "--img_root", artifacts["img_root"],
+         "--backbone", "tiny", "--image_size", "16", "--fc_dim", "8",
+         "--num_labels", "3", "--batch_size", "8", "--k", "3"],
+        # untrained-tiny scores may sit under the YAML th: disable per
+        # request (null), like a client widening the search
+        {"image_path": os.path.join(artifacts["img_root"], "0", "0.jpg"),
+         "score_th": None, "exclude_key": "0"})
+    assert n == 24 and isinstance(res["neighbors"], list)
+    assert all(g["key"] != "0" for g in res["neighbors"])
+
+
+def test_serve_fasttext_config(artifacts):
+    def check_args(args):
+        assert args.tower == "fasttext"
+        assert args.text_col == "title"      # YAML column choice applied
+        assert args.score_th == -0.6
+
+    n, res = _serve_config(
+        "serve_fasttext",
+        ["--data", artifacts["data"], "--fasttext_model", artifacts["ft"],
+         "--k", "5"],
+        # same-category rule online: first_level = (i % 3) % 2
+        {"text": "甲甲甲商品0", "category": "0"})
+    assert n == 24 and len(res["neighbors"]) > 0
+    for g in res["neighbors"]:
+        i = int(g["key"][1:])                # keys are s{i}
+        assert (i % 3) % 2 == 0              # category rule held
+
+
+def test_serve_multimodal_config(artifacts):
+    def check_service(service):
+        # multimodal_infer.py:140-145: un-normalized squared-L2 search,
+        # no default threshold
+        assert service.engine.metric == "l2"
+        assert service.score_th is None
+
+    n, res = _serve_config(
+        "serve_multimodal",
+        ["--data", artifacts["data"], "--checkpoint", artifacts["mm_ckpt"],
+         "--tokenizer", artifacts["mm_vocab"], "--key_col", "goods_sku",
+         "--img_root", artifacts["img_root"], "--backbone", "tiny",
+         "--bert_preset", "tiny", "--image_size", "16", "--fc_dim", "8",
+         "--num_labels", "3", "--max_length", "10", "--batch_size", "8",
+         "--k", "3"],
+        {"text": "甲甲甲商品0",
+         "image_path": os.path.join(artifacts["img_root"], "0.jpg"),
+         "exclude_key": "0"},
+        check_service=check_service)
+    assert n == 24 and isinstance(res["neighbors"], list)
+    assert all(g["key"] != "0" for g in res["neighbors"])
 
 
 def test_all_serving_configs_covered():
