@@ -27,6 +27,15 @@ TPU-shaped design (PERF.md "Serving roofline decomposition"):
 * **One device owner.** All jax dispatch happens on the worker thread;
   the engine's cached device corpus is uploaded once at startup.
 
+Besides /embed and /similar, the daemon accepts **online corpus upserts**
+(``POST /update {"items": [{"key": ..., <query fields>, "category"?:
+...}]}``) — the online analogue of the nightly incremental ``_di`` jobs:
+new keys append, known keys re-embed. Updates ride the same micro-batch
+(one tower program with any coalesced queries) and patch the engine's
+cached device corpus in place (a scatter of the delta rows — no corpus
+re-upload). Deltas are in-memory by design: the nightly batch layout
+stays the authority on restart.
+
 Filtering reproduces the reference's per-job rules for EXTERNAL queries
 (the batch jobs are self-searches, so their query-row machinery in
 retrieval/filters.py does not apply): strict ``score > th``
@@ -264,7 +273,7 @@ class SimilarityService:
                  max_batch: int = 64, max_wait_ms: float = 5.0,
                  query_parser=None):
         self.engine = engine
-        self.k = min(k, engine.n) if engine.n else k
+        self._k_req = k
         self.score_th = score_th
         self.parser = query_parser or TextQueryParser()
         self._embed_queries = embed_queries
@@ -277,12 +286,38 @@ class SimilarityService:
         self._batcher = MicroBatcher(self._run_batch, max_batch=max_batch,
                                      max_wait_ms=max_wait_ms)
 
+    @property
+    def k(self):
+        # clamped per call, not at init: /update can grow the corpus past
+        # the configured k
+        n = self.engine.n
+        return min(self._k_req, n) if n else self._k_req
+
     # -- device-worker side -------------------------------------------------
 
     def _run_batch(self, items: List[dict]) -> List[object]:
         emb = self._embed_queries([it["query"] for it in items])
-        need_knn = [i for i, it in enumerate(items) if it["op"] == "similar"]
         out: List[object] = [None] * len(items)
+        ups = [i for i, it in enumerate(items) if it["op"] == "update"]
+        if ups:
+            # updates apply BEFORE the batch's searches (a similar request
+            # coalesced with an update sees the freshest corpus). Within
+            # one batch the last update per key wins — earlier duplicates
+            # report success exactly as if the two had arrived in order.
+            last = {items[i]["key"]: i for i in ups}
+            apply = [i for i in ups if last[items[i]["key"]] == i]
+            cats = ([items[i]["category"] for i in apply]
+                    if self.engine.categories is not None else None)
+            self.engine.update(emb[apply],
+                               [items[i]["key"] for i in apply],
+                               categories=cats)
+            self._keys = np.asarray(self.engine.keys, dtype=object)
+            if self._cats is not None:
+                self._cats = np.asarray(self.engine.categories,
+                                        dtype=object)
+            for i in ups:
+                out[i] = {"key": items[i]["key"]}
+        need_knn = [i for i, it in enumerate(items) if it["op"] == "similar"]
         if need_knn:
             scores, idx = self.engine.search(self.k,
                                              queries=emb[need_knn])
@@ -305,6 +340,48 @@ class SimilarityService:
         futs = [self._batcher.submit_nowait({"op": "embed", "query": q})
                 for q in queries]
         return np.stack([f.result() for f in futs])
+
+    def update(self, payloads: Sequence, keys: Sequence,
+               categories: Optional[Sequence] = None) -> int:
+        """Upsert corpus rows online: embed ``payloads`` through the same
+        micro-batched tower call and engine-upsert them under ``keys`` —
+        the online analogue of the nightly incremental ``_di`` jobs
+        (goodssku_emb_bert_di.py:126-129 skip-existing appends; a known
+        key here means a re-embed instead). Returns the new corpus size.
+
+        In-memory only, by design: the nightly batch layout stays the
+        authority — a restart rebuilds the corpus from it, and intraday
+        deltas arrive here again with the next day's batch.
+
+        Category discipline mirrors ``similar``: servers started with
+        --category_col REQUIRE a category per item (a silently missing
+        one would exempt the row from the same-category rule), servers
+        without reject them.
+        """
+        payloads = list(payloads)
+        keys = [str(k) for k in keys]
+        if len(keys) != len(payloads):
+            raise ValueError(f"{len(payloads)} payloads vs "
+                             f"{len(keys)} keys")
+        if self._cats is not None:
+            if categories is None or len(categories) != len(keys) \
+                    or any(c is None for c in categories):
+                raise ValueError(
+                    "server has --category_col: every update item needs "
+                    "'category' (the same-category rule would silently "
+                    "skip rows without one)")
+            categories = [str(c) for c in categories]
+        elif categories is not None:
+            raise ValueError(
+                "server started without --category_col — no category "
+                "column to store 'category' values in")
+        items = [{"op": "update", "query": p, "key": k,
+                  "category": categories[i] if categories else None}
+                 for i, (p, k) in enumerate(zip(payloads, keys))]
+        futs = [self._batcher.submit_nowait(it) for it in items]
+        for f in futs:
+            f.result()
+        return self.engine.n
 
     def similar(self, query, k: Optional[int] = None,
                 score_th=_UNSET,
@@ -332,6 +409,9 @@ class SimilarityService:
                 "request passed 'category' but the server was started "
                 "without --category_col — no category data to filter on")
         scores, idx = self._batcher.submit({"op": "similar", "query": query})
+        # snapshot: a concurrent /update re-assigns these (rows only ever
+        # grow, but one consistent view per response is cleaner)
+        keys_arr, cats_arr = self._keys, self._cats
         th = self.score_th if score_th is _UNSET else score_th
         k_out = self.k if k is None else max(0, min(k, self.k))
         out: List[dict] = []
@@ -339,7 +419,7 @@ class SimilarityService:
         for s, i in zip(scores.tolist(), idx.tolist()):
             if len(out) >= k_out:
                 break
-            if i < 0 or i >= len(self._keys):
+            if i < 0 or i >= len(keys_arr):
                 continue
             if th is not None:
                 # strict >, like the reference (nlp_infer.py:163); IP
@@ -349,13 +429,13 @@ class SimilarityService:
                     continue
                 if self.engine.metric == "l2" and not (s < th):
                     continue
-            key = self._keys[i]
+            key = keys_arr[i]
             if key in seen:
                 continue
             if exclude_key is not None and str(key) == str(exclude_key):
                 continue
-            if category is not None and self._cats is not None \
-                    and str(self._cats[i]) != str(category):
+            if category is not None and cats_arr is not None \
+                    and str(cats_arr[i]) != str(category):
                 continue
             seen.add(key)
             out.append({"key": str(key), "score": float(s)})
@@ -429,6 +509,31 @@ class _Handler(BaseHTTPRequestHandler):
                 except ValueError as e:  # e.g. category w/o --category_col
                     return self._reply(400, {"error": str(e)})
                 return self._reply(200, {"neighbors": neighbors})
+            if self.path == "/update":
+                items = req.get("items")
+                if not isinstance(items, list) or not items:
+                    return self._reply(400, {
+                        "error": "need 'items': [{'key': ..., <query "
+                                 "fields>, 'category'?: ...}, ...]"})
+                try:
+                    payloads, keys = [], []
+                    for it in items:
+                        if not isinstance(it, dict) or "key" not in it:
+                            raise ValueError(
+                                "each item must be an object with 'key' "
+                                "plus the tower's query fields")
+                        payloads.append(svc.parser.one(it))
+                        keys.append(str(it["key"]))
+                    cats = None
+                    if any(isinstance(it, dict)
+                           and it.get("category") is not None
+                           for it in items):
+                        cats = [it.get("category") for it in items]
+                    n = svc.update(payloads, keys, categories=cats)
+                except ValueError as e:
+                    return self._reply(400, {"error": str(e)})
+                return self._reply(200, {"updated": len(items),
+                                         "corpus": n, "k": svc.k})
             return self._reply(404, {"error": f"unknown path {self.path}"})
         except Exception as e:  # a failed request must not kill the server
             return self._reply(500, {"error": f"{type(e).__name__}: {e}"})

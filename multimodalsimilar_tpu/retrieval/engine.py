@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import sys
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -90,6 +90,141 @@ class SimilarityEngine:
             emb = emb / np.maximum(norms, 1e-12)
         self._emb = emb
         self._corpus_dev = None       # cached device corpus (+ true_n)
+        self._key_pos = None          # lazy key -> row map for update()
+        self._buf = None              # capacity buffer once update() appends
+
+    # -- corpus upsert ------------------------------------------------------
+
+    def update(self, embeddings: np.ndarray, keys: Sequence,
+               categories: Optional[Sequence] = None,
+               dts: Optional[Sequence] = None) -> Tuple[int, int]:
+        """Upsert corpus rows by key; returns (replaced, appended).
+
+        The online analogue of the incremental ``_di`` jobs' skip-existing
+        appends (goodssku_emb_bert_di.py:126-129) — new keys append, known
+        keys get their row replaced (a re-embed). Embeddings get the same
+        normalization the corpus did.
+
+        Device cost is bounded by the DELTA, not the corpus: the cached
+        single-chip device corpus is patched in place with one scatter of
+        the new rows (appends land in the block-padding tail; when the
+        tail is full the device array grows by device-side pad blocks —
+        no re-upload of the existing [N, D] corpus through the relay).
+        Sharded and pallas backends invalidate the cache instead (their
+        layouts re-pad globally); the next search re-uploads.
+
+        Metadata columns must stay aligned: engines built with categories
+        (or dts) require them for every update, and engines built without
+        reject them — a silently missing category would exempt those rows
+        from the same-category rule with no sign anything is wrong.
+        """
+        emb = np.asarray(embeddings, np.float32)
+        keys = [str(k) for k in keys]
+        if emb.ndim != 2 or emb.shape[0] != len(keys):
+            raise ValueError(f"embeddings {emb.shape} vs {len(keys)} keys")
+        if self._emb.ndim == 2 and self._emb.shape[1] != emb.shape[1]:
+            raise ValueError(f"dim mismatch: corpus d={self._emb.shape[1]}, "
+                             f"update d={emb.shape[1]}")
+        for name, have, got in (("categories", self.categories, categories),
+                                ("dts", self.dts, dts)):
+            if (have is None) != (got is None):
+                raise ValueError(
+                    f"engine was built {'with' if have is not None else 'without'} "
+                    f"{name} — update must {'supply' if have is not None else 'omit'} them")
+            if got is not None and len(got) != len(keys):
+                raise ValueError(f"{name} length {len(got)} != {len(keys)}")
+        if len(keys) != len(set(keys)):
+            raise ValueError("duplicate keys within one update batch — "
+                             "last-wins would be silent; dedup first")
+        if self._normalized:
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.maximum(norms, 1e-12)
+
+        if self._key_pos is None:   # first update: take ownership of the
+            # host mirror (init may alias the caller's array when
+            # normalize=False) and make metadata mutable
+            self._buf = np.array(self._emb, np.float32, copy=True)
+            self._emb = self._buf[:self.n]
+            self.keys = list(self.keys)
+            if self.categories is not None:
+                self.categories = list(self.categories)
+            if self.dts is not None:
+                self.dts = list(self.dts)
+            self._key_pos = {k: i for i, k in enumerate(self.keys)}
+        rep_rows, rep_src, app_src = [], [], []
+        for j, k in enumerate(keys):
+            pos = self._key_pos.get(k)
+            if pos is None:
+                app_src.append(j)
+            else:
+                rep_rows.append(pos)
+                rep_src.append(j)
+
+        # host mirror first (the device cache is derived from it)
+        if rep_rows:
+            self._emb[np.asarray(rep_rows)] = emb[np.asarray(rep_src)]
+            if categories is not None:
+                for pos, j in zip(rep_rows, rep_src):
+                    self.categories[pos] = categories[j]
+            if dts is not None:
+                for pos, j in zip(rep_rows, rep_src):
+                    self.dts[pos] = dts[j]
+        if app_src:
+            new = emb[np.asarray(app_src)]
+            need = self.n + len(new)
+            if need > len(self._buf):   # amortized doubling: frequent small
+                # deltas must not pay an O(corpus) copy each (the quadratic
+                # append trap ParquetTableSink had)
+                cap = max(2 * len(self._buf), need)
+                buf = np.empty((cap, emb.shape[1]), np.float32)
+                buf[:self.n] = self._emb
+                self._buf = buf
+            self._buf[self.n:need] = new
+            self._emb = self._buf[:need]
+            for j in app_src:
+                self._key_pos[keys[j]] = len(self.keys)
+                self.keys.append(keys[j])
+                if categories is not None:
+                    self.categories.append(categories[j])
+                if dts is not None:
+                    self.dts.append(dts[j])
+            self.n = need
+
+        self._patch_corpus_dev(rep_rows, emb[np.asarray(rep_src)]
+                               if rep_src else None,
+                               emb[np.asarray(app_src)]
+                               if app_src else None)
+        return len(rep_rows), len(app_src)
+
+    def _patch_corpus_dev(self, rep_rows, rep_emb, app_emb):
+        """Apply an upsert delta to the cached device corpus in place."""
+        if self._corpus_dev is None:
+            return
+        sharded = self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1
+        if sharded or self.backend == "pallas":
+            # sharded corpora are padded to the device grid and pallas
+            # reads its own block layout — rebuild lazily on next search
+            self._corpus_dev = None
+            return
+        import jax.numpy as jnp
+        corpus_dev, true_n, block = self._corpus_dev
+        if app_emb is not None:
+            new_n = true_n + len(app_emb)
+            if new_n > corpus_dev.shape[0]:
+                want = new_n + (-new_n % block)   # next block multiple
+                fill = jnp.zeros((want - corpus_dev.shape[0],
+                                  corpus_dev.shape[1]), corpus_dev.dtype)
+                if self.metric == "l2":    # pad rows must never win
+                    fill = fill + 1e18
+                corpus_dev = jnp.concatenate([corpus_dev, fill], axis=0)
+            corpus_dev = jax.lax.dynamic_update_slice(
+                corpus_dev, jnp.asarray(app_emb, corpus_dev.dtype),
+                (true_n, 0))
+            true_n = new_n
+        if rep_rows:
+            corpus_dev = corpus_dev.at[jnp.asarray(rep_rows)].set(
+                jnp.asarray(rep_emb, corpus_dev.dtype))
+        self._corpus_dev = (corpus_dev, true_n, block)
 
     # -- device search ----------------------------------------------------
 

@@ -613,3 +613,131 @@ def test_approx_cand_width_and_merge_plan():
     assert _winmax_w(8192) == 4 and _winmax_w(16384) == 8
     assert (_plan_merge_every(32768, 128, 8192, approx=True)
             >= _plan_merge_every(32768, 128, 8192))
+
+
+# ------------------------------------------------------------- update()
+
+@pytest.mark.parametrize("metric,normalize", [("ip", True), ("l2", False)])
+def test_engine_update_matches_fresh_rebuild(metric, normalize):
+    """Upsert (replace + append) after a warmed device cache must search
+    exactly like an engine built fresh from the final corpus — the in-place
+    device scatter is an optimization, never a semantic."""
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(40, 12)).astype(np.float32)
+    keys = [f"k{i}" for i in range(40)]
+    eng = SimilarityEngine(emb, keys, metric=metric, normalize=normalize)
+    queries = rng.normal(size=(7, 12)).astype(np.float32)
+    eng.search(5, queries=queries)               # warm the device cache
+
+    rep = rng.normal(size=(3, 12)).astype(np.float32)
+    app = rng.normal(size=(4, 12)).astype(np.float32)
+    r, a = eng.update(np.concatenate([rep, app]),
+                      ["k3", "k17", "k39"] + [f"n{i}" for i in range(4)])
+    assert (r, a) == (3, 4) and eng.n == 44
+    assert eng.keys[-4:] == ["n0", "n1", "n2", "n3"]
+
+    final = emb.copy()
+    final[[3, 17, 39]] = rep
+    final = np.concatenate([final, app])
+    ref = SimilarityEngine(final, eng.keys, metric=metric,
+                           normalize=normalize)
+    gs, gi = eng.search(6, queries=queries)
+    ws, wi = ref.search(6, queries=queries)
+    np.testing.assert_array_equal(gi, wi)
+    np.testing.assert_allclose(gs, ws, rtol=1e-5, atol=1e-5)
+    # self-search too (the batch jobs' pattern)
+    gs, gi = eng.search(4)
+    ws, wi = ref.search(4)
+    np.testing.assert_array_equal(gi, wi)
+
+
+@pytest.mark.parametrize("metric,normalize", [("ip", True), ("l2", False)])
+def test_engine_update_grows_past_device_padding(metric, normalize):
+    """Appends overflowing the cached block padding grow the device array
+    with device-side pad blocks (l2 pad rows must still never win)."""
+    from multimodalsimilar_tpu.retrieval.knn import plan_search
+    rng = np.random.default_rng(5)
+    n, d = 512, 8
+    block, padded = plan_search(n, d, SimilarityEngine.QUERY_CHUNK)
+    assert padded == n                 # no tail: first append must grow
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    keys = [f"k{i}" for i in range(n)]
+    eng = SimilarityEngine(emb, keys, metric=metric, normalize=normalize)
+    queries = rng.normal(size=(5, d)).astype(np.float32)
+    eng.search(3, queries=queries)     # cache at exactly n rows
+    app = rng.normal(size=(9, d)).astype(np.float32)
+    assert eng.update(app, [f"n{i}" for i in range(9)]) == (0, 9)
+    assert eng._corpus_dev[0].shape[0] % block == 0
+    assert eng._corpus_dev[1] == n + 9
+    ref = SimilarityEngine(np.concatenate([emb, app]), eng.keys,
+                           metric=metric, normalize=normalize)
+    gs, gi = eng.search(7, queries=queries)
+    ws, wi = ref.search(7, queries=queries)
+    np.testing.assert_array_equal(gi, wi)
+    np.testing.assert_allclose(gs, ws, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_update_before_any_search_and_metadata():
+    """Update with a cold device cache; categories/dts rows stay aligned
+    through the business-rule pass."""
+    emb = np.eye(6, dtype=np.float32)
+    eng = SimilarityEngine(emb, [f"k{i}" for i in range(6)],
+                           categories=["a", "a", "b", "b", "a", "b"],
+                           dts=["d1"] * 6)
+    eng.update(np.eye(6, dtype=np.float32)[[0, 2]], ["k0", "x"],
+               categories=["b", "a"], dts=["d2", "d1"])
+    assert eng.categories == ["b", "a", "b", "b", "a", "b", "a"]
+    assert eng.dts == ["d2", "d1", "d1", "d1", "d1", "d1", "d1"]
+    # k0 now category b: its same-category neighbors are the b rows
+    out = eng.similar_map(7, FilterRules(same_category=True))
+    assert set(out["k0"]) <= {"k2", "k3", "k5"}
+    # the appended x (category a) shows up for category-a queries only
+    assert "x" in out["k1"] and "x" not in out["k2"]
+
+
+def test_engine_update_validation():
+    emb = np.eye(4, dtype=np.float32)
+    eng = SimilarityEngine(emb, ["a", "b", "c", "d"])
+    with pytest.raises(ValueError, match="dim mismatch"):
+        eng.update(np.ones((1, 9), np.float32), ["a"])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        eng.update(np.ones((2, 4), np.float32), ["z", "z"])
+    with pytest.raises(ValueError, match="categories"):
+        eng.update(np.ones((1, 4), np.float32), ["z"], categories=["c"])
+    withcat = SimilarityEngine(emb, ["a", "b", "c", "d"],
+                               categories=list("aabb"))
+    with pytest.raises(ValueError, match="categories"):
+        withcat.update(np.ones((1, 4), np.float32), ["z"])
+    with pytest.raises(ValueError, match="embeddings"):
+        eng.update(np.ones((2, 4), np.float32), ["z"])
+
+
+def test_engine_update_sharded_invalidates_and_matches():
+    mesh = create_mesh()
+    if mesh.shape["data"] == 1:
+        pytest.skip("single-device mesh")
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(30, 8)).astype(np.float32)
+    keys = [f"k{i}" for i in range(30)]
+    eng = SimilarityEngine(emb, keys, mesh=mesh)
+    queries = rng.normal(size=(4, 8)).astype(np.float32)
+    eng.search(3, queries=queries)
+    assert eng._corpus_dev is not None
+    app = rng.normal(size=(3, 8)).astype(np.float32)
+    eng.update(app, ["n0", "n1", "n2"])
+    assert eng._corpus_dev is None     # sharded layout re-pads globally
+    ref = SimilarityEngine(np.concatenate([emb, app]), eng.keys, mesh=mesh)
+    gs, gi = eng.search(5, queries=queries)
+    ws, wi = ref.search(5, queries=queries)
+    np.testing.assert_array_equal(gi, wi)
+
+
+def test_engine_update_does_not_mutate_caller_array():
+    """normalize=False aliases the caller's array at init; the first
+    update must copy before writing replacements through it."""
+    emb = np.eye(4, dtype=np.float32)
+    keep = emb.copy()
+    eng = SimilarityEngine(emb, list("abcd"), metric="l2", normalize=False)
+    eng.update(np.full((1, 4), 7.0, np.float32), ["a"])
+    np.testing.assert_array_equal(emb, keep)
+    assert eng._emb[0, 0] == 7.0

@@ -694,3 +694,139 @@ def test_serve_score_th_defaults_per_tower():
     args = build_parser().parse_args(
         ["serve", "--tower", "cv", "--data", "x", "--score_th", "0.5"])
     assert _serve_score_th(args) == 0.5
+
+
+# ----------------------------------------------------- online corpus upsert
+
+def _updatable_service(with_cats=False, **kw):
+    """Toy service whose 'tower' maps any text deterministically to a 4-d
+    unit direction (crc32-seeded), so unseen /update payloads embed
+    consistently across calls."""
+    import zlib
+
+    from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+
+    def embed(texts):
+        out = []
+        for t in texts:
+            rng = np.random.default_rng(zlib.crc32(str(t).encode()))
+            v = rng.normal(size=4).astype(np.float32)
+            out.append(v / np.linalg.norm(v))
+        return np.stack(out)
+
+    keys = ["a", "b", "c", "d"]
+    engine = SimilarityEngine(
+        embed(keys), keys,
+        categories=["x", "x", "y", "y"] if with_cats else None,
+        metric="ip", normalize=True)
+    svc = SimilarityService(embed, engine, k=kw.pop("k", 10),
+                            max_wait_ms=1.0, **kw)
+    return svc, embed
+
+
+def test_service_update_upsert_and_dynamic_k():
+    svc, embed = _updatable_service(score_th=None)
+    try:
+        assert svc.k == 4                       # clamped to the corpus
+        n = svc.update(["fresh-e"], ["e"])
+        assert n == 5 and svc.k == 5            # k grows with the corpus
+        got = svc.similar("fresh-e")
+        assert got[0]["key"] == "e"             # its own vector ranks first
+        assert got[0]["score"] == pytest.approx(1.0, abs=1e-5)
+        # replace: key 'a' re-embeds to a new payload
+        assert svc.update(["moved-a"], ["a"]) == 5
+        assert svc.similar("moved-a")[0]["key"] == "a"
+    finally:
+        svc.close()
+
+
+def test_service_update_category_discipline():
+    svc, _ = _updatable_service(with_cats=True)
+    try:
+        with pytest.raises(ValueError, match="category"):
+            svc.update(["t"], ["z"])            # has cats: must supply
+        assert svc.update(["t"], ["z"], categories=["x"]) == 5
+        assert svc.engine.categories[-1] == "x"
+        got = svc.similar("t", category="x", score_th=None)
+        assert got[0]["key"] == "z"
+    finally:
+        svc.close()
+    svc, _ = _updatable_service(with_cats=False)
+    try:
+        with pytest.raises(ValueError, match="category"):
+            svc.update(["t"], ["z"], categories=["x"])   # no column to fill
+    finally:
+        svc.close()
+
+
+def test_service_update_coalesced_with_similar_sees_fresh_corpus():
+    """An update and a similar coalesced into ONE micro-batch: the update
+    applies first, so the search runs over the fresh corpus (deterministic
+    via a direct _run_batch call — the worker path these items take)."""
+    svc, embed = _updatable_service(score_th=None)
+    try:
+        out = svc._run_batch([
+            {"op": "update", "query": "newbie", "key": "z",
+             "category": None},
+            {"op": "similar", "query": "newbie"},
+        ])
+        scores, idx = out[1]
+        assert svc.engine.n == 5
+        assert idx[0] == 4                      # the just-upserted row wins
+        assert scores[0] == pytest.approx(1.0, abs=1e-5)
+    finally:
+        svc.close()
+
+
+def test_service_update_duplicate_key_in_one_batch_last_wins():
+    svc, embed = _updatable_service(score_th=None)
+    try:
+        svc._run_batch([
+            {"op": "update", "query": "first", "key": "z", "category": None},
+            {"op": "update", "query": "second", "key": "z",
+             "category": None},
+        ])
+        assert svc.engine.n == 5                # one row, not two
+        np.testing.assert_allclose(svc.engine._emb[4], embed(["second"])[0],
+                                   rtol=1e-6)
+    finally:
+        svc.close()
+
+
+def test_http_update_end_to_end():
+    svc, embed = _updatable_service(score_th=None)
+    httpd = make_server(svc, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        res = _post(base + "/update", {"items": [
+            {"key": "e", "text": "fresh-e"},
+            {"key": "a", "text": "moved-a"},     # replace
+        ]})
+        assert res == {"updated": 2, "corpus": 5, "k": 5}
+        got = _post(base + "/similar", {"text": "fresh-e"})["neighbors"]
+        assert got[0]["key"] == "e"
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["corpus"] == 5
+
+        def err(payload):
+            try:
+                _post(base + "/update", payload)
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())["error"]
+            raise AssertionError("expected HTTPError")
+
+        assert err({})[0] == 400                         # no items
+        assert err({"items": "x"})[0] == 400             # not a list
+        assert err({"items": [{"text": "t"}]})[0] == 400  # missing key
+        code, msg = err({"items": [{"key": "k", "text": "t",
+                                    "category": "x"}]})
+        assert code == 400 and "category" in msg          # catless server
+        code, msg = err({"items": [{"key": "k"}]})        # bad query fields
+        assert code == 400 and "text" in msg
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        svc.close()
+        t.join(timeout=10)
