@@ -36,7 +36,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 from serving_roofline import bw_probe, pool_probe  # noqa: E402
 
 LEVELS = (1, 4, 16, 64)
-REQUESTS_PER_LEVEL = 192
+
+
+def _requests_for(concurrency):
+    # percentiles need enough MICRO-BATCHES, not just requests: at c=64 a
+    # fixed 192 requests is only ~3 batches, so one relay hiccup owned
+    # p95 AND p99 (observed 2.2 s spikes swinging qps 2x run-to-run)
+    return max(192, 12 * concurrency)
+
+
 MAX_BATCH = 64
 MAX_WAIT_MS = 5.0
 
@@ -59,8 +67,10 @@ def _make_corpus(path, rows):
 
 def _closed_loop(call, queries, concurrency, n_requests):
     """``concurrency`` threads each issue requests back-to-back until
-    ``n_requests`` total have completed; per-request latencies recorded."""
-    lat = []
+    ``n_requests`` total have completed; per-request latencies recorded.
+    A failed request counts as an error instead of silently killing its
+    worker (which would understate both load and latency)."""
+    lat, errors = [], []
     lock = threading.Lock()
     it = iter(range(n_requests))
 
@@ -73,7 +83,12 @@ def _closed_loop(call, queries, concurrency, n_requests):
                     return
             q = queries[i % len(queries)]
             t0 = time.perf_counter()
-            call(q)
+            try:
+                call(q)
+            except Exception as e:
+                with lock:
+                    errors.append(f"{type(e).__name__}: {e}")
+                continue
             dt = time.perf_counter() - t0
             with lock:
                 lat.append(dt)
@@ -86,12 +101,16 @@ def _closed_loop(call, queries, concurrency, n_requests):
         t.join()
     wall = time.perf_counter() - t0
     lat = np.sort(np.asarray(lat))
-    return {
-        "qps": round(n_requests / wall, 1),
+    out = {
+        "qps": round(len(lat) / wall, 1),
         "p50_ms": round(float(lat[int(0.50 * (len(lat) - 1))]) * 1e3, 1),
         "p95_ms": round(float(lat[int(0.95 * (len(lat) - 1))]) * 1e3, 1),
         "p99_ms": round(float(lat[int(0.99 * (len(lat) - 1))]) * 1e3, 1),
     }
+    if errors:
+        out["errors"] = len(errors)
+        out["first_error"] = errors[0]
+    return out
 
 
 def _level_stats(service, before):
@@ -107,6 +126,7 @@ def main():
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     from multimodalsimilar_tpu.cli import (_build_serve_service,
                                            _enable_compile_cache,
+                                           _warm_serve_service,
                                            build_parser)
     from multimodalsimilar_tpu.pipelines.serving import make_server
     _enable_compile_cache()
@@ -123,26 +143,52 @@ def main():
     args = build_parser().parse_args(
         ["serve", "--data", data, "--text_col", "spu_name",
          "--category_col", "lv1", "--max_length", "64",
+         # the production text tower (nlp_infer.py's roberta-wwm-ext),
+         # not the parser's tiny default — fresh weights, same FLOPs
+         "--bert_preset", "base",
          "--batch_size", str(MAX_BATCH), "--max_batch", str(MAX_BATCH),
          "--max_wait_ms", str(MAX_WAIT_MS), "--k", "13"])
     t0 = time.perf_counter()
     service, n = _build_serve_service(args)
-    print(json.dumps({"corpus": n,
-                      "startup_s": round(time.perf_counter() - t0, 1)}),
+    t1 = time.perf_counter()
+    # production startup: tower shape + every pow2 k-NN query bucket
+    # (unwarmed buckets land ~2 s compile spikes in each level's p99)
+    _warm_serve_service(service, args)
+    print(json.dumps({"corpus": n, "startup_s": round(t1 - t0, 1),
+                      "warm_s": round(time.perf_counter() - t1, 1)}),
           flush=True)
 
     # UNSEEN queries (the daemon's reason to exist): perturbed corpus titles
     rng = np.random.default_rng(7)
     queries = [titles[i] + " 新款" for i in rng.integers(0, rows, 512)]
-    service.similar(queries[0], k=1)           # warm embed + k-NN programs
 
     for c in LEVELS:
         before = service.stats
         r = _closed_loop(lambda q: service.similar(q), queries, c,
-                         REQUESTS_PER_LEVEL)
+                         _requests_for(c))
         r.update(_level_stats(service, before))
         print(json.dumps({"mode": "inproc", "concurrency": c, **r}),
               flush=True)
+
+    # fused-device-path A/B at c=1, INTERLEAVED (pool drift swings whole
+    # runs 2x — CLAUDE.md — so host-vs-device must alternate in-process):
+    # the device path chains tower output into the k-NN program, one sync
+    # round-trip per request instead of two
+    device_fn = service._embed_queries_device
+    if device_fn is not None:
+        ab = {"device": [], "host": []}
+        for _ in range(4):
+            for name, fn in (("device", device_fn), ("host", None)):
+                service._embed_queries_device = fn
+                r = _closed_loop(lambda q: service.similar(q), queries,
+                                 1, 48)
+                ab[name].append(r["p50_ms"])
+        service._embed_queries_device = device_fn
+        print(json.dumps({"mode": "ab_c1_p50_ms",
+                          "device": min(ab["device"]),
+                          "host": min(ab["host"]),
+                          "rounds_device": ab["device"],
+                          "rounds_host": ab["host"]}), flush=True)
 
     # HTTP overhead at one mid level: real server + urllib clients
     import urllib.request
@@ -159,7 +205,7 @@ def main():
 
     for c in (16,):
         before = service.stats
-        r = _closed_loop(http_call, queries, c, REQUESTS_PER_LEVEL)
+        r = _closed_loop(http_call, queries, c, _requests_for(c))
         r.update(_level_stats(service, before))
         print(json.dumps({"mode": "http", "concurrency": c, **r}),
               flush=True)

@@ -1046,9 +1046,27 @@ def _build_serve_service(args):
             _serve_fasttext_corpus(args, df, cats)
     else:
         parser = None    # SimilarityService defaults to TextQueryParser
-        embed_queries = _build_embed_fn_texts(args, df=df)
+        embedder = _build_text_embedder(args, df=df)
+
+        def embed_queries(texts):
+            import numpy as np
+            return np.asarray(embedder(list(texts)))
+
         keys = df[args.key_col].astype(str).tolist()
-        emb = embed_queries(df[args.text_col].astype(str).tolist())
+        texts = df[args.text_col].astype(str).tolist()
+        # corpus pass at a BULK batch, not the serving micro-batch: 100k
+        # rows at batch 64 is ~1600 relay programs (measured 100 s
+        # startup); one extra compile at a bulk shape cuts that ~5x
+        bulk = max(args.batch_size, 512)
+        if len(texts) >= 4 * bulk and bulk != embedder.batch_size:
+            serve_bs = embedder.batch_size
+            embedder.batch_size = bulk
+            try:
+                emb = embed_queries(texts)
+            finally:
+                embedder.batch_size = serve_bs
+        else:
+            emb = embed_queries(texts)
     print(f"corpus embedded: {len(keys)} rows in "
           f"{_time.perf_counter() - t0:.1f}s", file=sys.stderr)
     engine = SimilarityEngine(emb, keys,
@@ -1056,11 +1074,18 @@ def _build_serve_service(args):
                               normalize=normalize,
                               mesh=mesh, backend=backend,
                               approx_recall=approx)
+    embed_device = None
+    if args.tower == "bert" and args.max_batch <= args.batch_size:
+        # fused hot path: tower output stays on device and chains into
+        # the k-NN program — one sync round-trip per similar micro-batch
+        # instead of two (each costs ~50-60 ms through the relay)
+        embed_device = embedder.embed_device
     service = SimilarityService(embed_queries, engine, k=args.k,
                                 score_th=_serve_score_th(args),
                                 max_batch=args.max_batch,
                                 max_wait_ms=args.max_wait_ms,
-                                query_parser=parser)
+                                query_parser=parser,
+                                embed_queries_device=embed_device)
     return service, len(keys)
 
 
@@ -1185,21 +1210,37 @@ def _serve_fasttext_corpus(args, df, cats):
     return embed_queries, None, keys, embed_queries(texts), cats
 
 
+def _warm_serve_service(service, args):
+    """Compile every program a request can hit BEFORE accepting traffic:
+    the tower at its micro-batch shape plus one end-to-end similar (the
+    first request must not pay minutes of relay compiles), then the k-NN
+    program for every pow2 query-count bucket up to --max_batch — an
+    unwarmed bucket otherwise compiles on the first burst of that size,
+    landing ~2 s p99 spikes at each new concurrency level (measured,
+    benchmarks/serving_load.py). Runs before traffic, so driving the
+    engine from this thread doesn't race the device worker."""
+    import numpy as np
+    if args.tower in ("cv", "multimodal"):
+        warm = np.zeros((args.image_size, args.image_size, 3), np.uint8)
+        service.similar(warm if args.tower == "cv" else ("warmup", warm),
+                        k=1)
+    else:
+        service.similar("warmup", k=1)
+    d = service.engine._emb.shape[1]
+    m = 2
+    while m <= args.max_batch:
+        service.engine.search(service.k,
+                              queries=np.zeros((m, d), np.float32))
+        m *= 2
+
+
 def cmd_serve(args):
     """Online similarity daemon — the capability the reference's
     precomputed Redis KV can't give (a query NOT in last night's batch).
     Micro-batched HTTP serving; see pipelines/serving.py."""
     from multimodalsimilar_tpu.pipelines.serving import make_server
     service, n = _build_serve_service(args)
-    # warm the serving programs BEFORE accepting traffic: the first
-    # request must not pay the tower + k-NN compiles (minutes via relay)
-    if args.tower in ("cv", "multimodal"):
-        import numpy as np
-        warm = np.zeros((args.image_size, args.image_size, 3), np.uint8)
-        service.similar(warm if args.tower == "cv" else ("warmup", warm),
-                        k=1)
-    else:
-        service.similar("warmup", k=1)
+    _warm_serve_service(service, args)
     httpd = make_server(service, args.host, args.port)
     host, port = httpd.server_address[:2]
     print(json.dumps({"serving": f"http://{host}:{port}", "corpus": n,

@@ -95,6 +95,23 @@ class TextEmbedder:
         self._variables = variables
         self._run = lambda *a: run(self._variables, *a)
 
+    def embed_device(self, texts: Sequence[str]):
+        """One micro-batch -> [n, D] jax.Array STILL ON DEVICE (no
+        readback). The serving hot path chains this straight into the
+        k-NN program, so a request pays ONE device round-trip (the final
+        scores readback) instead of two — through the relay each sync
+        costs ~50-60 ms (PERF.md "Serving roofline decomposition" #3).
+        Caller batches must fit one padded program (len <= batch_size)."""
+        if len(texts) > self.batch_size:
+            raise ValueError(f"{len(texts)} texts > batch_size "
+                             f"{self.batch_size} — one padded program only")
+        toks = _pad_rows(self.tokenizer(list(texts), self.max_length),
+                         self.batch_size)
+        dev = self._run(jnp.asarray(toks["input_ids"]),
+                        jnp.asarray(toks["attention_mask"]),
+                        jnp.asarray(toks["token_type_ids"]))
+        return dev[:len(texts)]
+
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
         if self.length_buckets and len(texts) > self.batch_size:
             return self._call_bucketed(texts)

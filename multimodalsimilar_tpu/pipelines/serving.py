@@ -271,12 +271,16 @@ class SimilarityService:
     def __init__(self, embed_queries: Callable[[Sequence], np.ndarray],
                  engine, k: int = 13, score_th: Optional[float] = None,
                  max_batch: int = 64, max_wait_ms: float = 5.0,
-                 query_parser=None):
+                 query_parser=None, embed_queries_device=None):
         self.engine = engine
         self._k_req = k
         self.score_th = score_th
         self.parser = query_parser or TextQueryParser()
         self._embed_queries = embed_queries
+        # optional fused path: embeddings stay ON DEVICE and chain into
+        # the k-NN program, so a similar-only micro-batch pays ONE sync
+        # round-trip (~50-60 ms through the relay) instead of two
+        self._embed_queries_device = embed_queries_device
         self._cats = (np.asarray(engine.categories, dtype=object)
                       if engine.categories is not None else None)
         self._keys = np.asarray(engine.keys, dtype=object)
@@ -296,7 +300,15 @@ class SimilarityService:
     # -- device-worker side -------------------------------------------------
 
     def _run_batch(self, items: List[dict]) -> List[object]:
-        emb = self._embed_queries([it["query"] for it in items])
+        queries = [it["query"] for it in items]
+        # embed/update items need the vectors on host; a similar-only
+        # batch (the hot path) can keep them on device
+        device_ok = (self._embed_queries_device is not None
+                     and all(it["op"] == "similar" for it in items))
+        if device_ok:
+            emb = self._embed_queries_device(queries)
+        else:
+            emb = self._embed_queries(queries)
         out: List[object] = [None] * len(items)
         ups = [i for i, it in enumerate(items) if it["op"] == "update"]
         if ups:
@@ -319,8 +331,11 @@ class SimilarityService:
                 out[i] = {"key": items[i]["key"]}
         need_knn = [i for i, it in enumerate(items) if it["op"] == "similar"]
         if need_knn:
-            scores, idx = self.engine.search(self.k,
-                                             queries=emb[need_knn])
+            # device path: the batch is all-similar, so emb IS the query
+            # set — no gather, and the whole chain syncs once inside
+            # search's readback
+            q = emb if device_ok else emb[need_knn]
+            scores, idx = self.engine.search(self.k, queries=q)
             for row, i in enumerate(need_knn):
                 out[i] = (scores[row], idx[row])
         for i, it in enumerate(items):
@@ -539,12 +554,20 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
 
+class _Server(ThreadingHTTPServer):
+    # stdlib default request_queue_size=5: at 16 concurrent loopback
+    # clients the listen backlog overflows and the kernel RSTs fresh
+    # connections (measured: one reset per ~200 requests at c=16,
+    # benchmarks/serving_load.py http mode)
+    request_queue_size = 128
+
+
 def make_server(service: SimilarityService, host: str = "127.0.0.1",
                 port: int = 0) -> ThreadingHTTPServer:
     """Bound, ready-to-serve HTTP server (``port=0`` picks a free port —
     the bound one is at ``server.server_address[1]``). Caller runs
     ``serve_forever()`` (blocking) and ``shutdown()`` + ``service.close()``
     to stop."""
-    httpd = ThreadingHTTPServer((host, port), _Handler)
+    httpd = _Server((host, port), _Handler)
     httpd.service = service
     return httpd

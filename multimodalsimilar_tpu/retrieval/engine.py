@@ -244,6 +244,17 @@ class SimilarityEngine:
         external queries get the same normalization as the corpus."""
         if queries is None:
             q = self._emb
+        elif isinstance(queries, jax.Array) and not isinstance(
+                queries, np.ndarray):
+            # device-resident queries (the serving hot path chains the
+            # tower's output straight in): normalize ON DEVICE so the
+            # whole request is one dispatch chain with a single readback
+            # at the end — np.asarray here would add a sync round-trip
+            import jax.numpy as jnp
+            q = queries.astype(jnp.float32)
+            if self._normalized:
+                norms = jnp.linalg.norm(q, axis=1, keepdims=True)
+                q = q / jnp.maximum(norms, 1e-12)
         else:
             q = np.asarray(queries, np.float32)
             if self._normalized:

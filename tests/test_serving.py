@@ -229,6 +229,7 @@ def serve_cli(tmp_path_factory):
     args = build_parser().parse_args(
         ["serve", "--data", data, "--category_col", "lv1",
          "--max_length", "8", "--batch_size", "8", "--k", "5",
+         "--max_batch", "8",   # <= batch_size: the fused device path wires
          "--score_th", "0.0", "--port", "0", "--max_wait_ms", "2"])
     service, n = _build_serve_service(args)
     assert n == 32
@@ -830,3 +831,126 @@ def test_http_update_end_to_end():
         httpd.server_close()
         svc.close()
         t.join(timeout=10)
+
+
+# --------------------------------------------- fused device path (1 sync)
+
+def test_service_device_path_matches_host_path():
+    """embed_queries_device keeps the tower output on device and chains it
+    into the k-NN program (one readback per micro-batch). Results must be
+    IDENTICAL to the host path — it is a dispatch optimization only."""
+    import jax.numpy as jnp
+
+    from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+
+    rng = np.random.default_rng(9)
+    corpus = rng.normal(size=(50, 8)).astype(np.float32)
+    keys = [f"k{i}" for i in range(50)]
+    table = {f"q{i}": rng.normal(size=8).astype(np.float32)
+             for i in range(6)}
+
+    def embed_host(texts):
+        return np.stack([table[t] for t in texts])
+
+    def embed_device(texts):
+        return jnp.asarray(embed_host(texts))
+
+    host = SimilarityService(
+        embed_host, SimilarityEngine(corpus, keys), k=7, max_wait_ms=1.0)
+    dev = SimilarityService(
+        embed_host, SimilarityEngine(corpus, keys), k=7, max_wait_ms=1.0,
+        embed_queries_device=embed_device)
+    try:
+        for q in table:
+            h, d = host.similar(q, score_th=None), \
+                dev.similar(q, score_th=None)
+            assert [g["key"] for g in h] == [g["key"] for g in d]
+            # device-side vs host-side normalize round differently in the
+            # last float32 ulp — ranking identical, scores approx
+            np.testing.assert_allclose([g["score"] for g in h],
+                                       [g["score"] for g in d], rtol=1e-5)
+        # multi-item similar-only batch through the worker body
+        out = dev._run_batch([{"op": "similar", "query": "q0"},
+                              {"op": "similar", "query": "q1"}])
+        ref = host._run_batch([{"op": "similar", "query": "q0"},
+                               {"op": "similar", "query": "q1"}])
+        for (ds, di), (hs, hi) in zip(out, ref):
+            np.testing.assert_array_equal(np.asarray(di), np.asarray(hi))
+            np.testing.assert_allclose(np.asarray(ds), np.asarray(hs),
+                                       rtol=1e-5)
+    finally:
+        host.close()
+        dev.close()
+
+
+def test_service_device_path_mixed_batch_falls_back_to_host():
+    """A batch containing an update (or embed) needs host vectors — the
+    worker must take the host path and still produce correct results."""
+    import jax.numpy as jnp
+    svc, embed = _updatable_service(score_th=None)
+    calls = {"device": 0}
+
+    def embed_device(texts):
+        calls["device"] += 1
+        return jnp.asarray(embed(texts))
+
+    svc._embed_queries_device = embed_device
+    try:
+        out = svc._run_batch([
+            {"op": "update", "query": "newbie", "key": "z",
+             "category": None},
+            {"op": "similar", "query": "newbie"},
+        ])
+        assert calls["device"] == 0          # mixed batch: host path
+        scores, idx = out[1]
+        assert idx[0] == 4                   # update still applied first
+        svc._run_batch([{"op": "similar", "query": "newbie"}])
+        assert calls["device"] == 1          # similar-only batch: device
+    finally:
+        svc.close()
+
+
+def test_engine_search_device_queries_match_host():
+    import jax.numpy as jnp
+
+    from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+    rng = np.random.default_rng(2)
+    corpus = rng.normal(size=(70, 12)).astype(np.float32)
+    q = rng.normal(size=(5, 12)).astype(np.float32)
+    for metric, norm in (("ip", True), ("l2", False)):
+        eng = SimilarityEngine(corpus, list(range(70)), metric=metric,
+                               normalize=norm)
+        hs, hi = eng.search(9, queries=q)
+        ds, di = eng.search(9, queries=jnp.asarray(q))
+        np.testing.assert_array_equal(hi, di)
+        np.testing.assert_allclose(hs, ds, rtol=1e-5, atol=1e-6)
+
+
+def test_text_embedder_embed_device_matches_call():
+    from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
+    from multimodalsimilar_tpu.models.bert import BertConfig
+    from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
+    from multimodalsimilar_tpu.pipelines.embedders import TextEmbedder
+    import jax
+    import jax.numpy as jnp
+
+    texts = ["苹果 香蕉", "牛奶", "可乐 汽水 雪碧"]
+    tok = TextTokenizer.from_corpus(texts)
+    cfg = BertConfig.tiny()
+    model = NlpTextClassifier(cfg, num_labels=3)
+    ids = jnp.asarray(tok(["x"], 8)["input_ids"])
+    variables = jax.jit(lambda x: model.init(
+        {"params": jax.random.key(0)}, x,
+        label=jnp.zeros(x.shape[0], jnp.int32)))(ids)
+    emb = TextEmbedder(model, variables, tok, max_length=8, batch_size=4)
+    dev = emb.embed_device(texts)
+    assert isinstance(dev, jax.Array) and dev.shape[0] == 3
+    np.testing.assert_allclose(np.asarray(dev), emb(texts),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="batch_size"):
+        emb.embed_device(["a"] * 5)
+
+
+def test_cli_serve_wires_device_path_for_bert(serve_cli):
+    base, service, df = serve_cli
+    assert service._embed_queries_device is not None
