@@ -1227,11 +1227,15 @@ def _warm_serve_service(service, args):
     else:
         service.similar("warmup", k=1)
     d = service.engine._emb.shape[1]
-    m = 2
-    while m <= args.max_batch:
+    m, ladder = 2, []
+    while m < args.max_batch:
+        ladder.append(m)
+        m *= 2
+    ladder.append(args.max_batch)   # the cap itself, pow2 or not — the
+    # exact bucket set SimilarityService._search_bucketed pads to
+    for m in ladder:
         service.engine.search(service.k,
                               queries=np.zeros((m, d), np.float32))
-        m *= 2
 
 
 def cmd_serve(args):

@@ -287,6 +287,7 @@ class SimilarityService:
         # two batchers would split one burst's device work in two; a
         # single one keeps ALL dispatch on one thread and lets embed and
         # similar requests share a batch's tower call
+        self._max_batch = max_batch
         self._batcher = MicroBatcher(self._run_batch, max_batch=max_batch,
                                      max_wait_ms=max_wait_ms)
 
@@ -335,13 +336,36 @@ class SimilarityService:
             # set — no gather, and the whole chain syncs once inside
             # search's readback
             q = emb if device_ok else emb[need_knn]
-            scores, idx = self.engine.search(self.k, queries=q)
+            scores, idx = self._search_bucketed(q, device_ok)
             for row, i in enumerate(need_knn):
                 out[i] = (scores[row], idx[row])
         for i, it in enumerate(items):
             if it["op"] == "embed":
                 out[i] = emb[i]
         return out
+
+    def _search_bucketed(self, q, on_device: bool):
+        """Engine search with the query count padded up to the next pow2
+        bucket (capped at max_batch). The k-NN program compiles PER QUERY
+        COUNT: without bucketing, a closed-loop load whose micro-batches
+        land at arbitrary sizes compiles on nearly every batch — measured
+        collapse at c=64 (qps 15, p50 3.9 s, each odd-sized batch paying a
+        ~2-3 s relay compile; benchmarks/serving_load.py). The tower side
+        is already one shape (the embedder pads to batch_size); this
+        closes the same hole on the k-NN side, and cmd_serve's warm-up
+        pre-compiles exactly this pow2 ladder. Pad rows are zeros (inert
+        under both ip and l2 scoring — their results are sliced off)."""
+        n = q.shape[0]
+        bucket = 1 << max(n - 1, 0).bit_length()
+        bucket = min(bucket, self._max_batch)
+        if bucket > n:
+            if on_device:
+                import jax.numpy as jnp
+                q = jnp.pad(q, ((0, bucket - n), (0, 0)))
+            else:
+                q = np.pad(q, ((0, bucket - n), (0, 0)))
+        scores, idx = self.engine.search(self.k, queries=q)
+        return scores[:n], idx[:n]
 
     # -- request side (any thread) -------------------------------------------
 

@@ -954,3 +954,65 @@ def test_text_embedder_embed_device_matches_call():
 def test_cli_serve_wires_device_path_for_bert(serve_cli):
     base, service, df = serve_cli
     assert service._embed_queries_device is not None
+
+
+# ------------------------------------------- query-count bucketing (compiles)
+
+def test_run_batch_pads_query_count_to_pow2_bucket():
+    """The k-NN program compiles per query count; the worker must pad
+    micro-batches to the warmed pow2 ladder (capped at max_batch) or a
+    load of odd-sized batches compiles on nearly every batch (measured
+    collapse: qps 15, p50 3.9 s at c=64 — benchmarks/serving_load.py)."""
+    svc, embed = _updatable_service(score_th=None, max_batch=8)
+    seen = []
+    true_search = svc.engine.search
+
+    def spy(k, queries=None):
+        seen.append(np.asarray(queries).shape[0])
+        return true_search(k, queries=queries)
+
+    svc.engine.search = spy
+    try:
+        for n, bucket in [(1, 1), (2, 2), (3, 4), (5, 8), (7, 8), (8, 8)]:
+            out = svc._run_batch([{"op": "similar", "query": f"q{i}"}
+                                  for i in range(n)])
+            assert seen[-1] == bucket, (n, seen[-1])
+            # padded results are sliced off and per-row answers match an
+            # unpadded single-query search exactly
+            assert len(out) == n
+            for i in range(n):
+                s1, i1 = true_search(svc.k, queries=embed([f"q{i}"]))
+                np.testing.assert_array_equal(np.asarray(out[i][1]), i1[0])
+                np.testing.assert_allclose(np.asarray(out[i][0]), s1[0],
+                                           rtol=1e-6)
+    finally:
+        svc.engine.search = true_search
+        svc.close()
+
+
+def test_run_batch_bucket_cap_is_max_batch_not_pow2():
+    svc, _ = _updatable_service(score_th=None, max_batch=6)
+    seen = []
+    true_search = svc.engine.search
+    svc.engine.search = lambda k, queries=None: (
+        seen.append(np.asarray(queries).shape[0]) or
+        true_search(k, queries=queries))
+    try:
+        svc._run_batch([{"op": "similar", "query": f"q{i}"}
+                        for i in range(5)])
+        assert seen[-1] == 6                    # capped, not padded to 8
+    finally:
+        svc.engine.search = true_search
+        svc.close()
+
+
+def test_warm_serve_service_ladder_matches_buckets(serve_cli):
+    """Every bucket _search_bucketed can produce must be pre-compiled by
+    the warm-up (an unwarmed bucket is a ~2-3 s relay compile spike)."""
+    base, service, df = serve_cli
+    # serve_cli runs with --max_batch 8: ladder is 2, 4, 8 (+ n=1 via the
+    # warmup similar). Exercise every micro-batch size end-to-end.
+    for n in range(1, 9):
+        out = service._run_batch([{"op": "similar", "query": "苹果"}
+                                  for _ in range(n)])
+        assert len(out) == n
