@@ -1029,6 +1029,11 @@ def _build_serve_service(args):
                              f"{args.data} (has: {list(df.columns)})")
         cats = df[args.category_col].tolist()
     backend, mesh, approx = _knn_backend_mesh(args)
+    if args.emb_table and args.tower in ("cv", "multimodal"):
+        raise SystemExit(
+            f"--emb_table is for the text towers (bert/fasttext); the "
+            f"{args.tower} corpus warm-starts from --emb_cache / the "
+            "per-key emb.txt layout instead")
     t0 = _time.perf_counter()
     metric, normalize = "ip", True
     if args.tower == "cv":
@@ -1054,19 +1059,23 @@ def _build_serve_service(args):
 
         keys = df[args.key_col].astype(str).tolist()
         texts = df[args.text_col].astype(str).tolist()
-        # corpus pass at a BULK batch, not the serving micro-batch: 100k
-        # rows at batch 64 is ~1600 relay programs (measured 100 s
-        # startup); one extra compile at a bulk shape cuts that ~5x
-        bulk = max(args.batch_size, 512)
-        if len(texts) >= 4 * bulk and bulk != embedder.batch_size:
-            serve_bs = embedder.batch_size
-            embedder.batch_size = bulk
-            try:
-                emb = embed_queries(texts)
-            finally:
-                embedder.batch_size = serve_bs
-        else:
-            emb = embed_queries(texts)
+
+        def embed_bulk(tt):
+            # corpus pass at a BULK batch, not the serving micro-batch:
+            # 100k rows at batch 64 is ~1600 relay programs (measured
+            # 100 s startup); one extra compile at a bulk shape cuts
+            # that ~5x
+            bulk = max(args.batch_size, 512)
+            if len(tt) >= 4 * bulk and bulk != embedder.batch_size:
+                serve_bs = embedder.batch_size
+                embedder.batch_size = bulk
+                try:
+                    return embed_queries(tt)
+                finally:
+                    embedder.batch_size = serve_bs
+            return embed_queries(tt)
+
+        emb = _corpus_with_emb_table(args, keys, texts, embed_bulk)
     print(f"corpus embedded: {len(keys)} rows in "
           f"{_time.perf_counter() - t0:.1f}s", file=sys.stderr)
     engine = SimilarityEngine(emb, keys,
@@ -1101,6 +1110,82 @@ def _serve_score_th(args):
     if args.score_th is None:   # flag unset -> the tower's reference point
         return _SERVE_SCORE_TH[args.tower]
     return args.score_th
+
+
+def _load_emb_table(args):
+    """({key: row_index}, [N, D] float32) from ``--emb_table`` — the
+    nightly embedding jobs' own output layout (key column + '[x,y,...]'
+    strings, goodssku_emb_bert_di.py:84-87; the bulk job's raw unbracketed
+    'x,y,...' parses too)."""
+    from multimodalsimilar_tpu.data.datasets import read_table
+    from multimodalsimilar_tpu.pipelines.embed import parse_embeddings
+
+    t = read_table(args.emb_table)
+    if args.emb_col not in t.columns:
+        raise SystemExit(f"--emb_col {args.emb_col!r} not in "
+                         f"{args.emb_table} (has: {list(t.columns)})")
+    if args.key_col in t.columns:
+        key_col = args.key_col
+    else:
+        # the embed jobs key by goods_sku while serve defaults to spu_sn;
+        # a table with exactly one plausible key column is unambiguous
+        cands = [c for c in t.columns if c not in (args.emb_col, "dt")]
+        if len(cands) != 1:
+            raise SystemExit(
+                f"--emb_table {args.emb_table} has no {args.key_col!r} "
+                f"column and several candidates ({cands}) — rename or "
+                "pass --key_col matching the table")
+        key_col = cands[0]
+        print(f"serve: --emb_table keyed by {key_col!r} "
+              f"(no {args.key_col!r} column)", file=sys.stderr)
+    # a key recurring across appends (shouldn't happen — incremental
+    # skips existing keys — but a hand-built table might): last wins
+    t = t.drop_duplicates(subset=[key_col], keep="last")
+    keys = t[key_col].astype(str).tolist()
+    emb = parse_embeddings(t[args.emb_col].astype(str).tolist())
+    return {k: i for i, k in enumerate(keys)}, emb
+
+
+def _corpus_with_emb_table(args, keys, texts, embed_bulk):
+    """Corpus embeddings, preferring ``--emb_table`` precomputed rows.
+
+    The daemon re-embedding 100k corpus rows at startup costs ~40 s of
+    chip time that the nightly incremental jobs already spent; loading
+    their table is seconds of host parse instead. Keys missing from the
+    table (intraday additions) embed fresh through the tower; a
+    dimension mismatch between table and tower fails fast (queries embed
+    through the TOWER at request time, so a stale table from a different
+    model would otherwise serve garbage scores indistinguishable from
+    real ones)."""
+    import numpy as np
+    if not args.emb_table:
+        return embed_bulk(texts)
+    pre_idx, pre_emb = _load_emb_table(args)
+    hit = [i for i, k in enumerate(keys) if k in pre_idx]
+    miss = [i for i, k in enumerate(keys) if k not in pre_idx]
+    if not hit:
+        raise SystemExit(
+            f"--emb_table {args.emb_table}: no overlap with the corpus "
+            f"keys — wrong table or wrong --key_col?")
+    if miss:
+        fresh = np.asarray(embed_bulk([texts[i] for i in miss]),
+                           np.float32)
+    else:
+        # no missing rows to reveal the tower's dim — probe one so a
+        # stale table still fails fast here
+        fresh = np.asarray(embed_bulk([texts[0]]), np.float32)
+    if fresh.shape[1] != pre_emb.shape[1]:
+        raise SystemExit(
+            f"--emb_table dim {pre_emb.shape[1]} != tower dim "
+            f"{fresh.shape[1]} — the table was built by a different "
+            "model; rebuild it or drop --emb_table")
+    emb = np.empty((len(keys), pre_emb.shape[1]), np.float32)
+    emb[hit] = pre_emb[[pre_idx[keys[i]] for i in hit]]
+    if miss:
+        emb[miss] = fresh
+    print(f"serve: corpus {len(hit)} rows from --emb_table, "
+          f"{len(miss)} embedded fresh", file=sys.stderr)
+    return emb
 
 
 def _serve_cv_corpus(args, df, cats):
@@ -1207,7 +1292,8 @@ def _serve_fasttext_corpus(args, df, cats):
     def embed_queries(qtexts):
         return ft.get_sentence_vector(list(qtexts))
 
-    return embed_queries, None, keys, embed_queries(texts), cats
+    emb = _corpus_with_emb_table(args, keys, texts, embed_queries)
+    return embed_queries, None, keys, emb, cats
 
 
 def _warm_serve_service(service, args):
@@ -1226,16 +1312,23 @@ def _warm_serve_service(service, args):
                         k=1)
     else:
         service.similar("warmup", k=1)
-    d = service.engine._emb.shape[1]
     m, ladder = 2, []
     while m < args.max_batch:
         ladder.append(m)
         m *= 2
     ladder.append(args.max_batch)   # the cap itself, pow2 or not — the
-    # exact bucket set SimilarityService._search_bucketed pads to
-    for m in ladder:
-        service.engine.search(service.k,
-                              queries=np.zeros((m, d), np.float32))
+    # exact bucket set SimilarityService._search_bucketed quantizes to
+    if service._embed_queries_device is not None:
+        # drive the REAL device path per bucket: its eager slice/normalize
+        # ops are per-shape programs too — warming the engine alone left
+        # them as ~2 s first-sight spikes under load (serving_load.py)
+        for m in ladder:
+            service._run_batch([{"op": "similar", "query": "warmup"}] * m)
+    else:
+        d = service.engine._emb.shape[1]
+        for m in ladder:
+            service.engine.search(service.k,
+                                  queries=np.zeros((m, d), np.float32))
 
 
 def cmd_serve(args):
@@ -1833,6 +1926,16 @@ def build_parser() -> argparse.ArgumentParser:
                      help="0 picks a free port (printed on the ready line)")
     srv.add_argument("--max_batch", type=int, default=64,
                      help="max requests coalesced into one device call")
+    srv.add_argument("--emb_table", default=None,
+                     help="warm-start the corpus from a precomputed "
+                          "embedding table (the nightly 'embed' jobs' "
+                          "output: key_col + '[x,y,...]' strings; "
+                          "csv/parquet/hive://db.table). Corpus keys "
+                          "found there skip the startup tower pass; "
+                          "missing keys embed fresh (bert/fasttext "
+                          "towers)")
+    srv.add_argument("--emb_col", default="embedding",
+                     help="embedding column in --emb_table")
     srv.add_argument("--max_wait_ms", type=float, default=5.0,
                      help="how long the device worker waits for more "
                           "requests after the first — burst latency floor")

@@ -45,6 +45,26 @@ def parse_embedding(s: str) -> np.ndarray:
                       np.float32)
 
 
+def parse_embeddings(strings) -> np.ndarray:
+    """[N, D] from many '[x,y,...]' rows in ONE np.loadtxt pass.
+
+    Per-row ``parse_embedding`` is python-float speed — minutes at
+    warehouse key counts on this host's single slow CPU; loadtxt's C
+    parser does the same job in seconds. Rows must share one dimension
+    (they do within a warehouse table; a ragged table raises)."""
+    import io
+    strings = list(strings)
+    if not strings:
+        return np.zeros((0, 0), np.float32)
+    body = "\n".join(s.strip().strip("[]") for s in strings)
+    out = np.loadtxt(io.StringIO(body), delimiter=",", dtype=np.float32,
+                     ndmin=2)
+    if out.shape[0] != len(strings):
+        raise ValueError(f"parsed {out.shape[0]} rows from "
+                         f"{len(strings)} embedding strings")
+    return out
+
+
 def incremental_export(
     df: pd.DataFrame,
     embed_fn: Callable[[pd.DataFrame], Dict[str, np.ndarray]],

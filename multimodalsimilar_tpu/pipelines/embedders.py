@@ -96,21 +96,26 @@ class TextEmbedder:
         self._run = lambda *a: run(self._variables, *a)
 
     def embed_device(self, texts: Sequence[str]):
-        """One micro-batch -> [n, D] jax.Array STILL ON DEVICE (no
-        readback). The serving hot path chains this straight into the
-        k-NN program, so a request pays ONE device round-trip (the final
-        scores readback) instead of two — through the relay each sync
-        costs ~50-60 ms (PERF.md "Serving roofline decomposition" #3).
-        Caller batches must fit one padded program (len <= batch_size)."""
+        """One micro-batch -> the FULL padded [batch_size, D] jax.Array
+        STILL ON DEVICE (no readback, no slice — rows past len(texts) are
+        pad-token outputs the caller must discard). The serving hot path
+        chains this straight into the k-NN program, so a request pays ONE
+        device round-trip (the final scores readback) instead of two —
+        through the relay each sync costs ~50-60 ms (PERF.md "Serving
+        roofline decomposition" #3). Returning un-sliced keeps the device
+        chain SHAPE-STABLE: an eager dev[:n] here would compile once per
+        distinct micro-batch size (measured as 2 s p95/p99 spikes under
+        load, benchmarks/serving_load.py); the caller slices to its pow2
+        bucket instead. len(texts) must fit one padded program
+        (<= batch_size)."""
         if len(texts) > self.batch_size:
             raise ValueError(f"{len(texts)} texts > batch_size "
                              f"{self.batch_size} — one padded program only")
         toks = _pad_rows(self.tokenizer(list(texts), self.max_length),
                          self.batch_size)
-        dev = self._run(jnp.asarray(toks["input_ids"]),
-                        jnp.asarray(toks["attention_mask"]),
-                        jnp.asarray(toks["token_type_ids"]))
-        return dev[:len(texts)]
+        return self._run(jnp.asarray(toks["input_ids"]),
+                         jnp.asarray(toks["attention_mask"]),
+                         jnp.asarray(toks["token_type_ids"]))
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
         if self.length_buckets and len(texts) > self.batch_size:

@@ -333,10 +333,11 @@ class SimilarityService:
         need_knn = [i for i, it in enumerate(items) if it["op"] == "similar"]
         if need_knn:
             # device path: the batch is all-similar, so emb IS the query
-            # set — no gather, and the whole chain syncs once inside
-            # search's readback
+            # set (tower-padded to batch_size) — no gather, and the whole
+            # chain syncs once inside search's readback
             q = emb if device_ok else emb[need_knn]
-            scores, idx = self._search_bucketed(q, device_ok)
+            scores, idx = self._search_bucketed(q, len(need_knn),
+                                                device_ok)
             for row, i in enumerate(need_knn):
                 out[i] = (scores[row], idx[row])
         for i, it in enumerate(items):
@@ -344,26 +345,33 @@ class SimilarityService:
                 out[i] = emb[i]
         return out
 
-    def _search_bucketed(self, q, on_device: bool):
-        """Engine search with the query count padded up to the next pow2
-        bucket (capped at max_batch). The k-NN program compiles PER QUERY
-        COUNT: without bucketing, a closed-loop load whose micro-batches
-        land at arbitrary sizes compiles on nearly every batch — measured
-        collapse at c=64 (qps 15, p50 3.9 s, each odd-sized batch paying a
-        ~2-3 s relay compile; benchmarks/serving_load.py). The tower side
-        is already one shape (the embedder pads to batch_size); this
-        closes the same hole on the k-NN side, and cmd_serve's warm-up
-        pre-compiles exactly this pow2 ladder. Pad rows are zeros (inert
-        under both ip and l2 scoring — their results are sliced off)."""
-        n = q.shape[0]
+    def _search_bucketed(self, q, n: int, on_device: bool):
+        """Engine search with the query count quantized to the next pow2
+        bucket (capped at max_batch). Device programs compile PER SHAPE:
+        without bucketing, a closed-loop load whose micro-batches land at
+        arbitrary sizes compiles on nearly every batch — measured collapse
+        at c=64 (qps 15, p50 3.9 s, each odd-sized batch paying a ~2-3 s
+        relay compile; benchmarks/serving_load.py). The tower side is
+        already one shape (the embedder pads to batch_size); this closes
+        the k-NN side, and cmd_serve's warm-up pre-compiles exactly this
+        ladder THROUGH this path (the device chain's eager slice/normalize
+        ops are also per-shape — warming the engine alone left them as
+        2 s first-sight spikes under load).
+
+        Device path: ``q`` is the tower's full [batch_size, D] output —
+        slice down to the bucket (pad rows are pad-token embeddings;
+        their result rows are discarded below). Host path: ``q`` has
+        exactly n rows — zero-pad up (inert under ip and l2)."""
         bucket = 1 << max(n - 1, 0).bit_length()
         bucket = min(bucket, self._max_batch)
-        if bucket > n:
-            if on_device:
-                import jax.numpy as jnp
-                q = jnp.pad(q, ((0, bucket - n), (0, 0)))
-            else:
-                q = np.pad(q, ((0, bucket - n), (0, 0)))
+        if bucket < n:
+            bucket = n   # direct call larger than max_batch (tests /
+            # library use bypassing the batcher): never drop real queries
+        if on_device:
+            if bucket < q.shape[0]:
+                q = q[:bucket]
+        elif bucket > q.shape[0]:
+            q = np.pad(q, ((0, bucket - q.shape[0]), (0, 0)))
         scores, idx = self.engine.search(self.k, queries=q)
         return scores[:n], idx[:n]
 

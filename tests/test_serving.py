@@ -944,8 +944,9 @@ def test_text_embedder_embed_device_matches_call():
         label=jnp.zeros(x.shape[0], jnp.int32)))(ids)
     emb = TextEmbedder(model, variables, tok, max_length=8, batch_size=4)
     dev = emb.embed_device(texts)
-    assert isinstance(dev, jax.Array) and dev.shape[0] == 3
-    np.testing.assert_allclose(np.asarray(dev), emb(texts),
+    # full padded batch (shape-stable chain); caller discards pad rows
+    assert isinstance(dev, jax.Array) and dev.shape[0] == 4
+    np.testing.assert_allclose(np.asarray(dev)[:3], emb(texts),
                                rtol=1e-5, atol=1e-6)
     with pytest.raises(ValueError, match="batch_size"):
         emb.embed_device(["a"] * 5)
@@ -990,6 +991,40 @@ def test_run_batch_pads_query_count_to_pow2_bucket():
         svc.close()
 
 
+def test_run_batch_device_path_slices_padded_tower_output_to_bucket():
+    """The device path receives the tower's FULL [batch_size, D] output
+    and must slice to the pow2 bucket (one shape per bucket — an eager
+    [:n] slice would compile per micro-batch size), discarding pad rows'
+    results."""
+    import jax.numpy as jnp
+    svc, embed = _updatable_service(score_th=None, max_batch=8)
+
+    def embed_device(texts):
+        full = np.zeros((8, 4), np.float32)     # tower batch_size = 8
+        full[: len(texts)] = embed(texts)
+        return jnp.asarray(full)
+
+    svc._embed_queries_device = embed_device
+    seen = []
+    true_search = svc.engine.search
+    svc.engine.search = lambda k, queries=None: (
+        seen.append(np.asarray(queries).shape[0]) or
+        true_search(k, queries=queries))
+    try:
+        out = svc._run_batch([{"op": "similar", "query": f"q{i}"}
+                              for i in range(3)])
+        assert seen[-1] == 4                    # bucket, not 3 and not 8
+        assert len(out) == 3
+        for i in range(3):
+            s1, i1 = true_search(svc.k, queries=embed([f"q{i}"]))
+            np.testing.assert_array_equal(np.asarray(out[i][1]), i1[0])
+            np.testing.assert_allclose(np.asarray(out[i][0]), s1[0],
+                                       rtol=1e-5)
+    finally:
+        svc.engine.search = true_search
+        svc.close()
+
+
 def test_run_batch_bucket_cap_is_max_batch_not_pow2():
     svc, _ = _updatable_service(score_th=None, max_batch=6)
     seen = []
@@ -1004,6 +1039,152 @@ def test_run_batch_bucket_cap_is_max_batch_not_pow2():
     finally:
         svc.engine.search = true_search
         svc.close()
+
+
+# --------------------------------------------- --emb_table warm-start
+
+def _emb_table_setup(tmp_path, rows=16, dim=None, key_col="spu_sn",
+                     cover=None):
+    """(corpus_csv, emb_table_parquet, df): a tiny corpus + a precomputed
+    embedding table in the nightly jobs' layout, built from the ACTUAL
+    tower a fresh `serve` run with these flags would use (tiny preset,
+    vocab from the corpus — deterministic given the seed-0 init)."""
+    from multimodalsimilar_tpu.cli import (_build_serve_service,
+                                           build_parser)
+    from multimodalsimilar_tpu.pipelines.embed import format_embedding
+    df = pd.DataFrame({
+        "spu_sn": [f"sku{i}" for i in range(rows)],
+        "spu_name": [f"{'甲乙丙丁'[i % 4] * 3}商品{i}" for i in range(rows)]})
+    data = str(tmp_path / "corpus.csv")
+    df.to_csv(data, index=False)
+    # embed the full corpus once through a plain service (no emb_table)
+    args = build_parser().parse_args(
+        ["serve", "--data", data, "--max_length", "8",
+         "--batch_size", "8", "--max_batch", "8", "--k", "5"])
+    svc, _ = _build_serve_service(args)
+    try:
+        emb = svc.engine._emb[:rows]  # pre-padding corpus rows
+        emb = np.asarray(emb, np.float32)
+    finally:
+        svc.close()
+    cover = range(rows) if cover is None else cover
+    table = pd.DataFrame({
+        key_col: [f"sku{i}" for i in cover],
+        "embedding": [format_embedding(emb[i]) for i in cover],
+        "dt": "2026-08-19"})
+    path = str(tmp_path / "warehouse.parquet")
+    table.to_parquet(path)
+    return data, path, df, emb
+
+
+def test_serve_emb_table_skips_reembedding(tmp_path):
+    """Full coverage: startup must not run a corpus tower pass (only the
+    dim probe), and the served corpus must equal the table's vectors."""
+    from multimodalsimilar_tpu.cli import _build_serve_service, build_parser
+    data, table, df, emb = _emb_table_setup(tmp_path)
+    args = build_parser().parse_args(
+        ["serve", "--data", data, "--max_length", "8",
+         "--batch_size", "8", "--max_batch", "8", "--k", "5",
+         "--emb_table", table])
+    svc, n = _build_serve_service(args)
+    try:
+        assert n == 16
+        got = np.asarray(svc.engine._emb[:16], np.float32)
+        # table round-trips through decimal strings; engine re-normalizes
+        want = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # end-to-end: same answers as a fresh-embedded service
+        out = svc.similar(df["spu_name"][3], score_th=None)
+        assert out[0]["key"] == "sku3"
+    finally:
+        svc.close()
+
+
+def test_serve_emb_table_embeds_missing_keys_fresh(tmp_path, capsys):
+    from multimodalsimilar_tpu.cli import _build_serve_service, build_parser
+    data, table, df, emb = _emb_table_setup(tmp_path, cover=range(12))
+    args = build_parser().parse_args(
+        ["serve", "--data", data, "--max_length", "8",
+         "--batch_size", "8", "--max_batch", "8", "--k", "5",
+         "--emb_table", table])
+    svc, n = _build_serve_service(args)
+    try:
+        assert n == 16
+        want = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        got = np.asarray(svc.engine._emb[:16], np.float32)
+        # rows 12..15 embedded fresh through the SAME tower -> same values
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    finally:
+        svc.close()
+
+
+def test_serve_emb_table_guards(tmp_path):
+    from multimodalsimilar_tpu.cli import _build_serve_service, build_parser
+    data, table, df, emb = _emb_table_setup(tmp_path)
+
+    # dim mismatch (table from a different model) fails fast
+    import pandas as pd_
+    t = pd_.read_parquet(table)
+    t["embedding"] = t["embedding"].str.replace(r"\]$", ",0.5]", regex=True)
+    bad = str(tmp_path / "bad.parquet")
+    t.to_parquet(bad)
+    args = build_parser().parse_args(
+        ["serve", "--data", data, "--max_length", "8", "--batch_size", "8",
+         "--max_batch", "8", "--emb_table", bad])
+    with pytest.raises(SystemExit, match="dim"):
+        _build_serve_service(args)
+
+    # zero key overlap fails fast
+    t2 = pd_.read_parquet(table)
+    t2["spu_sn"] = "other_" + t2["spu_sn"]
+    other = str(tmp_path / "other.parquet")
+    t2.to_parquet(other)
+    args = build_parser().parse_args(
+        ["serve", "--data", data, "--max_length", "8", "--batch_size", "8",
+         "--max_batch", "8", "--emb_table", other])
+    with pytest.raises(SystemExit, match="overlap"):
+        _build_serve_service(args)
+
+    # cv/multimodal towers reject the flag loudly
+    args = build_parser().parse_args(
+        ["serve", "--tower", "cv", "--data", data, "--emb_table", table])
+    with pytest.raises(SystemExit, match="emb_cache"):
+        _build_serve_service(args)
+
+
+def test_serve_emb_table_alternate_key_column(tmp_path):
+    """The nightly jobs key by goods_sku; a table whose single non-emb
+    column differs from --key_col is used with a notice."""
+    from multimodalsimilar_tpu.cli import _build_serve_service, build_parser
+    data, table, df, emb = _emb_table_setup(tmp_path, key_col="goods_sku")
+    args = build_parser().parse_args(
+        ["serve", "--data", data, "--max_length", "8", "--batch_size", "8",
+         "--max_batch", "8", "--k", "5", "--emb_table", table])
+    svc, n = _build_serve_service(args)
+    try:
+        assert n == 16
+        want = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        np.testing.assert_allclose(
+            np.asarray(svc.engine._emb[:16], np.float32), want, atol=1e-5)
+    finally:
+        svc.close()
+
+
+def test_parse_embeddings_bulk_matches_per_row():
+    from multimodalsimilar_tpu.pipelines.embed import (format_embedding,
+                                                       parse_embedding,
+                                                       parse_embeddings)
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 7)).astype(np.float32)
+    strings = [format_embedding(v, normalize=False) for v in vecs]
+    # plus the bulk job's raw unbracketed layout
+    strings += [format_embedding(v, normalize=False, brackets=False)
+                for v in vecs[:5]]
+    out = parse_embeddings(strings)
+    assert out.shape == (45, 7)
+    for s, row in zip(strings, out):
+        np.testing.assert_allclose(row, parse_embedding(s), rtol=1e-6)
+    assert parse_embeddings([]).shape == (0, 0)
 
 
 def test_warm_serve_service_ladder_matches_buckets(serve_cli):
