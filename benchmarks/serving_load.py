@@ -190,18 +190,31 @@ def main():
                           "rounds_device": ab["device"],
                           "rounds_host": ab["host"]}), flush=True)
 
-    # HTTP overhead at one mid level: real server + urllib clients
-    import urllib.request
+    # HTTP overhead at one mid level: real server + keep-alive clients
+    # (one persistent connection per worker — the server speaks HTTP/1.1,
+    # and ThreadingHTTPServer spawns a thread per CONNECTION, so
+    # connection-per-request doubled as thread churn on this 1-CPU host)
+    import http.client
     httpd = make_server(service, "127.0.0.1", 0)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
-    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    port = httpd.server_address[1]
+    tls = threading.local()
 
     def http_call(q):
-        body = json.dumps({"text": q}).encode()
-        with urllib.request.urlopen(
-                urllib.request.Request(base + "/similar", data=body),
-                timeout=120) as resp:
-            json.loads(resp.read())
+        conn = getattr(tls, "conn", None)
+        if conn is None:
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=120)
+            tls.conn = conn
+        try:
+            conn.request("POST", "/similar", body=json.dumps({"text": q}),
+                         headers={"Content-Type": "application/json"})
+            data = conn.getresponse().read()
+        except Exception:
+            tls.conn = None
+            conn.close()
+            raise
+        json.loads(data)
 
     for c in (16,):
         before = service.stats

@@ -499,6 +499,13 @@ class SimilarityService:
 class _Handler(BaseHTTPRequestHandler):
     # the owning server carries the service (set by make_server)
 
+    # keep-alive: HTTP/1.0's connection-per-request costs a TCP setup
+    # AND a server thread spawn each (ThreadingHTTPServer is
+    # thread-per-connection) — real overhead on this host's single slow
+    # CPU (benchmarks/serving_load.py http mode). _reply always sends
+    # Content-Length, which HTTP/1.1 requires.
+    protocol_version = "HTTP/1.1"
+
     def log_message(self, fmt, *args):  # stderr chatter off the hot path
         pass
 
@@ -523,6 +530,10 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
         except Exception as e:
+            # the request body may be partly unread — a kept-alive socket
+            # would misparse the leftover bytes as the next request's
+            # start line
+            self.close_connection = True
             return self._reply(400, {"error": f"bad json: {e}"})
         svc = self.server.service
         try:
