@@ -101,12 +101,11 @@ def _closed_loop(call, queries, concurrency, n_requests):
         t.join()
     wall = time.perf_counter() - t0
     lat = np.sort(np.asarray(lat))
-    out = {
-        "qps": round(len(lat) / wall, 1),
-        "p50_ms": round(float(lat[int(0.50 * (len(lat) - 1))]) * 1e3, 1),
-        "p95_ms": round(float(lat[int(0.95 * (len(lat) - 1))]) * 1e3, 1),
-        "p99_ms": round(float(lat[int(0.99 * (len(lat) - 1))]) * 1e3, 1),
-    }
+    out = {"qps": round(len(lat) / wall, 1)}
+    if len(lat):   # all-failed runs must still report, not IndexError
+        for name, q in (("p50_ms", 0.50), ("p95_ms", 0.95),
+                        ("p99_ms", 0.99)):
+            out[name] = round(float(lat[int(q * (len(lat) - 1))]) * 1e3, 1)
     if errors:
         out["errors"] = len(errors)
         out["first_error"] = errors[0]
@@ -209,11 +208,16 @@ def main():
         try:
             conn.request("POST", "/similar", body=json.dumps({"text": q}),
                          headers={"Content-Type": "application/json"})
-            data = conn.getresponse().read()
+            resp = conn.getresponse()
+            data = resp.read()
         except Exception:
             tls.conn = None
             conn.close()
             raise
+        # http.client never raises on HTTP errors (urllib did): a 500
+        # counted as a successful latency would hide a broken server
+        if resp.status != 200:
+            raise RuntimeError(f"HTTP {resp.status}: {data[:200]!r}")
         json.loads(data)
 
     for c in (16,):

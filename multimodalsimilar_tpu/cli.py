@@ -768,17 +768,19 @@ def cmd_similar_nlp(args):
     print(json.dumps({"written": n}))
 
 
-def _build_embed_fn_texts(args, df=None):
+def _embed_fn_from_embedder(embedder):
     """texts -> [N, D] by calling the TextEmbedder directly — the serve
     hot path must not pay a DataFrame+dict round-trip per micro-batch on
     this host's one slow CPU (review finding)."""
-    embedder = _build_text_embedder(args, df=df)
-
     def embed_texts(texts):
         import numpy as np
         return np.asarray(embedder(list(texts)))
 
     return embed_texts
+
+
+def _build_embed_fn_texts(args, df=None):
+    return _embed_fn_from_embedder(_build_text_embedder(args, df=df))
 
 
 def _knn_backend_mesh(args):
@@ -1052,11 +1054,7 @@ def _build_serve_service(args):
     else:
         parser = None    # SimilarityService defaults to TextQueryParser
         embedder = _build_text_embedder(args, df=df)
-
-        def embed_queries(texts):
-            import numpy as np
-            return np.asarray(embedder(list(texts)))
-
+        embed_queries = _embed_fn_from_embedder(embedder)
         keys = df[args.key_col].astype(str).tolist()
         texts = df[args.text_col].astype(str).tolist()
 

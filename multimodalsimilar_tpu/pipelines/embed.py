@@ -56,12 +56,33 @@ def parse_embeddings(strings) -> np.ndarray:
     strings = list(strings)
     if not strings:
         return np.zeros((0, 0), np.float32)
-    body = "\n".join(s.strip().strip("[]") for s in strings)
-    out = np.loadtxt(io.StringIO(body), delimiter=",", dtype=np.float32,
-                     ndmin=2)
-    if out.shape[0] != len(strings):
-        raise ValueError(f"parsed {out.shape[0]} rows from "
-                         f"{len(strings)} embedding strings")
+
+    def load(chunk):
+        body = "\n".join(s.strip().strip("[]") for s in chunk)
+        got = np.loadtxt(io.StringIO(body), delimiter=",",
+                         dtype=np.float32, ndmin=2)
+        if got.shape[0] != len(chunk):
+            raise ValueError(f"parsed {got.shape[0]} rows from "
+                             f"{len(chunk)} embedding strings")
+        return got
+
+    # chunked: one giant '\n'.join over a warehouse-scale table would
+    # materialize a multi-GB transient string (1M x 768 floats ~ 10 GB)
+    # on this single-CPU host; 50k-row joins bound the peak while the
+    # loadtxt C parser still dominates
+    step = 50_000
+    first = load(strings[:step])
+    if len(strings) <= step:
+        return first
+    out = np.empty((len(strings), first.shape[1]), np.float32)
+    out[:step] = first
+    for s in range(step, len(strings), step):
+        chunk = load(strings[s: s + step])
+        if chunk.shape[1] != first.shape[1]:
+            raise ValueError(f"ragged embedding table: dim "
+                             f"{chunk.shape[1]} at row {s} vs "
+                             f"{first.shape[1]}")
+        out[s: s + len(chunk)] = chunk
     return out
 
 

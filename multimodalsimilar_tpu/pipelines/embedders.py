@@ -52,14 +52,22 @@ def _stream(batches, run, depth: int = 3) -> np.ndarray:
     from collections import deque
     out: List[np.ndarray] = []
     pending = deque()
+
+    def drain(dev, n0):
+        # read back the FULL padded batch and slice on HOST: an on-device
+        # dev[:n0] is an eager program compiled once per distinct n0 —
+        # ~2 s first-sight relay compiles that land as p99 spikes in
+        # serving and as stalls on a job's ragged tail batch. The pad
+        # rows' extra transfer is a few hundred KB, noise next to the
+        # per-readback relay round-trip.
+        out.append(np.asarray(dev, np.float32)[:n0])
+
     for args, n in batches:
         pending.append((run(*args), n))
         if len(pending) > depth:
-            dev, n0 = pending.popleft()
-            out.append(np.asarray(dev[:n0], np.float32))
+            drain(*pending.popleft())
     while pending:
-        dev, n0 = pending.popleft()
-        out.append(np.asarray(dev[:n0], np.float32))
+        drain(*pending.popleft())
     return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
 
 

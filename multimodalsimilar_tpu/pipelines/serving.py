@@ -505,6 +505,10 @@ class _Handler(BaseHTTPRequestHandler):
     # CPU (benchmarks/serving_load.py http mode). _reply always sends
     # Content-Length, which HTTP/1.1 requires.
     protocol_version = "HTTP/1.1"
+    # idle keep-alive connections must not pin their server thread
+    # forever (a silent or half-open client would leak one thread each);
+    # on timeout the stdlib handler closes the connection.
+    timeout = 120
 
     def log_message(self, fmt, *args):  # stderr chatter off the hot path
         pass
@@ -514,6 +518,11 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            # advertise the close (set before _reply on desynced
+            # connections) — a keep-alive client would otherwise try to
+            # reuse the socket and hit EOF
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -526,6 +535,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):
+        if self.headers.get("Transfer-Encoding"):
+            # a chunked body would stay unread on the kept-alive socket
+            # and desync every later request on the connection
+            self.close_connection = True
+            return self._reply(411, {"error": "Content-Length required "
+                                              "(chunked bodies not "
+                                              "supported)"})
         try:
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")

@@ -1170,6 +1170,62 @@ def test_serve_emb_table_alternate_key_column(tmp_path):
         svc.close()
 
 
+def test_http_chunked_body_is_411_and_closes(serve_cli):
+    """A chunked POST (no Content-Length) would leave its body unread on
+    the kept-alive socket and desync later requests — the server must
+    refuse it and close the connection."""
+    import http.client
+    base, service, df = serve_cli
+    host, port = base.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        # headers first, body never sent: the server must 411 without
+        # waiting for (or misreading) chunked body bytes. (Sending the
+        # body too can EPIPE mid-send when the server rejects early —
+        # also correct behavior, but not deterministic to assert on.)
+        conn.putrequest("POST", "/similar")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 411
+        assert b"Content-Length" in body
+        assert resp.will_close
+    finally:
+        conn.close()
+
+
+def test_http_keepalive_two_requests_one_connection(serve_cli):
+    import http.client
+    base, service, df = serve_cli
+    host, port = base.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        for text in (df["spu_name"][0], df["spu_name"][1]):
+            conn.request("POST", "/similar",
+                         body=json.dumps({"text": text}),
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            data = json.loads(resp.read())
+            assert resp.status == 200 and data["neighbors"]
+            assert not resp.will_close     # kept alive between requests
+    finally:
+        conn.close()
+
+
+def test_parse_embeddings_chunked_path_matches():
+    """>50k rows crosses the chunked-join boundary (one giant join would
+    be a multi-GB transient at warehouse scale)."""
+    from multimodalsimilar_tpu.pipelines.embed import (format_embedding,
+                                                       parse_embeddings)
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(50_003, 2)).astype(np.float32)
+    strings = [format_embedding(v, normalize=False) for v in vecs]
+    out = parse_embeddings(strings)
+    assert out.shape == (50_003, 2)
+    np.testing.assert_allclose(out, vecs, rtol=1e-6)
+
+
 def test_parse_embeddings_bulk_matches_per_row():
     from multimodalsimilar_tpu.pipelines.embed import (format_embedding,
                                                        parse_embedding,
