@@ -119,10 +119,25 @@ def _level_stats(service, before):
     return {"mean_batch": round(items / max(batches, 1), 1)}
 
 
+def _make_emb_table(path, rows, dim=768):
+    """Synthetic warehouse embedding table: array-typed parquet (the
+    framework-native layout _load_emb_table reads without string
+    parsing). Random unit vectors — scores are meaningless but the
+    serving-path COST is identical to real embeddings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(1)
+    flat = rng.standard_normal(rows * dim).astype(np.float32)
+    arr = pa.FixedSizeListArray.from_arrays(pa.array(flat), dim)
+    pq.write_table(pa.table({"spu_sn": [f"sku{i}" for i in range(rows)],
+                             "embedding": arr}), path)
+
+
 def main():
     import tempfile
 
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    warehouse = len(sys.argv) > 2 and sys.argv[2] == "warehouse"
     from multimodalsimilar_tpu.cli import (_build_serve_service,
                                            _enable_compile_cache,
                                            _warm_serve_service,
@@ -139,14 +154,26 @@ def main():
         print(json.dumps({"pool_probe_tflops": pool_probe(),
                           "pool_probe_hbm_gbps": bw_probe()}), flush=True)
 
-    args = build_parser().parse_args(
-        ["serve", "--data", data, "--text_col", "spu_name",
-         "--category_col", "lv1", "--max_length", "64",
-         # the production text tower (nlp_infer.py's roberta-wwm-ext),
-         # not the parser's tiny default — fresh weights, same FLOPs
-         "--bert_preset", "base",
-         "--batch_size", str(MAX_BATCH), "--max_batch", str(MAX_BATCH),
-         "--max_wait_ms", str(MAX_WAIT_MS), "--k", "13"])
+    argv = ["serve", "--data", data, "--text_col", "spu_name",
+            "--category_col", "lv1", "--max_length", "64",
+            # the production text tower (nlp_infer.py's roberta-wwm-ext),
+            # not the parser's tiny default — fresh weights, same FLOPs
+            "--bert_preset", "base",
+            "--batch_size", str(MAX_BATCH), "--max_batch", str(MAX_BATCH),
+            "--max_wait_ms", str(MAX_WAIT_MS), "--k", "13"]
+    if warehouse:
+        # warm-start the corpus from a precomputed table instead of a
+        # startup tower pass — the warehouse-scale operating mode
+        table = os.path.join(tmp, "warehouse.parquet")
+        t0 = time.perf_counter()
+        _make_emb_table(table, rows)
+        print(json.dumps({"emb_table_rows": rows,
+                          "emb_table_build_s":
+                              round(time.perf_counter() - t0, 1)}),
+              flush=True)
+        argv += ["--emb_table", table,
+                 "--emb_table_cache", os.path.join(tmp, "restart")]
+    args = build_parser().parse_args(argv)
     t0 = time.perf_counter()
     service, n = _build_serve_service(args)
     t1 = time.perf_counter()
@@ -156,18 +183,34 @@ def main():
     print(json.dumps({"corpus": n, "startup_s": round(t1 - t0, 1),
                       "warm_s": round(time.perf_counter() - t1, 1)}),
           flush=True)
+    if warehouse:
+        # a daemon RESTART's table load: the first build above parsed the
+        # table cold and wrote the npy restart cache
+        from multimodalsimilar_tpu.cli import _load_emb_table
+        t0 = time.perf_counter()
+        k2, e2 = _load_emb_table(args)
+        print(json.dumps({"restart_table_load_s":
+                          round(time.perf_counter() - t0, 2),
+                          "rows": int(e2.shape[0])}), flush=True)
+        del k2, e2
 
     # UNSEEN queries (the daemon's reason to exist): perturbed corpus titles
     rng = np.random.default_rng(7)
     queries = [titles[i] + " 新款" for i in rng.integers(0, rows, 512)]
 
-    for c in LEVELS:
+    for c in (16, 64) if warehouse else LEVELS:
         before = service.stats
         r = _closed_loop(lambda q: service.similar(q), queries, c,
                          _requests_for(c))
         r.update(_level_stats(service, before))
         print(json.dumps({"mode": "inproc", "concurrency": c, **r}),
               flush=True)
+    if warehouse:   # the corpus-scale point is made; skip A/B + http
+        service.close()
+        if probe:
+            print(json.dumps({"pool_probe_tflops_end": pool_probe()}),
+                  flush=True)
+        return
 
     # fused-device-path A/B at c=1, INTERLEAVED (pool drift swings whole
     # runs 2x — CLAUDE.md — so host-vs-device must alternate in-process):

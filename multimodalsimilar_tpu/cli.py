@@ -1110,38 +1110,163 @@ def _serve_score_th(args):
     return args.score_th
 
 
-def _load_emb_table(args):
-    """({key: row_index}, [N, D] float32) from ``--emb_table`` — the
-    nightly embedding jobs' own output layout (key column + '[x,y,...]'
-    strings, goodssku_emb_bert_di.py:84-87; the bulk job's raw unbracketed
-    'x,y,...' parses too)."""
-    from multimodalsimilar_tpu.data.datasets import read_table
-    from multimodalsimilar_tpu.pipelines.embed import parse_embeddings
+def _emb_table_key_col(args, columns):
+    if args.key_col in columns:
+        return args.key_col
+    # the embed jobs key by goods_sku while serve defaults to spu_sn;
+    # a table with exactly one plausible key column is unambiguous
+    cands = [c for c in columns if c not in (args.emb_col, "dt")]
+    if len(cands) != 1:
+        raise SystemExit(
+            f"--emb_table {args.emb_table} has no {args.key_col!r} "
+            f"column and several candidates ({cands}) — rename or "
+            "pass --key_col matching the table")
+    print(f"serve: --emb_table keyed by {cands[0]!r} "
+          f"(no {args.key_col!r} column)", file=sys.stderr)
+    return cands[0]
 
-    t = read_table(args.emb_table)
-    if args.emb_col not in t.columns:
-        raise SystemExit(f"--emb_col {args.emb_col!r} not in "
-                         f"{args.emb_table} (has: {list(t.columns)})")
-    if args.key_col in t.columns:
-        key_col = args.key_col
-    else:
-        # the embed jobs key by goods_sku while serve defaults to spu_sn;
-        # a table with exactly one plausible key column is unambiguous
-        cands = [c for c in t.columns if c not in (args.emb_col, "dt")]
-        if len(cands) != 1:
+
+def _emb_table_cache_load(cache_dir, args):
+    """(keys, emb) from the restart cache, or None on any mismatch.
+    Validated against the SOURCE table's (mtime, size): a nightly rewrite
+    invalidates the cache, so the batch layout stays the authority."""
+    import json as _json
+
+    import numpy as np
+    meta_p = os.path.join(cache_dir, "meta.json")
+    if not os.path.exists(meta_p):
+        return None
+    try:
+        with open(meta_p) as f:
+            meta = _json.load(f)
+        st = os.stat(args.emb_table)
+        if (meta.get("source") != os.path.abspath(args.emb_table)
+                or meta.get("mtime") != st.st_mtime
+                or meta.get("size") != st.st_size
+                or meta.get("emb_col") != args.emb_col):
+            return None
+        emb = np.load(os.path.join(cache_dir, "emb.npy"), mmap_mode="r")
+        keys = np.load(os.path.join(cache_dir, "keys.npy"),
+                       allow_pickle=False)
+        if emb.shape[0] != len(keys) or emb.shape != tuple(meta["shape"]):
+            return None
+    except (OSError, ValueError, KeyError):
+        return None
+    print(f"serve: --emb_table loaded from restart cache {cache_dir}",
+          file=sys.stderr)
+    return keys.astype(object), emb
+
+
+def _emb_table_cache_store(cache_dir, keys, emb, args):
+    import json as _json
+
+    import numpy as np
+    os.makedirs(cache_dir, exist_ok=True)
+    st = os.stat(args.emb_table)
+    # data first, meta last, all atomic renames: a crashed writer leaves
+    # either the old cache or no meta (= miss), never a torn read
+    for name, arr in (("emb.npy", np.asarray(emb, np.float32)),
+                      ("keys.npy", np.asarray(keys, str))):
+        tmp = os.path.join(cache_dir, "tmp_" + name)  # keeps .npy suffix
+        np.save(tmp, arr)                             # (np.save appends
+        os.replace(tmp, os.path.join(cache_dir, name))  # it otherwise)
+    meta = {"source": os.path.abspath(args.emb_table),
+            "mtime": st.st_mtime, "size": st.st_size,
+            "emb_col": args.emb_col, "shape": list(emb.shape)}
+    tmp = os.path.join(cache_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, os.path.join(cache_dir, "meta.json"))
+    print(f"serve: --emb_table restart cache written to {cache_dir} "
+          "(subsequent starts mmap it in seconds)", file=sys.stderr)
+
+
+def _load_emb_table(args):
+    """(keys [N] str ndarray, emb [N, D] float32) from ``--emb_table`` —
+    the nightly embedding jobs' own output layout (key column +
+    '[x,y,...]' strings, goodssku_emb_bert_di.py:84-87; the bulk job's
+    raw unbracketed 'x,y,...' parses too). A parquet whose embedding
+    column holds float LISTS loads via pyarrow as one flat zero-copy
+    reshape — per-row python objects (pandas conversion + np.stack over
+    1M rows) were minutes of host time at warehouse counts. Parquet
+    DECODE itself is ~15 MB/s on this 1-core host (~3 min at 1M x 768,
+    measured, compression-independent) — ``--emb_table_cache DIR`` keeps
+    an mtime-validated npy mirror so daemon RESTARTS mmap the matrix in
+    seconds instead."""
+    import numpy as np
+    import pandas as pd
+
+    path = args.emb_table
+    cache_dir = getattr(args, "emb_table_cache", None)
+    if cache_dir:
+        if not os.path.exists(path):
             raise SystemExit(
-                f"--emb_table {args.emb_table} has no {args.key_col!r} "
-                f"column and several candidates ({cands}) — rename or "
-                "pass --key_col matching the table")
-        key_col = cands[0]
-        print(f"serve: --emb_table keyed by {key_col!r} "
-              f"(no {args.key_col!r} column)", file=sys.stderr)
+                f"--emb_table_cache needs a local --emb_table file to "
+                f"validate against (mtime/size); {path} is not one — "
+                "drop the cache flag for warehouse-direct sources")
+        hit = _emb_table_cache_load(cache_dir, args)
+        if hit is not None:
+            return hit
+    keys = emb = None
+    if str(path).endswith((".parquet", ".pq")) and os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(path)
+        if args.emb_col not in tbl.column_names:
+            raise SystemExit(f"--emb_col {args.emb_col!r} not in "
+                             f"{path} (has: {tbl.column_names})")
+        key_col = _emb_table_key_col(args, tbl.column_names)
+        keys = pd.Series(tbl.column(key_col).to_pandas()).astype(str)
+        col = tbl.column(args.emb_col).combine_chunks()
+        if pa.types.is_fixed_size_list(col.type):
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            emb = np.asarray(flat, np.float32).reshape(
+                len(col), col.type.list_size)
+        elif pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            widths = np.diff(col.offsets.to_numpy())
+            if len(widths) and (widths != widths[0]).any():
+                raise SystemExit(f"--emb_table {path}: ragged "
+                                 f"{args.emb_col!r} column")
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            emb = np.asarray(flat, np.float32).reshape(len(col), -1)
+        else:
+            keys = None   # string-serialized — the pandas path parses it
+    if keys is None:
+        from multimodalsimilar_tpu.data.datasets import read_table
+        t = read_table(path)
+        if args.emb_col not in t.columns:
+            raise SystemExit(f"--emb_col {args.emb_col!r} not in "
+                             f"{path} (has: {list(t.columns)})")
+        key_col = _emb_table_key_col(args, list(t.columns))
+        keys = t[key_col].astype(str)
+        col = t[args.emb_col]
+        first = col.iloc[0] if len(col) else ""
+        if isinstance(first, str):
+            emb = None
+        else:   # array-typed rows that arrived through pandas anyway
+            try:
+                emb = np.asarray(np.stack(col.to_numpy()), np.float32)
+            except ValueError as e:
+                raise SystemExit(f"--emb_table {path}: ragged or "
+                                 f"non-numeric {args.emb_col!r} "
+                                 f"column ({e})")
+            if emb.ndim != 2:
+                raise SystemExit(f"--emb_table {path}: {args.emb_col!r} "
+                                 "rows are not 1-d vectors")
+        if emb is None:
+            from multimodalsimilar_tpu.pipelines.embed import \
+                parse_embeddings
+            emb = parse_embeddings(col.astype(str).tolist())
     # a key recurring across appends (shouldn't happen — incremental
     # skips existing keys — but a hand-built table might): last wins
-    t = t.drop_duplicates(subset=[key_col], keep="last")
-    keys = t[key_col].astype(str).tolist()
-    emb = parse_embeddings(t[args.emb_col].astype(str).tolist())
-    return {k: i for i, k in enumerate(keys)}, emb
+    dup = keys.duplicated(keep="last").to_numpy()
+    if dup.any():
+        emb = emb[~dup]
+        keys = keys[~dup]
+    keys = keys.to_numpy()
+    if cache_dir:
+        _emb_table_cache_store(cache_dir, keys, emb, args)
+    return keys, emb
 
 
 def _corpus_with_emb_table(args, keys, texts, embed_bulk):
@@ -1156,16 +1281,23 @@ def _corpus_with_emb_table(args, keys, texts, embed_bulk):
     model would otherwise serve garbage scores indistinguishable from
     real ones)."""
     import numpy as np
+    import pandas as pd
     if not args.emb_table:
         return embed_bulk(texts)
-    pre_idx, pre_emb = _load_emb_table(args)
-    hit = [i for i, k in enumerate(keys) if k in pre_idx]
-    miss = [i for i, k in enumerate(keys) if k not in pre_idx]
-    if not hit:
+    pre_keys, pre_emb = _load_emb_table(args)
+    # vectorized key->row mapping: per-key python dict lookups over a
+    # warehouse-scale corpus were minutes of host time (CLAUDE.md: one
+    # slow CPU)
+    pos = pd.Index(pre_keys).get_indexer(pd.Index(np.asarray(keys,
+                                                             object)))
+    hit_mask = pos >= 0
+    n_miss = int((~hit_mask).sum())
+    if not hit_mask.any():
         raise SystemExit(
             f"--emb_table {args.emb_table}: no overlap with the corpus "
             f"keys — wrong table or wrong --key_col?")
-    if miss:
+    if n_miss:
+        miss = np.nonzero(~hit_mask)[0]
         fresh = np.asarray(embed_bulk([texts[i] for i in miss]),
                            np.float32)
     else:
@@ -1177,12 +1309,19 @@ def _corpus_with_emb_table(args, keys, texts, embed_bulk):
             f"--emb_table dim {pre_emb.shape[1]} != tower dim "
             f"{fresh.shape[1]} — the table was built by a different "
             "model; rebuild it or drop --emb_table")
-    emb = np.empty((len(keys), pre_emb.shape[1]), np.float32)
-    emb[hit] = pre_emb[[pre_idx[keys[i]] for i in hit]]
-    if miss:
-        emb[miss] = fresh
-    print(f"serve: corpus {len(hit)} rows from --emb_table, "
-          f"{len(miss)} embedded fresh", file=sys.stderr)
+    if n_miss == 0 and len(pre_keys) == len(keys) \
+            and (pos == np.arange(len(keys))).all():
+        # table already row-aligned with the corpus (the common case: it
+        # was written by a sweep over the same catalog) — skip the
+        # full-size fancy gather (3 GB of host copy at 1M x 768)
+        emb = np.ascontiguousarray(pre_emb, np.float32)
+    else:
+        emb = np.empty((len(keys), pre_emb.shape[1]), np.float32)
+        emb[hit_mask] = pre_emb[pos[hit_mask]]
+        if n_miss:
+            emb[~hit_mask] = fresh
+    print(f"serve: corpus {int(hit_mask.sum())} rows from --emb_table, "
+          f"{n_miss} embedded fresh", file=sys.stderr)
     return emb
 
 
@@ -1934,6 +2073,12 @@ def build_parser() -> argparse.ArgumentParser:
                           "towers)")
     srv.add_argument("--emb_col", default="embedding",
                      help="embedding column in --emb_table")
+    srv.add_argument("--emb_table_cache", default=None, metavar="DIR",
+                     help="restart cache for --emb_table: first start "
+                          "parses the table and mirrors it as npy "
+                          "(mtime-validated); later starts mmap it in "
+                          "seconds (parquet decode alone is ~3 min at "
+                          "1M x 768 on this host)")
     srv.add_argument("--max_wait_ms", type=float, default=5.0,
                      help="how long the device worker waits for more "
                           "requests after the first — burst latency floor")

@@ -8,6 +8,7 @@ real HTTP server over localhost.
 """
 
 import json
+import os
 import threading
 import time
 import urllib.error
@@ -1149,6 +1150,87 @@ def test_serve_emb_table_guards(tmp_path):
     args = build_parser().parse_args(
         ["serve", "--tower", "cv", "--data", data, "--emb_table", table])
     with pytest.raises(SystemExit, match="emb_cache"):
+        _build_serve_service(args)
+
+
+def test_serve_emb_table_array_typed_column(tmp_path):
+    """A parquet whose embedding column holds float LISTS (the
+    framework-native layout — ~20x faster to load than strings at
+    warehouse counts) must serve identically to the string layout."""
+    from multimodalsimilar_tpu.cli import _build_serve_service, build_parser
+    data, table, df, emb = _emb_table_setup(tmp_path)
+    t = pd.read_parquet(table)
+    t["embedding"] = [np.asarray(v, np.float32) for v in
+                      (emb / np.linalg.norm(emb, axis=1, keepdims=True))]
+    arr_table = str(tmp_path / "arr.parquet")
+    t.to_parquet(arr_table)
+    args = build_parser().parse_args(
+        ["serve", "--data", data, "--max_length", "8", "--batch_size", "8",
+         "--max_batch", "8", "--k", "5", "--emb_table", arr_table])
+    svc, n = _build_serve_service(args)
+    try:
+        assert n == 16
+        want = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        np.testing.assert_allclose(
+            np.asarray(svc.engine._emb[:16], np.float32), want, atol=1e-6)
+    finally:
+        svc.close()
+
+
+def test_serve_emb_table_restart_cache(tmp_path, monkeypatch):
+    """--emb_table_cache: first start parses and mirrors to npy; a
+    restart loads the mirror WITHOUT touching the parser; a table
+    rewrite (mtime change) invalidates the mirror."""
+    import multimodalsimilar_tpu.pipelines.embed as embed_mod
+    from multimodalsimilar_tpu.cli import _build_serve_service, build_parser
+    data, table, df, emb = _emb_table_setup(tmp_path)
+    cache = str(tmp_path / "restart_cache")
+    argv = ["serve", "--data", data, "--max_length", "8",
+            "--batch_size", "8", "--max_batch", "8", "--k", "5",
+            "--emb_table", table, "--emb_table_cache", cache]
+
+    svc, n = _build_serve_service(build_parser().parse_args(argv))
+    svc.close()
+    assert os.path.exists(os.path.join(cache, "meta.json"))
+
+    # restart: the string parser must NOT run (cache hit)
+    def boom(*a, **kw):
+        raise AssertionError("parse_embeddings ran despite a valid cache")
+    monkeypatch.setattr(embed_mod, "parse_embeddings", boom)
+    svc2, n2 = _build_serve_service(build_parser().parse_args(argv))
+    try:
+        assert n2 == 16
+        want = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        np.testing.assert_allclose(
+            np.asarray(svc2.engine._emb[:16], np.float32), want,
+            atol=1e-5)
+    finally:
+        svc2.close()
+    monkeypatch.undo()
+
+    # a rewritten table invalidates the mirror (content changes too:
+    # drop a row -> the reparse result must win over the stale mirror)
+    t = pd.read_parquet(table)
+    t.iloc[:12].to_parquet(table)
+    os.utime(table, (1, 1))   # force a distinct mtime
+    svc3, n3 = _build_serve_service(build_parser().parse_args(argv))
+    try:
+        assert n3 == 16   # 12 from table + 4 embedded fresh
+    finally:
+        svc3.close()
+    import json as _json
+    with open(os.path.join(cache, "meta.json")) as f:
+        assert _json.load(f)["shape"][0] == 12   # mirror was rewritten
+
+
+def test_serve_emb_table_cache_requires_local_file(tmp_path):
+    from multimodalsimilar_tpu.cli import _build_serve_service, build_parser
+    data, table, df, emb = _emb_table_setup(tmp_path)
+    args = build_parser().parse_args(
+        ["serve", "--data", data, "--max_length", "8", "--batch_size", "8",
+         "--max_batch", "8", "--emb_table", "hive://db.emb",
+         "--emb_table_cache", str(tmp_path / "c")])
+    with pytest.raises(SystemExit, match="local"):
         _build_serve_service(args)
 
 
