@@ -60,6 +60,19 @@ _CLOSE = object()
 _UNSET = object()
 
 
+class DeferredBatch:
+    """``run_batch`` may return this instead of a results list: the
+    batch's device work is DISPATCHED but not read back. ``finish()``
+    blocks on the readback and returns the results. The MicroBatcher
+    overlaps ``finish()`` with collecting and dispatching the NEXT
+    micro-batch (depth-1 pipeline) — through the relay a readback is a
+    ~50-60 ms round-trip that would otherwise serialize against device
+    work the next batch could already be doing."""
+
+    def __init__(self, finish: Callable[[], List[object]]):
+        self.finish = finish
+
+
 class TextQueryParser:
     """Extract text-tower query payloads from request dicts.
 
@@ -216,9 +229,23 @@ class MicroBatcher:
         self._worker.join(timeout=30)
 
     def _run(self):
+        pending = None   # (batch, DeferredBatch): dispatched, not read back
         while True:
-            first = self._q.get()
+            if pending is None:
+                first = self._q.get()
+            else:
+                # bounded wait: the pending batch's clients are blocked on
+                # its futures, so with no new traffic we must finish it
+                # now rather than hold the readback hostage
+                try:
+                    first = self._q.get(timeout=self.max_wait)
+                except queue.Empty:
+                    self._finish(*pending)
+                    pending = None
+                    continue
             if first is _CLOSE:
+                if pending is not None:
+                    self._finish(*pending)
                 return
             batch = [first]
             deadline = time.monotonic() + self.max_wait
@@ -240,20 +267,43 @@ class MicroBatcher:
             self.stats["items"] += len(items)
             self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
                                                len(items))
+            deferred = None
             try:
                 results = self.run_batch(items)
-                if len(results) != len(items):
-                    raise RuntimeError(
-                        f"run_batch returned {len(results)} results for "
-                        f"{len(items)} items")
-                for (_, fut), res in zip(batch, results):
-                    fut.set_result(res)
+                if isinstance(results, DeferredBatch):
+                    deferred = results   # readback overlaps the next batch
+                else:
+                    self._resolve(batch, results)
             except Exception as e:  # propagate to every waiter, keep serving
                 for _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
+            # finish the PREVIOUS batch after this one is dispatched: its
+            # readback round-trip rode on top of this batch's device work
+            if pending is not None:
+                self._finish(*pending)
+            pending = (batch, deferred) if deferred is not None else None
             if closing:
+                if pending is not None:
+                    self._finish(*pending)
                 return
+
+    @staticmethod
+    def _resolve(batch, results):
+        if len(results) != len(batch):
+            raise RuntimeError(
+                f"run_batch returned {len(results)} results for "
+                f"{len(batch)} items")
+        for (_, fut), res in zip(batch, results):
+            fut.set_result(res)
+
+    def _finish(self, batch, deferred):
+        try:
+            self._resolve(batch, deferred.finish())
+        except Exception as e:
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
 
 
 class SimilarityService:
@@ -288,7 +338,8 @@ class SimilarityService:
         # single one keeps ALL dispatch on one thread and lets embed and
         # similar requests share a batch's tower call
         self._max_batch = max_batch
-        self._batcher = MicroBatcher(self._run_batch, max_batch=max_batch,
+        self._batcher = MicroBatcher(self._run_batch_async,
+                                     max_batch=max_batch,
                                      max_wait_ms=max_wait_ms)
 
     @property
@@ -301,6 +352,18 @@ class SimilarityService:
     # -- device-worker side -------------------------------------------------
 
     def _run_batch(self, items: List[dict]) -> List[object]:
+        """Synchronous batch execution (tests, warm-up, library use):
+        dispatch + readback in one call."""
+        out = self._run_batch_async(items)
+        if isinstance(out, DeferredBatch):
+            return out.finish()
+        return out
+
+    def _run_batch_async(self, items: List[dict]):
+        """The MicroBatcher's entry: a similar-only batch on the fused
+        device path returns a DeferredBatch (dispatched, readback
+        deferred) so the worker can overlap its readback with the next
+        micro-batch; anything else runs synchronously on the host path."""
         queries = [it["query"] for it in items]
         # embed/update items need the vectors on host; a similar-only
         # batch (the hot path) can keep them on device
@@ -308,8 +371,19 @@ class SimilarityService:
                      and all(it["op"] == "similar" for it in items))
         if device_ok:
             emb = self._embed_queries_device(queries)
-        else:
-            emb = self._embed_queries(queries)
+            n = len(items)
+            bucket = self._bucket_size(n)
+            # the tower output is padded to batch_size; slice to the
+            # bucket (one shape per bucket — see _search_bucketed)
+            q = emb[:bucket] if bucket < emb.shape[0] else emb
+            dv, di = self.engine.search_device(self.k, q)
+
+            def finish():
+                scores, idx = np.asarray(dv), np.asarray(di)
+                return [(scores[r], idx[r]) for r in range(n)]
+
+            return DeferredBatch(finish)
+        emb = self._embed_queries(queries)
         out: List[object] = [None] * len(items)
         ups = [i for i, it in enumerate(items) if it["op"] == "update"]
         if ups:
@@ -332,12 +406,8 @@ class SimilarityService:
                 out[i] = {"key": items[i]["key"]}
         need_knn = [i for i, it in enumerate(items) if it["op"] == "similar"]
         if need_knn:
-            # device path: the batch is all-similar, so emb IS the query
-            # set (tower-padded to batch_size) — no gather, and the whole
-            # chain syncs once inside search's readback
-            q = emb if device_ok else emb[need_knn]
-            scores, idx = self._search_bucketed(q, len(need_knn),
-                                                device_ok)
+            scores, idx = self._search_bucketed(emb[need_knn],
+                                                len(need_knn))
             for row, i in enumerate(need_knn):
                 out[i] = (scores[row], idx[row])
         for i, it in enumerate(items):
@@ -345,32 +415,28 @@ class SimilarityService:
                 out[i] = emb[i]
         return out
 
-    def _search_bucketed(self, q, n: int, on_device: bool):
-        """Engine search with the query count quantized to the next pow2
-        bucket (capped at max_batch). Device programs compile PER SHAPE:
-        without bucketing, a closed-loop load whose micro-batches land at
-        arbitrary sizes compiles on nearly every batch — measured collapse
-        at c=64 (qps 15, p50 3.9 s, each odd-sized batch paying a ~2-3 s
-        relay compile; benchmarks/serving_load.py). The tower side is
-        already one shape (the embedder pads to batch_size); this closes
-        the k-NN side, and cmd_serve's warm-up pre-compiles exactly this
-        ladder THROUGH this path (the device chain's eager slice/normalize
-        ops are also per-shape — warming the engine alone left them as
-        2 s first-sight spikes under load).
-
-        Device path: ``q`` is the tower's full [batch_size, D] output —
-        slice down to the bucket (pad rows are pad-token embeddings;
-        their result rows are discarded below). Host path: ``q`` has
-        exactly n rows — zero-pad up (inert under ip and l2)."""
+    def _bucket_size(self, n: int) -> int:
+        """Query counts quantize to a pow2 ladder capped at max_batch:
+        device programs compile PER SHAPE, so a load whose micro-batches
+        land at arbitrary sizes compiles on nearly every batch — measured
+        collapse at c=64 (qps 15, p50 3.9 s, each odd-sized batch paying
+        a ~2-3 s relay compile; benchmarks/serving_load.py). cmd_serve's
+        warm-up pre-compiles exactly this ladder through the real paths
+        (the device chain's eager slice/normalize ops are also per-shape
+        — warming the engine alone left them as 2 s first-sight spikes)."""
         bucket = 1 << max(n - 1, 0).bit_length()
         bucket = min(bucket, self._max_batch)
         if bucket < n:
             bucket = n   # direct call larger than max_batch (tests /
             # library use bypassing the batcher): never drop real queries
-        if on_device:
-            if bucket < q.shape[0]:
-                q = q[:bucket]
-        elif bucket > q.shape[0]:
+        return bucket
+
+    def _search_bucketed(self, q, n: int):
+        """Host-path engine search at the bucketed query count: ``q`` has
+        exactly n rows — zero-pad up (inert under ip and l2), slice the
+        pad rows' results off."""
+        bucket = self._bucket_size(n)
+        if bucket > q.shape[0]:
             q = np.pad(q, ((0, bucket - q.shape[0]), (0, 0)))
         scores, idx = self.engine.search(self.k, queries=q)
         return scores[:n], idx[:n]

@@ -265,9 +265,48 @@ class SimilarityEngine:
         if len(q) == 0 or self.n == 0:
             return (np.zeros((len(q), k_eff), np.float32),
                     np.zeros((len(q), k_eff), np.int32))
-        # corpus uploaded ONCE per engine, not per search call — repeated
-        # searches (self-search + external queries, windowed sweeps) were
-        # re-transferring the full [N, D] corpus through the relay each time
+        corpus_dev, true_n, block = self._ensure_corpus_dev(sharded)
+        # per-call chunk: the fixed QUERY_CHUNK is the k<=100 warehouse
+        # operating point, but the running top-k carry is O(q*k) — the
+        # daodian v1 text side searches with k = len(area), where a 32768
+        # chunk's carry alone busts the HBM budget (knn.plan_query_chunk)
+        from multimodalsimilar_tpu.retrieval.knn import plan_query_chunk
+        chunk_rows = min(self.QUERY_CHUNK,
+                         plan_query_chunk(self.n, self._emb.shape[1],
+                                          k_eff))
+        # results land in preallocated host arrays: accumulating per-chunk
+        # parts + one np.concatenate doubled peak host memory of the
+        # [Q, k] results (1.6 GB transient at 1M x k=100)
+        out_v = out_i = None
+        # MMS_KNN_CHUNK_LOG=1: per-chunk wall times to stderr (readback-
+        # bounded, so honest through the relay). The shared pool's rate
+        # drifts minute-to-minute; on a 25-min warehouse sweep this is the
+        # only way to tell "slow pool window" from "slow program".
+        chunk_log = bool(os.environ.get("MMS_KNN_CHUNK_LOG"))
+        n_chunks = (len(q) + chunk_rows - 1) // chunk_rows
+        for s in range(0, len(q), chunk_rows):
+            if chunk_log:
+                t_chunk = time.perf_counter()
+            chunk = jax.numpy.asarray(q[s: s + chunk_rows])
+            v, i = self._dispatch_chunk(chunk, k, sharded)
+            v, i = np.asarray(v), np.asarray(i)
+            if chunk_log:
+                print(f"[knn chunk {s // chunk_rows + 1}/{n_chunks}] "
+                      f"{len(v)} queries in "
+                      f"{time.perf_counter() - t_chunk:.2f}s",
+                      file=sys.stderr, flush=True)
+            if out_v is None:
+                out_v = np.empty((len(q), v.shape[1]), v.dtype)
+                out_i = np.empty((len(q), i.shape[1]), i.dtype)
+            out_v[s: s + len(v)] = v
+            out_i[s: s + len(i)] = i
+        return out_v, out_i
+
+    def _ensure_corpus_dev(self, sharded: bool):
+        """(corpus_dev, true_n, block) — corpus uploaded ONCE per engine,
+        not per search call: repeated searches (self-search + external
+        queries, windowed sweeps) were re-transferring the full [N, D]
+        corpus through the relay each time."""
         if self._corpus_dev is None:
             if sharded:
                 from multimodalsimilar_tpu.retrieval.knn import _next_pow2
@@ -292,56 +331,58 @@ class SimilarityEngine:
                                        self.QUERY_CHUNK)
                 corpus, true_n = pad_corpus(self._emb, block, self.metric)
                 self._corpus_dev = (jax.numpy.asarray(corpus), true_n, block)
+        return self._corpus_dev
+
+    def _dispatch_chunk(self, chunk, k: int, sharded: bool):
+        """Dispatch ONE query chunk on the cached device corpus; returns
+        DEVICE arrays (no readback)."""
         corpus_dev, true_n, block = self._corpus_dev
-        # per-call chunk: the fixed QUERY_CHUNK is the k<=100 warehouse
-        # operating point, but the running top-k carry is O(q*k) — the
-        # daodian v1 text side searches with k = len(area), where a 32768
-        # chunk's carry alone busts the HBM budget (knn.plan_query_chunk)
+        if sharded:
+            return sharded_knn_search(self.mesh, corpus_dev, chunk, k,
+                                      self.metric, true_n=true_n)
+        if self.backend == "pallas":
+            from multimodalsimilar_tpu.ops.topk import pallas_topk
+            # true_n: the cached corpus is block-padded with zero rows;
+            # without the mask an ip pad row scores 0.0 and displaces
+            # real negative-cosine neighbors (returning out-of-range
+            # indices to boot)
+            return pallas_topk(corpus_dev, chunk, min(k, self.n),
+                               self.metric, true_n=true_n)
+        return knn_search(corpus_dev, chunk, k, self.metric,
+                          block_rows=block, true_n=true_n,
+                          approx_recall=self.approx_recall)
+
+    def search_device(self, k: int, queries):
+        """Single-chunk search returning DEVICE (scores, indices) — no
+        readback. The serving worker dispatches a micro-batch's whole
+        chain (tower -> normalize -> k-NN) through here and overlaps the
+        final readback with collecting the NEXT micro-batch (depth-1
+        pipeline, pipelines/serving.py). ``queries`` may be a device
+        array (the fused path) or host numpy."""
+        import jax.numpy as jnp
+        if isinstance(queries, jax.Array) and not isinstance(
+                queries, np.ndarray):
+            q = queries.astype(jnp.float32)
+        else:
+            q = jnp.asarray(np.asarray(queries, np.float32))
+        if self._normalized:
+            norms = jnp.linalg.norm(q, axis=1, keepdims=True)
+            q = q / jnp.maximum(norms, 1e-12)
+        k_eff = min(k, self.n)
+        if q.shape[0] == 0 or self.n == 0:
+            return (np.zeros((q.shape[0], k_eff), np.float32),
+                    np.zeros((q.shape[0], k_eff), np.int32))
+        sharded = self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1
+        self._ensure_corpus_dev(sharded)
         from multimodalsimilar_tpu.retrieval.knn import plan_query_chunk
         chunk_rows = min(self.QUERY_CHUNK,
                          plan_query_chunk(self.n, self._emb.shape[1],
                                           k_eff))
-        # results land in preallocated host arrays: accumulating per-chunk
-        # parts + one np.concatenate doubled peak host memory of the
-        # [Q, k] results (1.6 GB transient at 1M x k=100)
-        out_v = out_i = None
-        # MMS_KNN_CHUNK_LOG=1: per-chunk wall times to stderr (readback-
-        # bounded, so honest through the relay). The shared pool's rate
-        # drifts minute-to-minute; on a 25-min warehouse sweep this is the
-        # only way to tell "slow pool window" from "slow program".
-        chunk_log = bool(os.environ.get("MMS_KNN_CHUNK_LOG"))
-        n_chunks = (len(q) + chunk_rows - 1) // chunk_rows
-        for s in range(0, len(q), chunk_rows):
-            if chunk_log:
-                t_chunk = time.perf_counter()
-            chunk = jax.numpy.asarray(q[s: s + chunk_rows])
-            if sharded:
-                v, i = sharded_knn_search(self.mesh, corpus_dev, chunk, k,
-                                          self.metric, true_n=true_n)
-            elif self.backend == "pallas":
-                from multimodalsimilar_tpu.ops.topk import pallas_topk
-                # true_n: the cached corpus is block-padded with zero rows;
-                # without the mask an ip pad row scores 0.0 and displaces
-                # real negative-cosine neighbors (returning out-of-range
-                # indices to boot)
-                v, i = pallas_topk(corpus_dev, chunk, min(k, self.n),
-                                   self.metric, true_n=true_n)
-            else:
-                v, i = knn_search(corpus_dev, chunk, k, self.metric,
-                                  block_rows=block, true_n=true_n,
-                                  approx_recall=self.approx_recall)
-            v, i = np.asarray(v), np.asarray(i)
-            if chunk_log:
-                print(f"[knn chunk {s // chunk_rows + 1}/{n_chunks}] "
-                      f"{len(v)} queries in "
-                      f"{time.perf_counter() - t_chunk:.2f}s",
-                      file=sys.stderr, flush=True)
-            if out_v is None:
-                out_v = np.empty((len(q), v.shape[1]), v.dtype)
-                out_i = np.empty((len(q), i.shape[1]), i.dtype)
-            out_v[s: s + len(v)] = v
-            out_i[s: s + len(i)] = i
-        return out_v, out_i
+        if q.shape[0] > chunk_rows:
+            raise ValueError(f"search_device is single-chunk: "
+                             f"{q.shape[0]} queries > chunk {chunk_rows} "
+                             "— use search()")
+        return self._dispatch_chunk(q, k, sharded)
 
     # -- full jobs ---------------------------------------------------------
 

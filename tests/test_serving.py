@@ -1007,22 +1007,22 @@ def test_run_batch_device_path_slices_padded_tower_output_to_bucket():
 
     svc._embed_queries_device = embed_device
     seen = []
-    true_search = svc.engine.search
-    svc.engine.search = lambda k, queries=None: (
+    true_search_dev = svc.engine.search_device
+    svc.engine.search_device = lambda k, queries: (
         seen.append(np.asarray(queries).shape[0]) or
-        true_search(k, queries=queries))
+        true_search_dev(k, queries))
     try:
         out = svc._run_batch([{"op": "similar", "query": f"q{i}"}
                               for i in range(3)])
         assert seen[-1] == 4                    # bucket, not 3 and not 8
         assert len(out) == 3
         for i in range(3):
-            s1, i1 = true_search(svc.k, queries=embed([f"q{i}"]))
+            s1, i1 = svc.engine.search(svc.k, queries=embed([f"q{i}"]))
             np.testing.assert_array_equal(np.asarray(out[i][1]), i1[0])
             np.testing.assert_allclose(np.asarray(out[i][0]), s1[0],
                                        rtol=1e-5)
     finally:
-        svc.engine.search = true_search
+        svc.engine.search_device = true_search_dev
         svc.close()
 
 
@@ -1040,6 +1040,109 @@ def test_run_batch_bucket_cap_is_max_batch_not_pow2():
     finally:
         svc.engine.search = true_search
         svc.close()
+
+
+# ------------------------------------- depth-1 pipelined readback (worker)
+
+def test_microbatcher_pipelines_deferred_readback():
+    """A DeferredBatch's finish() must run AFTER the next batch is
+    dispatched (the readback round-trip overlaps the next batch's device
+    work), and every future must still resolve with its own result."""
+    from multimodalsimilar_tpu.pipelines.serving import (DeferredBatch,
+                                                         MicroBatcher)
+    events = []
+
+    def run_batch(items):
+        tag = items[0]
+        events.append(("dispatch", tag))
+
+        def finish():
+            events.append(("finish", tag))
+            return [f"r-{tag}"]
+
+        return DeferredBatch(finish)
+
+    mb = MicroBatcher(run_batch, max_batch=1, max_wait_ms=200)
+    try:
+        futs = [mb.submit_nowait(i) for i in range(3)]
+        assert [f.result(timeout=10) for f in futs] == ["r-0", "r-1", "r-2"]
+        assert events.index(("dispatch", 1)) < events.index(("finish", 0))
+        assert events.index(("dispatch", 2)) < events.index(("finish", 1))
+    finally:
+        mb.close()
+
+
+def test_microbatcher_deferred_finish_exception_propagates():
+    from multimodalsimilar_tpu.pipelines.serving import (DeferredBatch,
+                                                         MicroBatcher)
+
+    def run_batch(items):
+        if items[0] == "bad":
+            return DeferredBatch(lambda: (_ for _ in ()).throw(
+                RuntimeError("readback died")))
+        return [f"ok-{items[0]}"]
+
+    mb = MicroBatcher(run_batch, max_batch=1, max_wait_ms=5)
+    try:
+        with pytest.raises(RuntimeError, match="readback died"):
+            mb.submit("bad")
+        assert mb.submit("fine") == "ok-fine"   # worker survives
+    finally:
+        mb.close()
+
+
+def test_microbatcher_close_finishes_pending_deferred():
+    from multimodalsimilar_tpu.pipelines.serving import (DeferredBatch,
+                                                         MicroBatcher)
+    mb = MicroBatcher(lambda items: DeferredBatch(lambda: ["done"]),
+                      max_batch=1, max_wait_ms=5000)
+    fut = mb.submit_nowait("x")
+    mb.close()   # must finish the in-flight deferred, not strand it
+    assert fut.result(timeout=1) == "done"
+
+
+def test_engine_search_device_matches_search():
+    import jax.numpy as jnp
+
+    from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+    rng = np.random.default_rng(11)
+    corpus = rng.normal(size=(80, 6)).astype(np.float32)
+    q = rng.normal(size=(5, 6)).astype(np.float32)
+    for metric, norm in (("ip", True), ("l2", False)):
+        eng = SimilarityEngine(corpus, list(range(80)), metric=metric,
+                               normalize=norm)
+        hs, hi = eng.search(9, queries=q)
+        for dev_q in (q, jnp.asarray(q)):      # host and device queries
+            dv, di = eng.search_device(9, dev_q)
+            np.testing.assert_array_equal(hi, np.asarray(di))
+            np.testing.assert_allclose(hs, np.asarray(dv), rtol=1e-5,
+                                       atol=1e-6)
+
+
+def test_service_pipelined_load_matches_serial_results(serve_cli):
+    """Hammer the fused service from many threads (more clients than
+    max_batch so the depth-1 pipeline engages) and check every answer
+    equals the synchronous one."""
+    base, service, df = serve_cli
+    texts = [df["spu_name"][i] for i in range(16)]
+    want = {t: [g["key"] for g in service.similar(t, score_th=None)]
+            for t in texts}
+    errs = []
+
+    def worker(t):
+        try:
+            for _ in range(8):
+                got = [g["key"] for g in service.similar(t, score_th=None)]
+                assert got == want[t]
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in texts]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errs
 
 
 # --------------------------------------------- --emb_table warm-start
