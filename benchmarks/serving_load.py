@@ -35,7 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 from serving_roofline import bw_probe, pool_probe  # noqa: E402
 
-LEVELS = (1, 4, 16, 64)
+# 128 > max_batch: the depth-1 pipelined readback only engages when
+# clients outnumber one batch (otherwise the queue drains empty while
+# the batch is in flight)
+LEVELS = (1, 4, 16, 64, 128)
 
 
 def _requests_for(concurrency):

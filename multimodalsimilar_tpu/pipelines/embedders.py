@@ -103,9 +103,9 @@ class TextEmbedder:
         self._variables = variables
         self._run = lambda *a: run(self._variables, *a)
 
-    def embed_device(self, texts: Sequence[str]):
-        """One micro-batch -> the FULL padded [batch_size, D] jax.Array
-        STILL ON DEVICE (no readback, no slice — rows past len(texts) are
+    def embed_device(self, texts: Sequence[str], pad_to: int = None):
+        """One micro-batch -> a padded [pad_to, D] jax.Array STILL ON
+        DEVICE (no readback, no slice — rows past len(texts) are
         pad-token outputs the caller must discard). The serving hot path
         chains this straight into the k-NN program, so a request pays ONE
         device round-trip (the final scores readback) instead of two —
@@ -114,13 +114,21 @@ class TextEmbedder:
         chain SHAPE-STABLE: an eager dev[:n] here would compile once per
         distinct micro-batch size (measured as 2 s p95/p99 spikes under
         load, benchmarks/serving_load.py); the caller slices to its pow2
-        bucket instead. len(texts) must fit one padded program
-        (<= batch_size)."""
-        if len(texts) > self.batch_size:
-            raise ValueError(f"{len(texts)} texts > batch_size "
-                             f"{self.batch_size} — one padded program only")
-        toks = _pad_rows(self.tokenizer(list(texts), self.max_length),
-                         self.batch_size)
+        bucket instead.
+
+        ``pad_to`` (default batch_size) lets the serving worker run the
+        tower at its micro-batch's POW2 BUCKET instead of the full
+        batch_size: one program per bucket (warm-up compiles the ladder),
+        and device cost scales with actual load — always padding to
+        batch_size made a half-full batch cost a full one, which turned
+        the depth-1 pipelined readback into a regression (measured,
+        benchmarks/serving_load.py). len(texts) <= pad_to <= batch_size."""
+        pad = self.batch_size if pad_to is None else pad_to
+        if not len(texts) <= pad <= self.batch_size:
+            raise ValueError(f"need len(texts) <= pad_to <= batch_size, "
+                             f"got {len(texts)} / {pad} / "
+                             f"{self.batch_size}")
+        toks = _pad_rows(self.tokenizer(list(texts), self.max_length), pad)
         return self._run(jnp.asarray(toks["input_ids"]),
                          jnp.asarray(toks["attention_mask"]),
                          jnp.asarray(toks["token_type_ids"]))

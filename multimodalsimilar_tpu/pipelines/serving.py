@@ -329,8 +329,19 @@ class SimilarityService:
         self._embed_queries = embed_queries
         # optional fused path: embeddings stay ON DEVICE and chain into
         # the k-NN program, so a similar-only micro-batch pays ONE sync
-        # round-trip (~50-60 ms through the relay) instead of two
+        # round-trip (~50-60 ms through the relay) instead of two.
+        # Towers whose embed_device accepts pad_to run at the pow2 bucket
+        # (device cost scales with the micro-batch instead of always
+        # paying a full batch_size program).
         self._embed_queries_device = embed_queries_device
+        self._dev_accepts_pad = False
+        if embed_queries_device is not None:
+            import inspect
+            try:
+                self._dev_accepts_pad = "pad_to" in inspect.signature(
+                    embed_queries_device).parameters
+            except (TypeError, ValueError):
+                pass
         self._cats = (np.asarray(engine.categories, dtype=object)
                       if engine.categories is not None else None)
         self._keys = np.asarray(engine.keys, dtype=object)
@@ -370,11 +381,18 @@ class SimilarityService:
         device_ok = (self._embed_queries_device is not None
                      and all(it["op"] == "similar" for it in items))
         if device_ok:
-            emb = self._embed_queries_device(queries)
             n = len(items)
             bucket = self._bucket_size(n)
-            # the tower output is padded to batch_size; slice to the
-            # bucket (one shape per bucket — see _search_bucketed)
+            if self._dev_accepts_pad:
+                # tower runs AT the bucket: device cost scales with the
+                # micro-batch (a half-full batch at full batch_size cost
+                # a full one — that waste turned the pipelined readback
+                # into a measured regression)
+                emb = self._embed_queries_device(queries, pad_to=bucket)
+            else:
+                emb = self._embed_queries_device(queries)
+            # slice any extra tower padding to the bucket (one shape per
+            # bucket — see _bucket_size)
             q = emb[:bucket] if bucket < emb.shape[0] else emb
             dv, di = self.engine.search_device(self.k, q)
 

@@ -949,8 +949,15 @@ def test_text_embedder_embed_device_matches_call():
     assert isinstance(dev, jax.Array) and dev.shape[0] == 4
     np.testing.assert_allclose(np.asarray(dev)[:3], emb(texts),
                                rtol=1e-5, atol=1e-6)
-    with pytest.raises(ValueError, match="batch_size"):
+    # bucketed tower program: pads to pad_to, same values
+    dev2 = emb.embed_device(texts[:2], pad_to=2)
+    assert dev2.shape[0] == 2
+    np.testing.assert_allclose(np.asarray(dev2), emb(texts[:2]),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="pad_to"):
         emb.embed_device(["a"] * 5)
+    with pytest.raises(ValueError, match="pad_to"):
+        emb.embed_device(texts[:3], pad_to=2)   # pad below len(texts)
 
 
 def test_cli_serve_wires_device_path_for_bert(serve_cli):
@@ -1024,6 +1031,62 @@ def test_run_batch_device_path_slices_padded_tower_output_to_bucket():
     finally:
         svc.engine.search_device = true_search_dev
         svc.close()
+
+
+def test_service_device_path_passes_bucket_pad_to():
+    """A tower whose embed_device accepts pad_to runs AT the bucket —
+    the worker must request exactly the bucket, and results must match
+    single-query searches."""
+    import jax.numpy as jnp
+    svc, embed = _updatable_service(score_th=None, max_batch=8)
+    pads = []
+
+    def embed_device(texts, pad_to=None):
+        pads.append(pad_to)
+        full = np.zeros((pad_to, 4), np.float32)
+        full[: len(texts)] = embed(texts)
+        return jnp.asarray(full)
+
+    svc._embed_queries_device = embed_device
+    svc._dev_accepts_pad = True   # injected post-init; the constructor
+    # inspects the real wiring path (SimilarityService(embed_queries_device=))
+    try:
+        out = svc._run_batch([{"op": "similar", "query": f"q{i}"}
+                              for i in range(3)])
+        assert pads[-1] == 4                    # the pow2 bucket, not 8
+        for i in range(3):
+            s1, i1 = svc.engine.search(svc.k, queries=embed([f"q{i}"]))
+            np.testing.assert_array_equal(np.asarray(out[i][1]), i1[0])
+            np.testing.assert_allclose(np.asarray(out[i][0]), s1[0],
+                                       rtol=1e-5)
+    finally:
+        svc.close()
+
+
+def test_service_constructor_detects_pad_to_support():
+    import jax.numpy as jnp
+
+    from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+    corpus = np.eye(4, dtype=np.float32)
+
+    def with_pad(texts, pad_to=None):
+        return jnp.zeros((pad_to or 4, 4), np.float32)
+
+    def without_pad(texts):
+        return jnp.zeros((len(texts), 4), np.float32)
+
+    s1 = SimilarityService(lambda t: np.zeros((len(t), 4), np.float32),
+                           SimilarityEngine(corpus, list("abcd")),
+                           embed_queries_device=with_pad, max_wait_ms=1)
+    s2 = SimilarityService(lambda t: np.zeros((len(t), 4), np.float32),
+                           SimilarityEngine(corpus, list("abcd")),
+                           embed_queries_device=without_pad,
+                           max_wait_ms=1)
+    try:
+        assert s1._dev_accepts_pad and not s2._dev_accepts_pad
+    finally:
+        s1.close()
+        s2.close()
 
 
 def test_run_batch_bucket_cap_is_max_batch_not_pow2():
