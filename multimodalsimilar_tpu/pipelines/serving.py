@@ -248,20 +248,19 @@ class MicroBatcher:
                     self._finish(*pending)
                 return
             batch = [first]
-            deadline = time.monotonic() + self.max_wait
-            closing = False
-            while len(batch) < self.max_batch:
-                timeout = deadline - time.monotonic()
-                if timeout <= 0:
-                    break
-                try:
-                    nxt = self._q.get(timeout=timeout)
-                except queue.Empty:
-                    break
-                if nxt is _CLOSE:
-                    closing = True
-                    break
-                batch.append(nxt)
+            closing = self._collect_into(batch)
+            if pending is not None and not closing \
+                    and len(batch) < self.max_batch:
+                # partial batch while one is in flight: finish the
+                # pending readback FIRST and top the batch up with the
+                # clients that releases. Dispatching partial batches
+                # multiplies the per-batch relay program floor (~5-6
+                # programs x ~15 ms each regardless of batch size) —
+                # measured as a c=64 regression from 820 to 347 qps.
+                # Only FULL batches ride the pipeline.
+                self._finish(*pending)
+                pending = None
+                closing = self._collect_into(batch)
             items = [it for it, _ in batch]
             self.stats["batches"] += 1
             self.stats["items"] += len(items)
@@ -287,6 +286,23 @@ class MicroBatcher:
                 if pending is not None:
                     self._finish(*pending)
                 return
+
+    def _collect_into(self, batch) -> bool:
+        """Drain the queue into ``batch`` until max_batch or max_wait
+        since this call; True if _CLOSE was seen."""
+        deadline = time.monotonic() + self.max_wait
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is _CLOSE:
+                return True
+            batch.append(nxt)
+        return False
 
     @staticmethod
     def _resolve(batch, results):
