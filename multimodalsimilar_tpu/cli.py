@@ -1081,18 +1081,22 @@ def _build_serve_service(args):
                               normalize=normalize,
                               mesh=mesh, backend=backend,
                               approx_recall=approx)
-    embed_device = None
+    embed_device = fused = None
     if args.tower == "bert" and args.max_batch <= args.batch_size:
-        # fused hot path: tower output stays on device and chains into
-        # the k-NN program — one sync round-trip per similar micro-batch
-        # instead of two (each costs ~50-60 ms through the relay)
+        # best path: the WHOLE request (tower -> normalize -> k-NN) as
+        # ONE jitted program — the unfused chain's 5-6 per-batch program
+        # dispatches each pay the ~15 ms relay floor (PERF.md "Online
+        # serving under load"). embed_device is the fallback chain when
+        # the engine can't fuse or the corpus outgrows the fused shape.
+        fused = embedder.fused_similar_fn(engine, args.k)
         embed_device = embedder.embed_device
     service = SimilarityService(embed_queries, engine, k=args.k,
                                 score_th=_serve_score_th(args),
                                 max_batch=args.max_batch,
                                 max_wait_ms=args.max_wait_ms,
                                 query_parser=parser,
-                                embed_queries_device=embed_device)
+                                embed_queries_device=embed_device,
+                                fused_similar=fused)
     return service, len(keys)
 
 
@@ -1454,13 +1458,22 @@ def _warm_serve_service(service, args):
         ladder.append(m)
         m *= 2
     ladder.append(args.max_batch)   # the cap itself, pow2 or not — the
-    # exact bucket set SimilarityService._search_bucketed quantizes to
-    if service._embed_queries_device is not None:
-        # drive the REAL device path per bucket: its eager slice/normalize
-        # ops are per-shape programs too — warming the engine alone left
-        # them as ~2 s first-sight spikes under load (serving_load.py)
+    # exact bucket set SimilarityService._bucket_size quantizes to
+    if service._fused_similar is not None \
+            or service._embed_queries_device is not None:
+        # drive the REAL device path per bucket: the fused program (and
+        # the fallback chain's eager slice/normalize ops) compile
+        # per-shape — warming the engine alone left them as ~2 s
+        # first-sight spikes under load (serving_load.py)
         for m in ladder:
             service._run_batch([{"op": "similar", "query": "warmup"}] * m)
+        # mixed/update batches run the HOST path: its tower shape and
+        # per-bucket k-NN programs must not compile on the first update
+        service.embed(["warmup"])
+        d = service.engine._emb.shape[1]
+        for m in ladder:
+            service.engine.search(service.k,
+                                  queries=np.zeros((m, d), np.float32))
     else:
         d = service.engine._emb.shape[1]
         for m in ladder:

@@ -95,11 +95,12 @@ class TextEmbedder:
         # variables flow as arguments — closure-captured params are baked
         # into the serialized HLO as constants (huge executables, remote
         # compile-size failures for large towers).
-        @jax.jit
-        def run(v, input_ids, attention_mask, token_type_ids):
+        def tower(v, input_ids, attention_mask, token_type_ids):
             return model.apply(v, input_ids, attention_mask,
                                token_type_ids, method=model.predict_emb)
 
+        run = jax.jit(tower)
+        self.tower_fn = tower   # uncompiled: composable into fused programs
         self._variables = variables
         self._run = lambda *a: run(self._variables, *a)
 
@@ -132,6 +133,31 @@ class TextEmbedder:
         return self._run(jnp.asarray(toks["input_ids"]),
                          jnp.asarray(toks["attention_mask"]),
                          jnp.asarray(toks["token_type_ids"]))
+
+    def fused_similar_fn(self, engine, k: int):
+        """``(texts, pad_to) -> (scores_dev, idx_dev) | None``: the
+        serving hot path as ONE device program — tokenize on host, then
+        tower + normalize + exact k-NN fused (engine.fused_search_fn).
+        None when the engine can't fuse (sharded / pallas / approx).
+        The call returns None when the engine's corpus outgrew the
+        compiled shape — the caller falls back to the unfused path."""
+        run = engine.fused_search_fn(self.tower_fn, k)
+        if run is None:
+            return None
+
+        def fused(texts, pad_to):
+            if not len(texts) <= pad_to <= self.batch_size:
+                raise ValueError(
+                    f"need len(texts) <= pad_to <= batch_size, got "
+                    f"{len(texts)} / {pad_to} / {self.batch_size}")
+            toks = _pad_rows(self.tokenizer(list(texts), self.max_length),
+                             pad_to)
+            return run(self._variables,
+                       jnp.asarray(toks["input_ids"]),
+                       jnp.asarray(toks["attention_mask"]),
+                       jnp.asarray(toks["token_type_ids"]))
+
+        return fused
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
         if self.length_buckets and len(texts) > self.batch_size:

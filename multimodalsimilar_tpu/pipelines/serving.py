@@ -337,7 +337,8 @@ class SimilarityService:
     def __init__(self, embed_queries: Callable[[Sequence], np.ndarray],
                  engine, k: int = 13, score_th: Optional[float] = None,
                  max_batch: int = 64, max_wait_ms: float = 5.0,
-                 query_parser=None, embed_queries_device=None):
+                 query_parser=None, embed_queries_device=None,
+                 fused_similar=None):
         self.engine = engine
         self._k_req = k
         self.score_th = score_th
@@ -349,6 +350,12 @@ class SimilarityService:
         # Towers whose embed_device accepts pad_to run at the pow2 bucket
         # (device cost scales with the micro-batch instead of always
         # paying a full batch_size program).
+        # the best path: the WHOLE request (tower -> normalize -> k-NN)
+        # as one jitted program — the unfused chain's 5-6 per-batch
+        # program dispatches each pay the ~15 ms relay floor.
+        # fused_similar(payloads, pad_to) -> (scores_dev, idx_dev) | None
+        # (None = corpus outgrew the compiled shape; fall back below).
+        self._fused_similar = fused_similar
         self._embed_queries_device = embed_queries_device
         self._dev_accepts_pad = False
         if embed_queries_device is not None:
@@ -393,30 +400,11 @@ class SimilarityService:
         micro-batch; anything else runs synchronously on the host path."""
         queries = [it["query"] for it in items]
         # embed/update items need the vectors on host; a similar-only
-        # batch (the hot path) can keep them on device
-        device_ok = (self._embed_queries_device is not None
-                     and all(it["op"] == "similar" for it in items))
-        if device_ok:
-            n = len(items)
-            bucket = self._bucket_size(n)
-            if self._dev_accepts_pad:
-                # tower runs AT the bucket: device cost scales with the
-                # micro-batch (a half-full batch at full batch_size cost
-                # a full one — that waste turned the pipelined readback
-                # into a measured regression)
-                emb = self._embed_queries_device(queries, pad_to=bucket)
-            else:
-                emb = self._embed_queries_device(queries)
-            # slice any extra tower padding to the bucket (one shape per
-            # bucket — see _bucket_size)
-            q = emb[:bucket] if bucket < emb.shape[0] else emb
-            dv, di = self.engine.search_device(self.k, q)
-
-            def finish():
-                scores, idx = np.asarray(dv), np.asarray(di)
-                return [(scores[r], idx[r]) for r in range(n)]
-
-            return DeferredBatch(finish)
+        # batch (the hot path) can keep the whole chain on device
+        if all(it["op"] == "similar" for it in items):
+            d = self._try_device_batch(queries, len(items))
+            if d is not None:
+                return d
         emb = self._embed_queries(queries)
         out: List[object] = [None] * len(items)
         ups = [i for i, it in enumerate(items) if it["op"] == "update"]
@@ -448,6 +436,43 @@ class SimilarityService:
             if it["op"] == "embed":
                 out[i] = emb[i]
         return out
+
+    def _try_device_batch(self, queries, n: int):
+        """DeferredBatch for a similar-only micro-batch on the best
+        available device path, or None (caller runs the host path).
+        Preference order: fused ONE-program chain, then the two-program
+        embed_device -> search_device chain."""
+        bucket = self._bucket_size(n)
+        if self._fused_similar is not None:
+            out = self._fused_similar(queries, bucket)
+            if out is not None:
+                dv, di = out
+
+                def finish():
+                    scores, idx = np.asarray(dv), np.asarray(di)
+                    return [(scores[r], idx[r]) for r in range(n)]
+
+                return DeferredBatch(finish)
+        if self._embed_queries_device is None:
+            return None
+        if self._dev_accepts_pad:
+            # tower runs AT the bucket: device cost scales with the
+            # micro-batch (a half-full batch at full batch_size cost a
+            # full one — that waste turned the pipelined readback into a
+            # measured regression)
+            emb = self._embed_queries_device(queries, pad_to=bucket)
+        else:
+            emb = self._embed_queries_device(queries)
+        # slice any extra tower padding to the bucket (one shape per
+        # bucket — see _bucket_size)
+        q = emb[:bucket] if bucket < emb.shape[0] else emb
+        dv, di = self.engine.search_device(self.k, q)
+
+        def finish():
+            scores, idx = np.asarray(dv), np.asarray(di)
+            return [(scores[r], idx[r]) for r in range(n)]
+
+        return DeferredBatch(finish)
 
     def _bucket_size(self, n: int) -> int:
         """Query counts quantize to a pow2 ladder capped at max_batch:

@@ -352,6 +352,62 @@ class SimilarityEngine:
                           block_rows=block, true_n=true_n,
                           approx_recall=self.approx_recall)
 
+    def fused_search_fn(self, tower_fn, k: int):
+        """ONE jitted program for the serving hot path: tower ->
+        normalize -> exact k-NN over the cached corpus. Returns
+        ``fused(variables, *tower_args) -> (scores_dev, idx_dev) | None``,
+        or None when unsupported (sharded mesh / pallas / approx).
+
+        Why: the unfused chain is 5-6 relay program dispatches per
+        micro-batch (tower, astype, norm, divide, k-NN) and each pays the
+        ~15 ms pipelined relay floor — the measured per-batch cost bound
+        at serving saturation (benchmarks/serving_load.py). One program =
+        one dispatch + one readback.
+
+        The corpus and ``variables`` flow as ARGUMENTS (closure-captured
+        arrays bake into the serialized HLO — relay HTTP 413, CLAUDE.md);
+        ``true_n`` is traced, so in-tail /update appends reuse the
+        compiled program. The returned callable re-reads the engine's
+        cached corpus each call and returns None when the corpus buffer
+        outgrew its build-time shape or the effective k changed — the
+        caller falls back to the unfused path (and may rebuild)."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from multimodalsimilar_tpu.retrieval.knn import (_knn_search,
+                                                         _next_pow2)
+        sharded = self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1
+        if sharded or self.backend == "pallas" \
+                or self.approx_recall is not None or self.n == 0:
+            return None
+        corpus0, _, block = self._ensure_corpus_dev(False)
+        built_shape = corpus0.shape
+        k_eff = min(k, self.n)
+        k_run = min(_next_pow2(k_eff, lo=16), built_shape[0])
+        metric, normalized = self.metric, self._normalized
+
+        @functools.partial(jax.jit,
+                           static_argnames=())   # ints/str close over fine
+        def run(variables, corpus, true_n, *tower_args):
+            emb = tower_fn(variables, *tower_args)
+            q = emb.astype(jnp.float32)
+            if normalized:
+                norms = jnp.linalg.norm(q, axis=1, keepdims=True)
+                q = q / jnp.maximum(norms, 1e-12)
+            v, i = _knn_search(corpus, q, true_n, k_run, metric, block)
+            return v[:, :k_eff], i[:, :k_eff]
+
+        def fused(variables, *tower_args):
+            corpus_dev, true_n, blk = self._ensure_corpus_dev(False)
+            if corpus_dev.shape != built_shape or blk != block \
+                    or min(k, self.n) != k_eff:
+                return None   # corpus grew past its tail / k changed
+            return run(variables, corpus_dev,
+                       jnp.asarray(true_n, jnp.int32), *tower_args)
+
+        return fused
+
     def search_device(self, k: int, queries):
         """Single-chunk search returning DEVICE (scores, indices) — no
         readback. The serving worker dispatches a micro-batch's whole

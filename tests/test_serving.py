@@ -1105,6 +1105,114 @@ def test_run_batch_bucket_cap_is_max_batch_not_pow2():
         svc.close()
 
 
+# --------------------------------------- fused one-program serving path
+
+def _tiny_text_embedder(texts, batch_size=4):
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
+    from multimodalsimilar_tpu.models.bert import BertConfig
+    from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
+    from multimodalsimilar_tpu.pipelines.embedders import TextEmbedder
+    tok = TextTokenizer.from_corpus(texts)
+    model = NlpTextClassifier(BertConfig.tiny(), num_labels=3)
+    ids = jnp.asarray(tok(["x"], 8)["input_ids"])
+    variables = jax.jit(lambda x: model.init(
+        {"params": jax.random.key(0)}, x,
+        label=jnp.zeros(x.shape[0], jnp.int32)))(ids)
+    return TextEmbedder(model, variables, tok, max_length=8,
+                        batch_size=batch_size)
+
+
+def test_fused_similar_matches_unfused():
+    """The fused ONE-program path (tower+normalize+k-NN) must return
+    exactly what embed -> engine.search does."""
+    from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+    corpus_texts = [f"{'甲乙丙丁'[i % 4]}商品{i}" for i in range(20)]
+    emb = _tiny_text_embedder(corpus_texts)
+    vecs = emb(corpus_texts)
+    for metric, norm in (("ip", True), ("l2", False)):
+        eng = SimilarityEngine(vecs, [f"k{i}" for i in range(20)],
+                               metric=metric, normalize=norm)
+        fused = emb.fused_similar_fn(eng, k=5)
+        assert fused is not None
+        queries = corpus_texts[3:6]
+        want_s, want_i = eng.search(5, queries=emb(queries))
+        out = fused(queries, 4)
+        assert out is not None
+        dv, di = np.asarray(out[0]), np.asarray(out[1])
+        np.testing.assert_array_equal(di[:3], want_i)
+        np.testing.assert_allclose(dv[:3], want_s, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_search_fn_unsupported_engines_return_none():
+    from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+    corpus = np.eye(8, dtype=np.float32)
+    tower = lambda v, x: x  # noqa: E731
+    eng = SimilarityEngine(corpus, list(range(8)), approx_recall=0.95)
+    assert eng.fused_search_fn(tower, 3) is None
+    eng2 = SimilarityEngine(corpus, list(range(8)), backend="pallas")
+    assert eng2.fused_search_fn(tower, 3) is None
+
+
+def test_fused_falls_back_when_k_or_corpus_changes():
+    """An /update that changes the effective k (or outgrows the corpus
+    buffer) must make fused() return None — and the service must still
+    answer correctly via the fallback path."""
+    import jax.numpy as jnp
+    svc, embed = _updatable_service(score_th=None, max_batch=8)
+    fused_calls = {"live": 0, "bailed": 0}
+    real_fused = svc.engine.fused_search_fn(
+        lambda v, q: q, svc._k_req)   # tower = identity over host vecs
+    assert real_fused is not None
+
+    def fused_similar(texts, pad_to):
+        vec = np.zeros((pad_to, 4), np.float32)
+        vec[: len(texts)] = embed(texts)
+        out = real_fused(None, jnp.asarray(vec))
+        fused_calls["live" if out is not None else "bailed"] += 1
+        return out
+
+    svc._fused_similar = fused_similar
+    try:
+        got = svc.similar("q0", score_th=None)
+        assert fused_calls["live"] == 1 and got
+        # corpus 4 -> 5 changes k_eff (k_req=10): fused must bail and the
+        # host fallback must serve the fresh corpus
+        svc.update(["fresh-e"], ["e"])
+        got = svc.similar("fresh-e", score_th=None)
+        assert fused_calls["bailed"] >= 1
+        assert got[0]["key"] == "e"
+    finally:
+        svc.close()
+
+
+def test_cli_serve_wires_fused_path(tmp_path, monkeypatch):
+    """On a single chip (production TPU serving) the engine is mesh-less
+    and the bert tower must wire the fused one-program path. (The test
+    env's 8-device CPU mesh makes the engine sharded, which correctly
+    disables fusion — so pin the mesh-less case explicitly.)"""
+    import multimodalsimilar_tpu.cli as cli
+    monkeypatch.setattr(cli, "_knn_backend_mesh",
+                        lambda a: ("xla", None, None))
+    df = pd.DataFrame({
+        "spu_sn": [f"sku{i}" for i in range(8)],
+        "spu_name": [f"{'甲乙'[i % 2] * 2}商品{i}" for i in range(8)]})
+    data = str(tmp_path / "corpus.csv")
+    df.to_csv(data, index=False)
+    args = cli.build_parser().parse_args(
+        ["serve", "--data", data, "--max_length", "8", "--batch_size", "8",
+         "--max_batch", "8", "--k", "3", "--max_wait_ms", "2"])
+    service, n = cli._build_serve_service(args)
+    try:
+        assert service._fused_similar is not None
+        got = service.similar(df["spu_name"][2], score_th=None)
+        assert got and got[0]["key"] == "sku2"
+    finally:
+        service.close()
+
+
 # ------------------------------------- depth-1 pipelined readback (worker)
 
 def test_microbatcher_pipelines_deferred_readback():
