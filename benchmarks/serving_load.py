@@ -215,25 +215,29 @@ def main():
                   flush=True)
         return
 
-    # fused-device-path A/B at c=1, INTERLEAVED (pool drift swings whole
-    # runs 2x — CLAUDE.md — so host-vs-device must alternate in-process):
-    # the device path chains tower output into the k-NN program, one sync
-    # round-trip per request instead of two
+    # path A/B at c=1, INTERLEAVED (pool drift swings whole runs 2x —
+    # CLAUDE.md — so the arms must alternate in-process): fused = ONE
+    # program per request; chain = tower + eager normalize + k-NN
+    # programs, one readback; host = two sync round-trips
+    fused_fn = service._fused_similar
     device_fn = service._embed_queries_device
     if device_fn is not None:
-        ab = {"device": [], "host": []}
+        arms = [("fused", fused_fn, device_fn)] if fused_fn else []
+        arms += [("chain", None, device_fn), ("host", None, None)]
+        ab = {name: [] for name, _, _ in arms}
         for _ in range(4):
-            for name, fn in (("device", device_fn), ("host", None)):
-                service._embed_queries_device = fn
+            for name, f, d in arms:
+                service._fused_similar = f
+                service._embed_queries_device = d
                 r = _closed_loop(lambda q: service.similar(q), queries,
                                  1, 48)
                 ab[name].append(r["p50_ms"])
+        service._fused_similar = fused_fn
         service._embed_queries_device = device_fn
         print(json.dumps({"mode": "ab_c1_p50_ms",
-                          "device": min(ab["device"]),
-                          "host": min(ab["host"]),
-                          "rounds_device": ab["device"],
-                          "rounds_host": ab["host"]}), flush=True)
+                          **{n: min(v) for n, v in ab.items()},
+                          **{f"rounds_{n}": v for n, v in ab.items()}}),
+              flush=True)
 
     # HTTP overhead at one mid level: real server + keep-alive clients
     # (one persistent connection per worker — the server speaks HTTP/1.1,
