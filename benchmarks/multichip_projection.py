@@ -134,7 +134,8 @@ def ici_seconds(colls) -> float:
     return t
 
 
-def build(batch, seq, model_parallel, classes=10208, bf16_grads=False):
+def build(batch, seq, model_parallel, classes=10208, bf16_grads=False,
+          tensor_parallel=False, preset="base"):
     from multimodalsimilar_tpu.models.bert import BertConfig
     from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
     from multimodalsimilar_tpu.parallel.mesh import batch_sharding, create_mesh
@@ -149,12 +150,15 @@ def build(batch, seq, model_parallel, classes=10208, bf16_grads=False):
     # to a divisible count (3 dead classes; the sampler never emits their
     # labels). The projection uses 10208 on BOTH placements so the
     # comparison is apples-to-apples.
-    model = NlpTextClassifier(BertConfig.roberta_wwm_ext(), classes)
+    cfg = (BertConfig.roberta_wwm_ext_large() if preset == "large"
+           else BertConfig.roberta_wwm_ext())
+    model = NlpTextClassifier(cfg, classes)
     task = text_arcface_task(model)
     tx = dual_group_adamw(lambda s: 5e-5, lambda s: 1e-2,
                           weight_decay=0.01)
     trainer = Trainer(task, tx, mesh,
                       TrainerConfig(model_parallel_heads=model_parallel > 1,
+                                    tensor_parallel=tensor_parallel,
                                     bf16_grad_allreduce=bf16_grads))
 
     bsh = batch_sharding(mesh)
@@ -186,8 +190,10 @@ def build(batch, seq, model_parallel, classes=10208, bf16_grads=False):
     return trainer._train_step.lower(state_sds, batch_sds, rng_in)
 
 
-def analyze(batch, seq, model_parallel, classes=10208, bf16_grads=False):
-    lowered = build(batch, seq, model_parallel, classes, bf16_grads)
+def analyze(batch, seq, model_parallel, classes=10208, bf16_grads=False,
+            tensor_parallel=False, preset="base"):
+    lowered = build(batch, seq, model_parallel, classes, bf16_grads,
+                    tensor_parallel, preset)
     compiled = lowered.compile()
     if bf16_grads:
         colls = collect_stablehlo_all_reduces(lowered.as_text())
@@ -203,13 +209,16 @@ def analyze(batch, seq, model_parallel, classes=10208, bf16_grads=False):
         e["bytes"] += c["bytes"]
     t_ici = ici_seconds(colls)
     t_compute = flops / (BF16_PEAK * MEASURED_MFU)
+    label = (" (class-sharded head + tensor-parallel tower)"
+             if tensor_parallel else
+             " (class-sharded head)" if model_parallel > 1
+             else " (pure DP, bf16 grads)" if bf16_grads
+             else " (pure DP)")
     return {
         "classes": classes,
+        "preset": preset,
         "placement": f"{jax.device_count() // model_parallel}x"
-                     f"{model_parallel}"
-                     + (" (class-sharded head)" if model_parallel > 1
-                        else (" (pure DP, bf16 grads)" if bf16_grads
-                              else " (pure DP)")),
+                     f"{model_parallel}" + label,
         "global_batch": batch, "seq": seq,
         "collectives": by_op,
         "collective_bytes_total": sum(c["bytes"] for c in colls),
@@ -288,6 +297,12 @@ def main():
     ap.add_argument("--seq", type=int, default=48)
     ap.add_argument("--mp", type=int, nargs="*", default=[1, 2])
     ap.add_argument("--no_bf16_row", action="store_true")
+    ap.add_argument("--tp", action="store_true",
+                    help="add a tensor-parallel-tower row per mp > 1 "
+                         "(--tensor_parallel placement)")
+    ap.add_argument("--preset", default="base", choices=["base", "large"],
+                    help="tower scale (large = roberta-wwm-ext-large, the "
+                         "readme.md:20 headliner)")
     ap.add_argument("--retrieval", action="store_true",
                     help="project the corpus-sharded warehouse k-NN "
                          "instead of the train step")
@@ -296,10 +311,15 @@ def main():
         print(json.dumps(analyze_retrieval()), flush=True)
         return
     for mp in args.mp:
-        print(json.dumps(analyze(args.batch, args.seq, mp)), flush=True)
+        print(json.dumps(analyze(args.batch, args.seq, mp,
+                                 preset=args.preset)), flush=True)
+        if args.tp and mp > 1:
+            print(json.dumps(analyze(args.batch, args.seq, mp,
+                                     tensor_parallel=True,
+                                     preset=args.preset)), flush=True)
     if not args.no_bf16_row:
-        print(json.dumps(analyze(args.batch, args.seq, 1,
-                                 bf16_grads=True)), flush=True)
+        print(json.dumps(analyze(args.batch, args.seq, 1, bf16_grads=True,
+                                 preset=args.preset)), flush=True)
 
 
 if __name__ == "__main__":

@@ -181,6 +181,13 @@ def _add_common_train_flags(p):
                    help="mesh model-axis size: shards ArcFace head weights "
                         "(and their optimizer moments) over classes; data "
                         "axis gets devices/N")
+    p.add_argument("--tensor_parallel", action="store_true",
+                   help="Megatron-style tensor parallelism of the BERT "
+                        "tower over the --model_parallel axis (column-"
+                        "parallel QKV/MLP-in, row-parallel attn-out/MLP-"
+                        "out, vocab-sharded embeddings) — splits tower "
+                        "params, Adam moments and the gradient all-reduce "
+                        "N-ways; requires --model_parallel N > 1")
     p.add_argument("--grad_accum", type=int, default=1, metavar="K",
                    help="accumulate grads over K micro-batches before each "
                         "optimizer step (effective batch = K*batch_size; "
@@ -280,6 +287,7 @@ def _trainer(task, args, steps_per_epoch, mesh):
         metrics_path=os.path.join(args.output, "metrics.jsonl"),
         profile_dir=args.profile,
         model_parallel_heads=getattr(args, "model_parallel", 1) > 1,
+        tensor_parallel=getattr(args, "tensor_parallel", False),
         bf16_grad_allreduce=getattr(args, "bf16_grads", False),
         grad_accum=accum,
         overwrite=getattr(args, "overwrite", False),
@@ -411,11 +419,12 @@ def cmd_train_multilabel(args):
 
 
 def cmd_train_cv(args):
-    if args.fused_loss or args.remat:
+    if args.fused_loss or args.remat or getattr(args, "tensor_parallel",
+                                                False):
         raise SystemExit(
-            "train cv: --fused_loss/--remat apply to the BERT-tower text "
-            "recipes; the cv task has neither — refusing to silently "
-            "ignore them")
+            "train cv: --fused_loss/--remat/--tensor_parallel apply to the "
+            "BERT-tower text recipes; the cv task has none of them — "
+            "refusing to silently ignore them")
     from multimodalsimilar_tpu.data.datasets import (
         ImageClassificationSource, read_table)
     from multimodalsimilar_tpu.models.vision import (
@@ -1564,10 +1573,27 @@ def cmd_eval(args):
     # training label would otherwise build a smaller head and fail restore)
     num_labels = (args.num_labels if args.num_labels
                   else int(df[args.label_col].max()) + 1)
+    # raw (template-free) restore BEFORE building the model: the checkpoint
+    # is the ground truth for the head width — `train --model_parallel N`
+    # pads the class count to a divisible one (_pad_for_model_parallel), so
+    # a data-inferred width would fail restore with a shape error. Eval at
+    # the checkpoint's width with the pad logits masked to -inf, exactly
+    # like the in-loop eval (tasks._mask_pad).
+    restored = _restore_required(args.checkpoint) if args.checkpoint \
+        else None
+    num_valid = None
+    head_w = (restored or {}).get("params", {}).get("head", {}).get("weight")
+    if head_w is not None and head_w.shape[0] != num_labels:
+        print(f"eval: checkpoint head has {head_w.shape[0]} classes, data "
+              f"implies {num_labels} — evaluating at the checkpoint's "
+              f"width with pad classes masked (model-parallel training "
+              f"pads class counts)", file=sys.stderr, flush=True)
+        num_valid = min(num_labels, int(head_w.shape[0]))
+        num_labels = int(head_w.shape[0])
     model = NlpTextClassifier(_bert_config(args.bert_preset), num_labels,
                               pool=args.pool)
     mesh = _mesh(args)
-    trainer = Trainer(text_arcface_task(model),
+    trainer = Trainer(text_arcface_task(model, num_valid=num_valid),
                       dual_group_adamw(lambda s: 0.0, lambda s: 0.0), mesh,
                       TrainerConfig(log_every=10**9))
     # drop_remainder=False: shapes only — and datasets smaller than the
@@ -1576,12 +1602,11 @@ def cmd_eval(args):
                              drop_remainder=False))
     from multimodalsimilar_tpu.parallel.mesh import shard_batch
     state = trainer.init_state_from_device_batch(shard_batch(mesh, batch))
-    if args.checkpoint:
-        # raw (template-free) restore, then graft params/batch_stats: eval
-        # needs no optimizer state, and a template built with one optimizer
-        # cannot restore checkpoints from another (--optimizer adamp,
+    if restored is not None:
+        # graft params/batch_stats from the raw restore: eval needs no
+        # optimizer state, and a template built with one optimizer cannot
+        # restore checkpoints from another (--optimizer adamp,
         # --grad_accum, or import-checkpoint outputs)
-        restored = _restore_required(args.checkpoint)
         state = state.replace(
             params=restored["params"],
             batch_stats=restored.get("batch_stats") or state.batch_stats)

@@ -62,6 +62,14 @@ class TrainerConfig:
     # are the only reference weights wide enough to want it. Loss/grads are
     # invariant (tests/test_sharding.py); GSPMD inserts the collectives.
     model_parallel_heads: bool = False
+    # Megatron-style tensor parallelism of the BERT tower over the same
+    # `model` axis (parallel/tp.py): column-parallel QKV + MLP-in,
+    # row-parallel attention-out + MLP-out, vocab-sharded embedding table.
+    # Splits tower params/Adam moments AND the DP gradient all-reduce
+    # N-ways at the cost of per-layer boundary all-reduces (honest
+    # projection in PERF.md). Requires a mesh model axis > 1; composes
+    # with model_parallel_heads. The reference has no TP (SURVEY §2.6).
+    tensor_parallel: bool = False
     # Micro-steps per optimizer step (optax.MultiSteps' every_k_schedule).
     # eval_every/save_every/log_every count OPTIMIZER steps and fire on
     # accumulation boundaries, so "--grad_accum 8 --eval_every 1000" means
@@ -98,11 +106,17 @@ class Trainer:
                                    config.tensorboard_dir)
         self.ckpt = (CheckpointManager(config.checkpoint_dir)
                      if config.checkpoint_dir else None)
-        if config.bf16_grad_allreduce and config.model_parallel_heads:
+        if config.bf16_grad_allreduce and (config.model_parallel_heads
+                                           or config.tensor_parallel):
             raise ValueError(
                 "bf16_grad_allreduce is a pure-DP path (shard_map over the "
                 "data axis with fully replicated params); it cannot compose "
-                "with model_parallel_heads — pick one")
+                "with model_parallel_heads/tensor_parallel — pick one")
+        if config.tensor_parallel and mesh.shape.get(MODEL_AXIS, 1) <= 1:
+            raise ValueError(
+                "tensor_parallel requires a mesh model axis > 1 (e.g. "
+                "--model_parallel 2); on this mesh every tower weight "
+                "would silently stay replicated")
         impl = (self._train_step_bf16_impl if config.bf16_grad_allreduce
                 else self._train_step_impl)
         self._train_step = jax.jit(impl, donate_argnums=0)
@@ -414,14 +428,28 @@ class Trainer:
         abstract ShapeDtypeStructs with the production placements without
         materializing reference-scale state. ``state`` may hold arrays OR
         ShapeDtypeStructs (only .ndim/.shape are read)."""
+        from jax.sharding import NamedSharding
+
+        from multimodalsimilar_tpu.parallel.tp import tp_shardable
+
         model_n = self.mesh.shape.get(MODEL_AXIS, 1)
         repl = replicated(self.mesh)
-        if not self.config.model_parallel_heads or model_n <= 1:
+        want_heads = self.config.model_parallel_heads and model_n > 1
+        want_tp = self.config.tensor_parallel and model_n > 1
+        if not want_heads and not want_tp:
             return jax.tree_util.tree_map(lambda _: repl, state)
         cs = MeshRules(self.mesh).class_sharded
-        return jax.tree_util.tree_map_with_path(
-            lambda path, x: cs if self._head_shardable(path, x, model_n)
-            else repl, state)
+
+        def spec(path, x):
+            if want_heads and self._head_shardable(path, x, model_n):
+                return cs
+            if want_tp:
+                tp_spec, ok = tp_shardable(path, x, model_n)
+                if ok:
+                    return NamedSharding(self.mesh, tp_spec)
+            return repl
+
+        return jax.tree_util.tree_map_with_path(spec, state)
 
     def _place_state(self, state: TrainState) -> TrainState:
         """Put the state on the mesh: everything replicated except — with
@@ -433,7 +461,13 @@ class Trainer:
         """
         model_n = self.mesh.shape.get(MODEL_AXIS, 1)
         shardings = self.state_shardings(state)
-        if not self.config.model_parallel_heads or model_n <= 1:
+        want_heads = self.config.model_parallel_heads and model_n > 1
+        want_tp = self.config.tensor_parallel and model_n > 1
+        if not want_heads and not want_tp:
+            return jax.device_put(state, shardings)
+        if want_tp:
+            self._diagnose_tp(state, model_n)
+        if not want_heads:
             return jax.device_put(state, shardings)
         sharded, skipped = [], []
 
@@ -464,3 +498,39 @@ class Trainer:
                   f"heads {names} (sharded {len(set(map(tuple, sharded)))} "
                   f"weight shapes)", flush=True)
         return jax.device_put(state, shardings)
+
+    def _diagnose_tp(self, state, model_n: int) -> None:
+        """Loud placement accounting for tensor_parallel: raise when NO
+        tower weight shards (the flag would be a silent no-op — e.g. a
+        model whose heads/intermediate/vocab none divide by the axis, or a
+        non-BERT tower the tp rules don't know), and name any indivisible
+        leaves that fall back to replication."""
+        from multimodalsimilar_tpu.parallel.tp import (sharded_dim,
+                                                       tp_shardable)
+        sharded, skipped = [], []
+
+        def diagnose(path, x):
+            spec, ok = tp_shardable(path, x, model_n)
+            if ok is True:
+                sharded.append(x.shape)
+            elif ok is False:
+                skipped.append((jax.tree_util.keystr(path),
+                                x.shape[sharded_dim(spec)]))
+            return x
+
+        jax.tree_util.tree_map_with_path(diagnose, state)
+        if not sharded:
+            detail = "; ".join(f"{k} (dim={d}, {d} % {model_n} != 0)"
+                               for k, d in sorted(set(skipped))[:6]) \
+                or "no BERT-tower weights found (tp rules cover the text " \
+                   "tower only — parallel/tp.py)"
+            raise ValueError(
+                f"tensor_parallel={model_n} shards nothing: {detail}. "
+                f"Pick an axis size dividing num_heads/intermediate_size, "
+                f"or drop --tensor_parallel.")
+        if skipped:
+            names = ", ".join(sorted({k for k, _ in skipped}))
+            print(f"tensor_parallel={model_n}: replicating indivisible "
+                  f"tower leaves {names} (sharded "
+                  f"{len(set(map(tuple, sharded)))} weight shapes)",
+                  flush=True)
