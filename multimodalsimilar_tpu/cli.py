@@ -1156,7 +1156,11 @@ def _emb_table_cache_load(cache_dir, args):
         if (meta.get("source") != os.path.abspath(args.emb_table)
                 or meta.get("mtime") != st.st_mtime
                 or meta.get("size") != st.st_size
-                or meta.get("emb_col") != args.emb_col):
+                or meta.get("emb_col") != args.emb_col
+                # key_col participates: a restart with a different
+                # --key_col must re-resolve against the table, not serve
+                # keys cached from the previously-selected column
+                or meta.get("key_col") != args.key_col):
             return None
         emb = np.load(os.path.join(cache_dir, "emb.npy"), mmap_mode="r")
         keys = np.load(os.path.join(cache_dir, "keys.npy"),
@@ -1185,7 +1189,8 @@ def _emb_table_cache_store(cache_dir, keys, emb, args):
         os.replace(tmp, os.path.join(cache_dir, name))  # it otherwise)
     meta = {"source": os.path.abspath(args.emb_table),
             "mtime": st.st_mtime, "size": st.st_size,
-            "emb_col": args.emb_col, "shape": list(emb.shape)}
+            "emb_col": args.emb_col, "key_col": args.key_col,
+            "shape": list(emb.shape)}
     tmp = os.path.join(cache_dir, "meta.json.tmp")
     with open(tmp, "w") as f:
         _json.dump(meta, f)
@@ -1476,6 +1481,20 @@ def _warm_serve_service(service, args):
         # first-sight spikes under load (serving_load.py)
         for m in ladder:
             service._run_batch([{"op": "similar", "query": "warmup"}] * m)
+        if service._fused_similar is not None \
+                and service._embed_queries_device is not None:
+            # With a fused path the per-bucket loop above never traces the
+            # FALLBACK tower programs. They are corpus-independent, and a
+            # corpus-overflowing /update permanently downgrades requests
+            # to the unfused chain — without this, every bucket's first
+            # live request after that would pay a fresh relay tower
+            # compile (the fallback's k-NN side necessarily recompiles at
+            # the grown corpus shape; the tower needn't).
+            if service._dev_accepts_pad:
+                for m in ladder:
+                    service._embed_queries_device(["warmup"], pad_to=m)
+            else:
+                service._embed_queries_device(["warmup"])
         # mixed/update batches run the HOST path: its tower shape and
         # per-bucket k-NN programs must not compile on the first update
         service.embed(["warmup"])
@@ -1584,12 +1603,34 @@ def cmd_eval(args):
     num_valid = None
     head_w = (restored or {}).get("params", {}).get("head", {}).get("weight")
     if head_w is not None and head_w.shape[0] != num_labels:
-        print(f"eval: checkpoint head has {head_w.shape[0]} classes, data "
-              f"implies {num_labels} — evaluating at the checkpoint's "
-              f"width with pad classes masked (model-parallel training "
-              f"pads class counts)", file=sys.stderr, flush=True)
-        num_valid = min(num_labels, int(head_w.shape[0]))
-        num_labels = int(head_w.shape[0])
+        head_classes = int(head_w.shape[0])
+        if head_classes < num_labels:
+            # Labels outside the head's range would flow into clamped
+            # out-of-range gathers and silently bogus loss/accuracy.
+            raise SystemExit(
+                f"eval: checkpoint head has {head_classes} classes but the "
+                f"data implies {num_labels} (max {args.label_col} + 1) — "
+                f"labels out of the head's range. Wrong checkpoint, wrong "
+                f"--label_col, or a label map mismatch.")
+        # Head WIDER than the data implies: either model-parallel class
+        # padding (a few dead pad rows) or an eval split that simply lacks
+        # the top training labels. Only the user knows the true trained
+        # class count, and masking anything below it would hide REAL
+        # trained classes (inflating accuracy vs the in-loop eval, which
+        # masks only the pad rows) — so require it explicitly.
+        if not args.num_labels:
+            raise SystemExit(
+                f"eval: checkpoint head has {head_classes} classes, data "
+                f"implies only {num_labels}. Pass --num_labels with the "
+                f"TRAINING class count so only model-parallel pad classes "
+                f"are masked (e.g. --num_labels 10205 for a 10208-padded "
+                f"head); an inferred count would mask real classes.")
+        print(f"eval: checkpoint head {head_classes} classes, "
+              f"--num_labels {num_labels} valid — masking "
+              f"{head_classes - num_labels} pad classes like the in-loop "
+              f"eval", file=sys.stderr, flush=True)
+        num_valid = num_labels
+        num_labels = head_classes
     model = NlpTextClassifier(_bert_config(args.bert_preset), num_labels,
                               pool=args.pool)
     mesh = _mesh(args)

@@ -281,6 +281,15 @@ class MicroBatcher:
             # readback round-trip rode on top of this batch's device work
             if pending is not None:
                 self._finish(*pending)
+            if deferred is not None and len(batch) < self.max_batch \
+                    and self._q.empty():
+                # partial batch, no follow-up traffic queued: holding the
+                # readback pending can't overlap anything (its own clients
+                # are blocked on the futures) — it would only add a full
+                # max_wait queue-poll stall to every low-concurrency
+                # request. Resolve now.
+                self._finish(batch, deferred)
+                deferred = None
             pending = (batch, deferred) if deferred is not None else None
             if closing:
                 if pending is not None:

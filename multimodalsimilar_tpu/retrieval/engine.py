@@ -31,6 +31,16 @@ from multimodalsimilar_tpu.retrieval.knn import (
     knn_search, pad_corpus, sharded_knn_search)
 
 
+def _normalize_rows(q, xp):
+    """L2-normalize rows with the engine's epsilon, through either numpy
+    or jax.numpy (``xp``). ONE definition on purpose: search(),
+    search_device() and fused_search_fn()'s jitted body all normalize
+    external queries — inlined copies drifted once and an epsilon or
+    dtype fix must hit every path."""
+    norms = xp.linalg.norm(q, axis=1, keepdims=True)
+    return q / xp.maximum(norms, 1e-12)
+
+
 class SimilarityEngine:
     def __init__(self, embeddings: np.ndarray, keys: Sequence,
                  categories: Optional[Sequence] = None,
@@ -253,27 +263,18 @@ class SimilarityEngine:
             import jax.numpy as jnp
             q = queries.astype(jnp.float32)
             if self._normalized:
-                norms = jnp.linalg.norm(q, axis=1, keepdims=True)
-                q = q / jnp.maximum(norms, 1e-12)
+                q = _normalize_rows(q, jnp)
         else:
             q = np.asarray(queries, np.float32)
             if self._normalized:
-                norms = np.linalg.norm(q, axis=1, keepdims=True)
-                q = q / np.maximum(norms, 1e-12)
+                q = _normalize_rows(q, np)
         sharded = self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1
         k_eff = min(k, self.n)
         if len(q) == 0 or self.n == 0:
             return (np.zeros((len(q), k_eff), np.float32),
                     np.zeros((len(q), k_eff), np.int32))
         corpus_dev, true_n, block = self._ensure_corpus_dev(sharded)
-        # per-call chunk: the fixed QUERY_CHUNK is the k<=100 warehouse
-        # operating point, but the running top-k carry is O(q*k) — the
-        # daodian v1 text side searches with k = len(area), where a 32768
-        # chunk's carry alone busts the HBM budget (knn.plan_query_chunk)
-        from multimodalsimilar_tpu.retrieval.knn import plan_query_chunk
-        chunk_rows = min(self.QUERY_CHUNK,
-                         plan_query_chunk(self.n, self._emb.shape[1],
-                                          k_eff))
+        chunk_rows = self._chunk_rows(k_eff)
         # results land in preallocated host arrays: accumulating per-chunk
         # parts + one np.concatenate doubled peak host memory of the
         # [Q, k] results (1.6 GB transient at 1M x k=100)
@@ -301,6 +302,16 @@ class SimilarityEngine:
             out_v[s: s + len(v)] = v
             out_i[s: s + len(i)] = i
         return out_v, out_i
+
+    def _chunk_rows(self, k_eff: int) -> int:
+        """Per-call query-chunk rows: the fixed QUERY_CHUNK is the k<=100
+        warehouse operating point, but the running top-k carry is O(q*k)
+        — the daodian v1 text side searches with k = len(area), where a
+        32768 chunk's carry alone busts the HBM budget
+        (knn.plan_query_chunk). Shared by search() and search_device()."""
+        from multimodalsimilar_tpu.retrieval.knn import plan_query_chunk
+        return min(self.QUERY_CHUNK,
+                   plan_query_chunk(self.n, self._emb.shape[1], k_eff))
 
     def _ensure_corpus_dev(self, sharded: bool):
         """(corpus_dev, true_n, block) — corpus uploaded ONCE per engine,
@@ -393,8 +404,7 @@ class SimilarityEngine:
             emb = tower_fn(variables, *tower_args)
             q = emb.astype(jnp.float32)
             if normalized:
-                norms = jnp.linalg.norm(q, axis=1, keepdims=True)
-                q = q / jnp.maximum(norms, 1e-12)
+                q = _normalize_rows(q, jnp)
             v, i = _knn_search(corpus, q, true_n, k_run, metric, block)
             return v[:, :k_eff], i[:, :k_eff]
 
@@ -422,18 +432,14 @@ class SimilarityEngine:
         else:
             q = jnp.asarray(np.asarray(queries, np.float32))
         if self._normalized:
-            norms = jnp.linalg.norm(q, axis=1, keepdims=True)
-            q = q / jnp.maximum(norms, 1e-12)
+            q = _normalize_rows(q, jnp)
         k_eff = min(k, self.n)
         if q.shape[0] == 0 or self.n == 0:
             return (np.zeros((q.shape[0], k_eff), np.float32),
                     np.zeros((q.shape[0], k_eff), np.int32))
         sharded = self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1
         self._ensure_corpus_dev(sharded)
-        from multimodalsimilar_tpu.retrieval.knn import plan_query_chunk
-        chunk_rows = min(self.QUERY_CHUNK,
-                         plan_query_chunk(self.n, self._emb.shape[1],
-                                          k_eff))
+        chunk_rows = self._chunk_rows(k_eff)
         if q.shape[0] > chunk_rows:
             raise ValueError(f"search_device is single-chunk: "
                              f"{q.shape[0]} queries > chunk {chunk_rows} "

@@ -1243,6 +1243,38 @@ def test_microbatcher_pipelines_deferred_readback():
         mb.close()
 
 
+def test_microbatcher_partial_deferred_empty_queue_resolves_now():
+    """A PARTIAL batch whose dispatch leaves the queue empty must resolve
+    immediately: its own clients are blocked on the futures, so deferring
+    the readback can't overlap anything — holding it pending added a full
+    max_wait queue-poll stall to EVERY low-concurrency request (measured
+    +max_wait p50 at c=1)."""
+    import time as _time
+
+    from multimodalsimilar_tpu.pipelines.serving import (DeferredBatch,
+                                                         MicroBatcher)
+    times = {}
+
+    def run_batch(items):
+        times["dispatch"] = _time.monotonic()
+
+        def finish():
+            times["finish"] = _time.monotonic()
+            return ["r"] * len(items)
+
+        return DeferredBatch(finish)
+
+    # max_batch 8 > 1 submitted item -> the batch is partial
+    mb = MicroBatcher(run_batch, max_batch=8, max_wait_ms=500)
+    try:
+        assert mb.submit("x") == "r"
+        # without the empty-queue check the finish only runs after the
+        # worker's next queue poll times out (the full 500 ms)
+        assert times["finish"] - times["dispatch"] < 0.25
+    finally:
+        mb.close()
+
+
 def test_microbatcher_deferred_finish_exception_propagates():
     from multimodalsimilar_tpu.pipelines.serving import (DeferredBatch,
                                                          MicroBatcher)
@@ -1497,6 +1529,23 @@ def test_serve_emb_table_restart_cache(tmp_path, monkeypatch):
         assert _json.load(f)["shape"][0] == 12   # mirror was rewritten
 
 
+def test_serve_emb_table_cache_key_col_mismatch_misses(tmp_path):
+    """A restart with a different --key_col must MISS the npy mirror and
+    re-resolve against the table — hitting would silently serve keys
+    from the previously-selected column (wrong-key corpus joins)."""
+    from multimodalsimilar_tpu import cli
+    data, table, df, emb = _emb_table_setup(tmp_path)
+    cache = str(tmp_path / "c")
+    argv = ["serve", "--data", data, "--emb_table", table,
+            "--emb_table_cache", cache]
+    args = cli.build_parser().parse_args(argv)
+    keys = np.asarray([f"sku{i}" for i in range(len(emb))], dtype=object)
+    cli._emb_table_cache_store(cache, keys, emb, args)
+    assert cli._emb_table_cache_load(cache, args) is not None
+    other = cli.build_parser().parse_args(argv + ["--key_col", "goods_sku"])
+    assert cli._emb_table_cache_load(cache, other) is None
+
+
 def test_serve_emb_table_cache_requires_local_file(tmp_path):
     from multimodalsimilar_tpu.cli import _build_serve_service, build_parser
     data, table, df, emb = _emb_table_setup(tmp_path)
@@ -1597,6 +1646,47 @@ def test_parse_embeddings_bulk_matches_per_row():
     for s, row in zip(strings, out):
         np.testing.assert_allclose(row, parse_embedding(s), rtol=1e-6)
     assert parse_embeddings([]).shape == (0, 0)
+
+
+def test_warm_serve_service_compiles_fallback_tower(tmp_path, monkeypatch):
+    """With a fused path wired, warm-up must ALSO drive the fallback
+    embed_device tower programs per bucket: a corpus-overflowing /update
+    permanently downgrades requests to the unfused chain, and an
+    unwarmed bucket would then pay a fresh relay tower compile under
+    live traffic (the k-NN side necessarily recompiles at the grown
+    corpus shape; the tower needn't). Mesh-less like production single-
+    chip serving — the test env's 8-device mesh would disable fusion."""
+    import multimodalsimilar_tpu.cli as cli
+    from multimodalsimilar_tpu.cli import (_build_serve_service,
+                                           _warm_serve_service,
+                                           build_parser)
+    monkeypatch.setattr(cli, "_knn_backend_mesh",
+                        lambda a: ("xla", None, None))
+    df = pd.DataFrame({
+        "spu_sn": [f"sku{i}" for i in range(8)],
+        "spu_name": [f"商品{i}" for i in range(8)]})
+    data = str(tmp_path / "c.csv")
+    df.to_csv(data, index=False)
+    args = build_parser().parse_args(
+        ["serve", "--data", data, "--max_length", "8", "--batch_size", "8",
+         "--max_batch", "8", "--k", "3", "--max_wait_ms", "2"])
+    service, _ = _build_serve_service(args)
+    try:
+        assert service._fused_similar is not None
+        pads = []
+        orig = service._embed_queries_device
+
+        def counting(texts, pad_to=None):
+            pads.append(pad_to)
+            return orig(texts, pad_to=pad_to)
+
+        service._embed_queries_device = counting
+        _warm_serve_service(service, args)
+        # the fused arm handles the similar ladder, so every fallback
+        # tower shape must come from the explicit fallback warm loop
+        assert sorted(p for p in pads if p is not None) == [2, 4, 8]
+    finally:
+        service.close()
 
 
 def test_warm_serve_service_ladder_matches_buckets(serve_cli):

@@ -317,18 +317,42 @@ def test_cli_model_parallel_pads_indivisible_classes(tmp_path, capsys):
     assert "padding head 5 -> 6" in err
 
     # `cli eval` on the padded checkpoint: the data implies 5 classes but
-    # the checkpoint head is 6 — eval must adapt to the checkpoint's
-    # width (pad classes masked) instead of failing the restore with a
-    # shape error (caught by the round-3 verify drive; no test pinned it)
+    # the checkpoint head is 6. Only the user knows the TRAINING class
+    # count (an inferred one would mask real classes whenever the eval
+    # split lacks the top labels, silently inflating accuracy vs the
+    # in-loop eval), so the wider-head case requires --num_labels...
     import json as _json
-    main(["eval", "--data", data,
-          "--tokenizer", str(tmp_path / "out" / "vocab.txt"),
-          "--checkpoint", str(tmp_path / "out" / "ckpt"),
-          "--max_length", "12", "--batch_size", "16"])
+
+    import pytest
+    eval_args = ["eval", "--data", data,
+                 "--tokenizer", str(tmp_path / "out" / "vocab.txt"),
+                 "--checkpoint", str(tmp_path / "out" / "ckpt"),
+                 "--max_length", "12", "--batch_size", "16"]
+    with pytest.raises(SystemExit, match="--num_labels"):
+        main(eval_args)
+    capsys.readouterr()
+    # ...and with it, evals at the checkpoint's width masking ONLY the
+    # pad classes, like the in-loop eval
+    main(eval_args + ["--num_labels", "5"])
     cap = capsys.readouterr()
-    assert "checkpoint head has 6 classes" in cap.err
+    assert "masking 1 pad classes" in cap.err
     metrics = _json.loads(cap.out.strip().splitlines()[-1])
     assert 0.0 <= metrics["acc"] <= 1.0 and "loss" in metrics
+
+    # a head NARROWER than the data implies is never valid: labels out
+    # of range hit clamped gathers and silently bogus metrics (old code
+    # proceeded; now fails fast)
+    wide = pd.DataFrame({
+        "spu_name": [f"商品 类别{i % 9} 编号{i}" for i in range(32)],
+        "labels": [i % 9 for i in range(32)]})       # 9 > head's 6
+    wide_csv = str(tmp_path / "wide.csv")
+    wide.to_csv(wide_csv, index=False)
+    with pytest.raises(SystemExit, match="out of the head's range"):
+        main(["eval", "--data", wide_csv,
+              "--tokenizer", str(tmp_path / "out" / "vocab.txt"),
+              "--checkpoint", str(tmp_path / "out" / "ckpt"),
+              "--max_length", "12", "--batch_size", "16"])
+    capsys.readouterr()
 
 
 def _load_mcp():
