@@ -135,7 +135,7 @@ def ici_seconds(colls) -> float:
 
 
 def build(batch, seq, model_parallel, classes=10208, bf16_grads=False,
-          tensor_parallel=False, preset="base"):
+          tensor_parallel=False, preset="base", sequence_parallel=False):
     from multimodalsimilar_tpu.models.bert import BertConfig
     from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
     from multimodalsimilar_tpu.parallel.mesh import batch_sharding, create_mesh
@@ -150,8 +150,9 @@ def build(batch, seq, model_parallel, classes=10208, bf16_grads=False,
     # to a divisible count (3 dead classes; the sampler never emits their
     # labels). The projection uses 10208 on BOTH placements so the
     # comparison is apples-to-apples.
-    cfg = (BertConfig.roberta_wwm_ext_large() if preset == "large"
-           else BertConfig.roberta_wwm_ext())
+    make = (BertConfig.roberta_wwm_ext_large if preset == "large"
+            else BertConfig.roberta_wwm_ext)
+    cfg = make(sequence_parallel=sequence_parallel)
     model = NlpTextClassifier(cfg, classes)
     task = text_arcface_task(model)
     tx = dual_group_adamw(lambda s: 5e-5, lambda s: 1e-2,
@@ -159,6 +160,7 @@ def build(batch, seq, model_parallel, classes=10208, bf16_grads=False,
     trainer = Trainer(task, tx, mesh,
                       TrainerConfig(model_parallel_heads=model_parallel > 1,
                                     tensor_parallel=tensor_parallel,
+                                    sequence_parallel=sequence_parallel,
                                     bf16_grad_allreduce=bf16_grads))
 
     bsh = batch_sharding(mesh)
@@ -187,13 +189,19 @@ def build(batch, seq, model_parallel, classes=10208, bf16_grads=False,
     rng_in = jax.ShapeDtypeStruct(
         rng_sd.shape, rng_sd.dtype,
         sharding=jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
-    return trainer._train_step.lower(state_sds, batch_sds, rng_in)
+    try:
+        return trainer._train_step.lower(state_sds, batch_sds, rng_in)
+    finally:
+        if sequence_parallel:
+            from multimodalsimilar_tpu.parallel import sp as _sp_mod
+            _sp_mod.disable()   # process-global; don't leak into later rows
 
 
 def analyze(batch, seq, model_parallel, classes=10208, bf16_grads=False,
-            tensor_parallel=False, preset="base"):
+            tensor_parallel=False, preset="base", sequence_parallel=False):
     lowered = build(batch, seq, model_parallel, classes, bf16_grads,
-                    tensor_parallel, preset)
+                    tensor_parallel, preset,
+                    sequence_parallel=sequence_parallel)
     compiled = lowered.compile()
     if bf16_grads:
         colls = collect_stablehlo_all_reduces(lowered.as_text())
@@ -209,7 +217,9 @@ def analyze(batch, seq, model_parallel, classes=10208, bf16_grads=False,
         e["bytes"] += c["bytes"]
     t_ici = ici_seconds(colls)
     t_compute = flops / (BF16_PEAK * MEASURED_MFU)
-    label = (" (class-sharded head + tensor-parallel tower)"
+    label = (" (+ sequence-parallel activations)"
+             if sequence_parallel else
+             " (class-sharded head + tensor-parallel tower)"
              if tensor_parallel else
              " (class-sharded head)" if model_parallel > 1
              else " (pure DP, bf16 grads)" if bf16_grads
@@ -226,6 +236,10 @@ def analyze(batch, seq, model_parallel, classes=10208, bf16_grads=False,
         "hlo_flops_per_step": flops,
         "projected_compute_ms": round(t_compute * 1e3, 2),
         "ici_share_pct": round(100 * t_ici / (t_ici + t_compute), 1),
+        # XLA's own per-chip temp-pool accounting: the number sequence
+        # parallelism exists to shrink (saved activations live here)
+        "temp_bytes_per_chip": int(
+            compiled.memory_analysis().temp_size_in_bytes),
     }
 
 
@@ -300,6 +314,9 @@ def main():
     ap.add_argument("--tp", action="store_true",
                     help="add a tensor-parallel-tower row per mp > 1 "
                          "(--tensor_parallel placement)")
+    ap.add_argument("--sp", action="store_true",
+                    help="add a sequence-parallel row per mp > 1 (tensor-"
+                         "parallel tower + seq-sharded activations)")
     ap.add_argument("--preset", default="base", choices=["base", "large"],
                     help="tower scale (large = roberta-wwm-ext-large, the "
                          "readme.md:20 headliner)")
@@ -316,6 +333,11 @@ def main():
         if args.tp and mp > 1:
             print(json.dumps(analyze(args.batch, args.seq, mp,
                                      tensor_parallel=True,
+                                     preset=args.preset)), flush=True)
+        if args.sp and mp > 1:
+            print(json.dumps(analyze(args.batch, args.seq, mp,
+                                     tensor_parallel=True,
+                                     sequence_parallel=True,
                                      preset=args.preset)), flush=True)
     if not args.no_bf16_row:
         print(json.dumps(analyze(args.batch, args.seq, 1, bf16_grads=True,

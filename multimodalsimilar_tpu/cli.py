@@ -188,6 +188,13 @@ def _add_common_train_flags(p):
                         "out, vocab-sharded embeddings) — splits tower "
                         "params, Adam moments and the gradient all-reduce "
                         "N-ways; requires --model_parallel N > 1")
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="Megatron-style sequence parallelism on top of "
+                        "--tensor_parallel: the tower's residual-stream "
+                        "activations (and LN/dropout work) shard along the "
+                        "sequence axis over the model mesh group — ~1/N "
+                        "saved-activation memory per chip at unchanged "
+                        "collective volume; requires --tensor_parallel")
     p.add_argument("--grad_accum", type=int, default=1, metavar="K",
                    help="accumulate grads over K micro-batches before each "
                         "optimizer step (effective batch = K*batch_size; "
@@ -217,11 +224,12 @@ def _restore_required(checkpoint_dir, template=None):
     return state
 
 
-def _bert_config(preset: str, remat: bool = False):
+def _bert_config(preset: str, remat: bool = False,
+                 sequence_parallel: bool = False):
     from multimodalsimilar_tpu.models.bert import BertConfig
     make = {"tiny": BertConfig.tiny, "base": BertConfig.roberta_wwm_ext,
             "large": BertConfig.roberta_wwm_ext_large}[preset]
-    return make(remat=remat)
+    return make(remat=remat, sequence_parallel=sequence_parallel)
 
 
 def _opt_step_units(args, steps_per_epoch):
@@ -288,6 +296,7 @@ def _trainer(task, args, steps_per_epoch, mesh):
         profile_dir=args.profile,
         model_parallel_heads=getattr(args, "model_parallel", 1) > 1,
         tensor_parallel=getattr(args, "tensor_parallel", False),
+        sequence_parallel=getattr(args, "sequence_parallel", False),
         bf16_grad_allreduce=getattr(args, "bf16_grads", False),
         grad_accum=accum,
         overwrite=getattr(args, "overwrite", False),
@@ -346,7 +355,9 @@ def cmd_train_nlp(args):
     num_labels, num_valid = _pad_for_model_parallel(
         int(df[args.label_col].max()) + 1, args)
     model = NlpTextClassifier(_bert_config(args.bert_preset,
-                                       remat=args.remat), num_labels,
+                                       remat=args.remat,
+                                       sequence_parallel=args.sequence_parallel),
+                              num_labels,
                               arcface=ArcFaceParams(m=args.margin),
                               pool=getattr(args, "pool", "cls"))
     mesh = _mesh(args)
@@ -387,7 +398,8 @@ def cmd_train_multilabel(args):
     tag, vt = _pad_for_model_parallel(int(df[args.tag_col].max()) + 1,
                                       args)
     model = NlpMultilabelClassifier(
-        _bert_config(args.bert_preset, remat=args.remat),
+        _bert_config(args.bert_preset, remat=args.remat,
+                     sequence_parallel=args.sequence_parallel),
         lv1_labels=lv1, lv2_labels=lv2, tag_labels=tag)
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
@@ -419,12 +431,13 @@ def cmd_train_multilabel(args):
 
 
 def cmd_train_cv(args):
-    if args.fused_loss or args.remat or getattr(args, "tensor_parallel",
-                                                False):
+    if args.fused_loss or args.remat \
+            or getattr(args, "tensor_parallel", False) \
+            or getattr(args, "sequence_parallel", False):
         raise SystemExit(
-            "train cv: --fused_loss/--remat/--tensor_parallel apply to the "
-            "BERT-tower text recipes; the cv task has none of them — "
-            "refusing to silently ignore them")
+            "train cv: --fused_loss/--remat/--tensor_parallel/"
+            "--sequence_parallel apply to the BERT-tower text recipes; the "
+            "cv task has none of them — refusing to silently ignore them")
     from multimodalsimilar_tpu.data.datasets import (
         ImageClassificationSource, read_table)
     from multimodalsimilar_tpu.models.vision import (
@@ -477,8 +490,9 @@ def cmd_train_pair(args):
     tok = _tokenizer_pair(args, df)
     src = PairTextSource(df, tok, args.max_length, seed=args.seed,
                          seq_buckets=_seq_buckets(args))
-    model = SiamesePairModel(_bert_config(args.bert_preset,
-                                      remat=args.remat))
+    model = SiamesePairModel(_bert_config(
+        args.bert_preset, remat=args.remat,
+        sequence_parallel=args.sequence_parallel))
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
     trainer = _trainer(pair_task(model), args, steps, mesh)
@@ -524,7 +538,8 @@ def cmd_train_multimodal(args):
     mm_labels, mm_valid = _pad_for_model_parallel(
         int(df[args.label_col].max()) + 1, args)
     model = MultimodalClassifier(
-        _bert_config(args.bert_preset, remat=args.remat),
+        _bert_config(args.bert_preset, remat=args.remat,
+                     sequence_parallel=args.sequence_parallel),
         backbone_config(args.backbone),
         num_labels=mm_labels, fc_dim=args.fc_dim)
     mesh = _mesh(args)

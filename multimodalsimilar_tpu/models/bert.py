@@ -49,6 +49,13 @@ class BertConfig:
     # layer's activations in HBM — enables bigger train batches. Measured
     # sweep in PERF.md (round 2).
     remat: bool = False
+    # Megatron-style sequence parallelism over the tensor-parallel mesh
+    # axis: the residual stream (and the LN/dropout work on it) is sharded
+    # along the sequence axis between the TP matmul regions, cutting the
+    # saved-activation memory per chip ~N-ways. Constraint points follow
+    # Korthikanti et al. 2022; requires tensor_parallel training (the
+    # Trainer enables the mesh — parallel/sp.py; a no-op otherwise).
+    sequence_parallel: bool = False
 
     @classmethod
     def tiny(cls, **kw) -> "BertConfig":
@@ -68,6 +75,15 @@ class BertConfig:
         """hfl/chinese-roberta-wwm-ext-large (readme.md:20)."""
         return cls(hidden_size=1024, num_layers=24, num_heads=16,
                    intermediate_size=4096, **kw)
+
+
+def _sp(x, cfg: "BertConfig"):
+    """Sequence-parallel residual-stream constraint (no-op unless the
+    config opts in AND the Trainer enabled the mesh — parallel/sp.py)."""
+    if not cfg.sequence_parallel:
+        return x
+    from multimodalsimilar_tpu.parallel.sp import seq_shard
+    return seq_shard(x)
 
 
 class BertSelfAttention(nn.Module):
@@ -117,22 +133,29 @@ class BertLayer(nn.Module):
         cfg, pol = self.config, self.policy
         attn = BertSelfAttention(cfg, pol, name="attention")(
             hidden, mask_bias, deterministic)
+        # Megatron-SP boundary points: the row-parallel projection outputs
+        # (attn, mlp) and the LN outputs constrain to sequence-sharded, so
+        # dropout / residual-add / LN run (and their saved activations
+        # live) at [B, S/N, H]; GSPMD inserts the gathers feeding the next
+        # column-parallel matmul. All are no-ops without sequence_parallel.
+        attn = _sp(attn, cfg)
         attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic)
         hidden = nn.LayerNorm(cfg.layer_norm_eps, dtype=pol.reduce_dtype,
                               param_dtype=pol.param_dtype,
                               name="attention_norm")(hidden + attn)
-        hidden = hidden.astype(pol.compute_dtype)
+        hidden = _sp(hidden.astype(pol.compute_dtype), cfg)
 
         mlp = nn.Dense(cfg.intermediate_size, dtype=pol.compute_dtype,
                        param_dtype=pol.param_dtype, name="intermediate")(hidden)
         mlp = nn.gelu(mlp, approximate=False)  # HF 'gelu' is the erf form
         mlp = nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype,
                        param_dtype=pol.param_dtype, name="output")(mlp)
+        mlp = _sp(mlp, cfg)
         mlp = nn.Dropout(cfg.hidden_dropout)(mlp, deterministic)
         hidden = nn.LayerNorm(cfg.layer_norm_eps, dtype=pol.reduce_dtype,
                               param_dtype=pol.param_dtype,
                               name="output_norm")(hidden + mlp)
-        return hidden.astype(pol.compute_dtype)
+        return _sp(hidden.astype(pol.compute_dtype), cfg)
 
 
 class BertEncoderModel(nn.Module):
@@ -163,6 +186,7 @@ class BertEncoderModel(nn.Module):
         h = nn.LayerNorm(cfg.layer_norm_eps, dtype=pol.reduce_dtype,
                          param_dtype=pol.param_dtype,
                          name="embeddings_norm")(h)
+        h = _sp(h, cfg)   # embeddings LN/dropout region is seq-sharded too
         h = nn.Dropout(cfg.hidden_dropout)(h, deterministic)
         h = h.astype(pol.compute_dtype)
 

@@ -70,6 +70,14 @@ class TrainerConfig:
     # projection in PERF.md). Requires a mesh model axis > 1; composes
     # with model_parallel_heads. The reference has no TP (SURVEY §2.6).
     tensor_parallel: bool = False
+    # Megatron-style sequence parallelism over the same `model` axis
+    # (parallel/sp.py): the tower's residual-stream activations (and their
+    # LN/dropout work) shard along the sequence axis between the TP matmul
+    # regions — ~1/N the saved-activation memory per chip at unchanged
+    # communication volume. Requires tensor_parallel AND a model config
+    # built with sequence_parallel=True (the constraint points live in
+    # models/bert.py); the Trainer enables the process-global SP mesh.
+    sequence_parallel: bool = False
     # Micro-steps per optimizer step (optax.MultiSteps' every_k_schedule).
     # eval_every/save_every/log_every count OPTIMIZER steps and fire on
     # accumulation boundaries, so "--grad_accum 8 --eval_every 1000" means
@@ -117,6 +125,14 @@ class Trainer:
                 "tensor_parallel requires a mesh model axis > 1 (e.g. "
                 "--model_parallel 2); on this mesh every tower weight "
                 "would silently stay replicated")
+        if config.sequence_parallel:
+            if not config.tensor_parallel:
+                raise ValueError(
+                    "sequence_parallel shards the residual stream over the "
+                    "tensor-parallel mesh group — it requires "
+                    "tensor_parallel (pass --tensor_parallel too)")
+            from multimodalsimilar_tpu.parallel import sp as _sp_mod
+            _sp_mod.enable(mesh)   # raises if the model axis is 1
         impl = (self._train_step_bf16_impl if config.bf16_grad_allreduce
                 else self._train_step_impl)
         self._train_step = jax.jit(impl, donate_argnums=0)
