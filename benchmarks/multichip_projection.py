@@ -189,12 +189,9 @@ def build(batch, seq, model_parallel, classes=10208, bf16_grads=False,
     rng_in = jax.ShapeDtypeStruct(
         rng_sd.shape, rng_sd.dtype,
         sharding=jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
-    try:
-        return trainer._train_step.lower(state_sds, batch_sds, rng_in)
-    finally:
-        if sequence_parallel:
-            from multimodalsimilar_tpu.parallel import sp as _sp_mod
-            _sp_mod.disable()   # process-global; don't leak into later rows
+    # the Trainer scopes the process-global SP mesh to each lower()/call
+    # itself (trainer._sp_scope) — nothing to clean up here
+    return trainer._train_step.lower(state_sds, batch_sds, rng_in)
 
 
 def analyze(batch, seq, model_parallel, classes=10208, bf16_grads=False,

@@ -192,9 +192,11 @@ def _add_common_train_flags(p):
                    help="Megatron-style sequence parallelism on top of "
                         "--tensor_parallel: the tower's residual-stream "
                         "activations (and LN/dropout work) shard along the "
-                        "sequence axis over the model mesh group — ~1/N "
-                        "saved-activation memory per chip at unchanged "
-                        "collective volume; requires --tensor_parallel")
+                        "sequence axis over the model mesh group. A memory "
+                        "lever — best at model axis >= 4 (-22%% per-chip "
+                        "temp); this XLA's decomposition adds gather "
+                        "traffic, so skip it at N=2 (PERF.md). Requires "
+                        "--tensor_parallel")
     p.add_argument("--grad_accum", type=int, default=1, metavar="K",
                    help="accumulate grads over K micro-batches before each "
                         "optimizer step (effective batch = K*batch_size; "

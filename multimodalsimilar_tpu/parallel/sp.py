@@ -26,16 +26,28 @@ per-chip activation memory, not the op names, is the contract:
 ``benchmarks/multichip_projection.py --tensor_parallel --sequence_parallel``
 and ``tests/test_sharding.py::test_sequence_parallel_*``).
 
+NOTE on the measured tradeoff (PERF.md "Projected multi-chip scaling"
+conclusion 5): Megatron's canonical RS+AG decomposition is volume-neutral
+vs TP's all-reduces, but THIS XLA re-gathers sequence-sharded tensors in
+the backward pass — measured ~1.8x collective bytes at model axis 2 for a
+-6% temp-memory win. The feature is a memory lever that earns its keep at
+model axis >= 4 (-22% per-chip temp at N=4); skip it at N=2.
+
 The constraints are applied at TRACE time inside model code that has no
-mesh argument, so the mesh is process-global state set by the Trainer
-(``enable(mesh)``) before it builds its jitted programs — mirroring how
-``jax.config`` options work. ``seq_shard`` is a no-op until then, so a
-``sequence_parallel=True`` config can still trace mesh-less programs
-(checkpoint restore templates, export paths) without error.
+mesh argument, so the mesh flows through process-global state. The
+Trainer scopes it per call: every invocation of its jitted programs runs
+under ``active(mesh)``, which restores the previous value on exit — so a
+``sequence_parallel=True`` config still traces mesh-less programs
+(checkpoint restore templates, export paths) as a no-op outside those
+calls, and two trainers on different meshes can't poison each other's
+retraces. ``applied_count`` lets the Trainer detect the half-configured
+case (TrainerConfig flag on, model config flag off) instead of silently
+training plain TP.
 """
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
@@ -44,18 +56,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from multimodalsimilar_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 _MESH: Optional[Mesh] = None
+_APPLIED = 0
 
 
-def enable(mesh: Mesh) -> None:
-    """Point ``seq_shard`` at the training mesh. Idempotent; call before
-    tracing any program whose model config has ``sequence_parallel=True``.
-    Raises unless the mesh has a real model axis (a silent no-op flag
-    would advertise memory savings it doesn't deliver)."""
+def _check_mesh(mesh: Mesh) -> None:
     if mesh.shape.get(MODEL_AXIS, 1) <= 1:
         raise ValueError(
             f"sequence_parallel needs a mesh model axis > 1, got "
             f"{dict(mesh.shape)} — pass --model_parallel N (with "
             f"--tensor_parallel) or drop --sequence_parallel")
+
+
+@contextlib.contextmanager
+def active(mesh: Mesh):
+    """Scope ``seq_shard`` to ``mesh`` for the duration — the previous
+    value (usually None) is restored on exit, so traces outside the
+    context stay mesh-less no-ops."""
+    _check_mesh(mesh)
+    global _MESH
+    prev = _MESH
+    _MESH = mesh
+    try:
+        yield
+    finally:
+        _MESH = prev
+
+
+def enable(mesh: Mesh) -> None:
+    """Un-scoped variant of ``active`` for interactive use; pair with
+    ``disable``. The Trainer uses ``active``."""
+    _check_mesh(mesh)
     global _MESH
     _MESH = mesh
 
@@ -65,12 +95,21 @@ def disable() -> None:
     _MESH = None
 
 
+def applied_count() -> int:
+    """How many times ``seq_shard`` has actually constrained a tensor
+    (i.e. ran inside an ``active`` scope) — lets callers detect a
+    sequence-parallel run whose model never opted in."""
+    return _APPLIED
+
+
 def seq_shard(x):
     """Constrain a [B, S, ...] activation to P(data, model, None...) —
     batch over the data axis (DP), sequence over the model axis (SP).
-    No-op when ``enable`` hasn't run. XLA pads internally when S doesn't
+    No-op when no mesh is active. XLA pads internally when S doesn't
     divide the axis (correctness never depends on divisibility)."""
     if _MESH is None:
         return x
+    global _APPLIED
+    _APPLIED += 1
     spec = P(DATA_AXIS, MODEL_AXIS, *([None] * (x.ndim - 2)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(_MESH, spec))

@@ -73,8 +73,9 @@ class TrainerConfig:
     # Megatron-style sequence parallelism over the same `model` axis
     # (parallel/sp.py): the tower's residual-stream activations (and their
     # LN/dropout work) shard along the sequence axis between the TP matmul
-    # regions — ~1/N the saved-activation memory per chip at unchanged
-    # communication volume. Requires tensor_parallel AND a model config
+    # regions — a memory lever (-22% per-chip temp at model axis 4;
+    # PERF.md advises skipping it at N=2, where this XLA's gather
+    # traffic outweighs the -6%). Requires tensor_parallel AND a model config
     # built with sequence_parallel=True (the constraint points live in
     # models/bert.py); the Trainer enables the process-global SP mesh.
     sequence_parallel: bool = False
@@ -131,12 +132,54 @@ class Trainer:
                     "sequence_parallel shards the residual stream over the "
                     "tensor-parallel mesh group — it requires "
                     "tensor_parallel (pass --tensor_parallel too)")
-            from multimodalsimilar_tpu.parallel import sp as _sp_mod
-            _sp_mod.enable(mesh)   # raises if the model axis is 1
+            from multimodalsimilar_tpu.parallel.sp import _check_mesh
+            _check_mesh(mesh)   # raises if the model axis is 1
         impl = (self._train_step_bf16_impl if config.bf16_grad_allreduce
                 else self._train_step_impl)
-        self._train_step = jax.jit(impl, donate_argnums=0)
-        self._eval_step = jax.jit(self._eval_step_impl)
+        self._train_step = self._sp_scope(jax.jit(impl, donate_argnums=0),
+                                          check_applied=True)
+        self._eval_step = self._sp_scope(jax.jit(self._eval_step_impl))
+
+    def _sp_scope(self, fn, check_applied: bool = False):
+        """With sequence_parallel: run (and therefore TRACE) the jitted
+        program under ``sp.active(self.mesh)`` — the process-global SP
+        mesh exists only for the duration of each call, so mesh-less
+        traces elsewhere stay no-ops and two trainers on different
+        meshes can't poison each other's retraces. ``check_applied``
+        catches the half-configured trap: TrainerConfig.sequence_parallel
+        with a model config that was NOT built with
+        sequence_parallel=True would otherwise train plain TP silently."""
+        if not self.config.sequence_parallel:
+            return fn
+        from multimodalsimilar_tpu.parallel import sp as sp_mod
+        mesh = self.mesh
+
+        class _Scoped:
+            def __call__(self, *args, **kw):
+                before = sp_mod.applied_count()
+                with sp_mod.active(mesh):
+                    out = fn(*args, **kw)
+                if check_applied and sp_mod.applied_count() == before \
+                        and not getattr(self, "_sp_checked", False):
+                    raise ValueError(
+                        "TrainerConfig.sequence_parallel is on but the "
+                        "model applied no sequence-parallel constraints — "
+                        "build the model with sequence_parallel=True in "
+                        "its BertConfig (cli does this automatically)")
+                self._sp_checked = True
+                return out
+
+            def lower(self, *args, **kw):   # AOT analysis path
+                before = sp_mod.applied_count()
+                with sp_mod.active(mesh):
+                    out = fn.lower(*args, **kw)
+                if sp_mod.applied_count() > before:
+                    # traced here — a later __call__ hits the executable
+                    # cache without re-tracing; don't false-alarm it
+                    self._sp_checked = True
+                return out
+
+        return _Scoped()
 
     # -- state ----------------------------------------------------------
 

@@ -789,13 +789,12 @@ def test_sequence_parallel_train_step_matches_replicated():
             losses.append(float(metrics["loss"]))
         return losses, grads
 
-    try:
-        losses_r, g_r = run(create_mesh(data=8, model=1), _sp_cfg())
-        losses_s, g_s = run(create_mesh(data=2, model=4),
-                            _sp_cfg(sequence_parallel=True),
-                            tensor_parallel=True, sequence_parallel=True)
-    finally:
-        sp.disable()
+    losses_r, g_r = run(create_mesh(data=8, model=1), _sp_cfg())
+    losses_s, g_s = run(create_mesh(data=2, model=4),
+                        _sp_cfg(sequence_parallel=True),
+                        tensor_parallel=True, sequence_parallel=True)
+    # the Trainer scopes the SP mesh per call — nothing may leak out
+    assert sp.applied_count() > 0 and sp._MESH is None
     np.testing.assert_allclose(losses_s, losses_r, rtol=1e-4)
     for a, b in zip(jax.tree_util.tree_leaves(g_r),
                     jax.tree_util.tree_leaves(g_s)):
@@ -829,12 +828,10 @@ def test_sequence_parallel_hlo_and_memory():
         return tr._train_step.lower(state, db,
                                     jax.random.key(1)).compile()
 
-    try:
-        tp = compiled(_sp_cfg(**cfg_kw), tensor_parallel=True)
-        tp_sp = compiled(_sp_cfg(sequence_parallel=True, **cfg_kw),
-                         tensor_parallel=True, sequence_parallel=True)
-    finally:
-        sp.disable()
+    tp = compiled(_sp_cfg(**cfg_kw), tensor_parallel=True)
+    tp_sp = compiled(_sp_cfg(sequence_parallel=True, **cfg_kw),
+                     tensor_parallel=True, sequence_parallel=True)
+    assert sp._MESH is None   # lower() must scope, not leak
     hlo_tp, hlo_sp = tp.as_text(), tp_sp.as_text()
     assert hlo_sp.count(" all-reduce") < hlo_tp.count(" all-reduce")
     assert hlo_sp.count(" all-gather") > hlo_tp.count(" all-gather")
@@ -850,6 +847,26 @@ def test_sequence_parallel_requires_tensor_parallel():
         _multilabel_trainer(create_mesh(data=2, model=4),
                             model_parallel_heads=False,
                             sequence_parallel=True)
+
+
+def test_sequence_parallel_detects_model_not_opted_in():
+    """TrainerConfig.sequence_parallel with a model config that was NOT
+    built with sequence_parallel=True would silently train plain TP (no
+    constraint points fire) — the first step must fail loud instead."""
+    import pytest
+
+    from multimodalsimilar_tpu.parallel.mesh import shard_batch
+
+    mesh = create_mesh(data=2, model=4)
+    trainer = _multilabel_trainer(mesh, model_parallel_heads=False,
+                                  bert_cfg=_sp_cfg(),   # flag NOT set
+                                  tensor_parallel=True,
+                                  sequence_parallel=True)
+    rng = np.random.default_rng(0)
+    db = shard_batch(mesh, _ml_batch(rng))
+    state = trainer.init_state_from_device_batch(db)
+    with pytest.raises(ValueError, match="sequence-parallel constraints"):
+        trainer._train_step(state, db, jax.random.key(0))
 
 
 def test_cli_sequence_parallel(tmp_path):
@@ -870,16 +887,14 @@ def test_cli_sequence_parallel(tmp_path):
     data = str(tmp_path / "d.csv")
     df.to_csv(data, index=False)
     out = tmp_path / "out"
-    try:
-        main(["train", "nlp", "--data", data, "--output", str(out),
-              "--batch_size", "16", "--epochs", "1", "--max_length", "12",
-              "--model_parallel", "2", "--tensor_parallel",
-              "--sequence_parallel",
-              "--eval_every", "1000000", "--save_every", "1000000",
-              "--log_every", "1000000"])
-    finally:
-        sp.disable()
+    main(["train", "nlp", "--data", data, "--output", str(out),
+          "--batch_size", "16", "--epochs", "1", "--max_length", "12",
+          "--model_parallel", "2", "--tensor_parallel",
+          "--sequence_parallel",
+          "--eval_every", "1000000", "--save_every", "1000000",
+          "--log_every", "1000000"])
     assert (out / "ckpt").is_dir()
+    assert sp._MESH is None   # nothing leaked out of the run
 
 
 def test_cli_sequence_parallel_requires_tensor_parallel(tmp_path):
