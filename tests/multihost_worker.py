@@ -113,8 +113,37 @@ def main(pid: int, coordinator: str):
     knn_digest = int(np.asarray(multihost_utils.process_allgather(
         np.float64(got_v.sum() + got_i.sum()))).sum())
 
+    # -- tensor + sequence parallelism on the same 2-process run: the
+    # realistic DCN placement (model axis INTRA-process, data axis across
+    # processes — multi-slice pods keep TP inside a slice). The TP
+    # boundary collectives, SP gathers and the cross-process grad
+    # all-reduce all execute in one program under jax.distributed; the
+    # first-step loss must agree across processes AND match the DP run's
+    # (sharding is a layout choice, not a math change).
+    mesh_tp = create_mesh(data=2, model=4)
+    sp_model = NlpMultilabelClassifier(
+        BertConfig.tiny(sequence_parallel=True), lv1_labels=8,
+        lv2_labels=16, tag_labels=64, policy=DTypePolicy.full_precision())
+    tp_trainer = Trainer(
+        multilabel_arcface_task(sp_model), tx, mesh_tp,
+        TrainerConfig(log_every=10**9, model_parallel_heads=True,
+                      tensor_parallel=True, sequence_parallel=True))
+    local_rows = {k: v[pid * half:(pid + 1) * half]
+                  for k, v in batch.items()}
+    tp_batch = shard_batch(mesh_tp, local_rows)
+    tp_state = tp_trainer.init_state_from_device_batch(tp_batch)
+    tp_state, tp_metrics = tp_trainer._train_step(tp_state, tp_batch,
+                                                  jax.random.key(1))
+    tp_local = float(np.asarray(tp_metrics["loss"].addressable_data(0)))
+    tp_vals = np.asarray(multihost_utils.process_allgather(
+        np.float32(tp_local)))
+    assert tp_vals[0] == tp_vals[1], tp_vals
+    assert abs(tp_vals[0] - losses[0]) < 1e-3 * max(abs(losses[0]), 1), \
+        (tp_vals[0], losses[0])
+
     print(f"RESULT pid={pid} step={step} "
-          f"losses={losses[0]:.6f},{losses[1]:.6f} knn={knn_digest}",
+          f"losses={losses[0]:.6f},{losses[1]:.6f} knn={knn_digest} "
+          f"tp_sp_loss={tp_vals[0]:.6f}",
           flush=True)
 
 
