@@ -1107,22 +1107,27 @@ def _build_serve_service(args):
                               normalize=normalize,
                               mesh=mesh, backend=backend,
                               approx_recall=approx)
-    embed_device = fused = None
+    embed_device = fused = fused_factory = None
     if args.tower == "bert" and args.max_batch <= args.batch_size:
         # best path: the WHOLE request (tower -> normalize -> k-NN) as
         # ONE jitted program — the unfused chain's 5-6 per-batch program
         # dispatches each pay the ~15 ms relay floor (PERF.md "Online
         # serving under load"). embed_device is the fallback chain when
-        # the engine can't fuse or the corpus outgrows the fused shape.
+        # the engine can't fuse or the corpus outgrows the fused shape;
+        # the factory lets the service REBUILD the fused path at the
+        # grown shape after an overflowing /update instead of staying
+        # downgraded forever.
         fused = embedder.fused_similar_fn(engine, args.k)
         embed_device = embedder.embed_device
+        fused_factory = lambda: embedder.fused_similar_fn(engine, args.k)  # noqa: E731
     service = SimilarityService(embed_queries, engine, k=args.k,
                                 score_th=_serve_score_th(args),
                                 max_batch=args.max_batch,
                                 max_wait_ms=args.max_wait_ms,
                                 query_parser=parser,
                                 embed_queries_device=embed_device,
-                                fused_similar=fused)
+                                fused_similar=fused,
+                                fused_factory=fused_factory)
     return service, len(keys)
 
 

@@ -347,7 +347,8 @@ class SimilarityService:
                  engine, k: int = 13, score_th: Optional[float] = None,
                  max_batch: int = 64, max_wait_ms: float = 5.0,
                  query_parser=None, embed_queries_device=None,
-                 fused_similar=None):
+                 fused_similar=None, fused_factory=None,
+                 warm_payload="warmup"):
         self.engine = engine
         self._k_req = k
         self.score_th = score_th
@@ -364,7 +365,17 @@ class SimilarityService:
         # program dispatches each pay the ~15 ms relay floor.
         # fused_similar(payloads, pad_to) -> (scores_dev, idx_dev) | None
         # (None = corpus outgrew the compiled shape; fall back below).
+        # fused_factory() -> a FRESH fused fn at the corpus's CURRENT
+        # shape (or None): when an /update outgrows the compiled corpus
+        # the service rebuilds + re-warms the fused path in a background
+        # thread and swaps it in — without it the downgrade to the
+        # 5-6-program unfused chain is permanent (PERF.md "Online serving
+        # under load": the fused arm is the measured latency win).
         self._fused_similar = fused_similar
+        self._fused_factory = fused_factory
+        self._warm_payload = warm_payload
+        self._refuse_lock = threading.Lock()
+        self._refusing = False
         self._embed_queries_device = embed_queries_device
         self._dev_accepts_pad = False
         if embed_queries_device is not None:
@@ -462,6 +473,12 @@ class SimilarityService:
                     return [(scores[r], idx[r]) for r in range(n)]
 
                 return DeferredBatch(finish)
+            # the compiled corpus shape / k is stale (an /update outgrew
+            # it) — that's permanent for THIS fused fn; stop re-checking
+            # per batch and rebuild off-thread while the fallback chain
+            # keeps serving
+            self._fused_similar = None
+            self._schedule_refuse()
         if self._embed_queries_device is None:
             return None
         if self._dev_accepts_pad:
@@ -498,6 +515,60 @@ class SimilarityService:
             bucket = n   # direct call larger than max_batch (tests /
             # library use bypassing the batcher): never drop real queries
         return bucket
+
+    def _bucket_ladder(self) -> List[int]:
+        """Every bucket _bucket_size can produce for batcher-sized input
+        (1, 2, 4, ... capped at max_batch, plus the cap itself)."""
+        ladder, m = [], 1
+        while m < self._max_batch:
+            ladder.append(m)
+            m *= 2
+        ladder.append(self._max_batch)
+        return ladder
+
+    def _schedule_refuse(self) -> None:
+        """Rebuild the fused one-program path at the corpus's new shape,
+        off-thread. At most one rebuild runs at a time; live traffic
+        keeps flowing through the (correct, slower) unfused chain until
+        the fresh fused fn is compiled AND warmed per bucket — warming in
+        the worker would stall every request behind ~2-3 s relay
+        compiles."""
+        if self._fused_factory is None:
+            return
+        with self._refuse_lock:
+            if self._refusing:
+                return
+            self._refusing = True
+        threading.Thread(target=self._refuse_worker, daemon=True,
+                         name="serve-refuse").start()
+
+    def _refuse_worker(self) -> None:
+        import sys
+        try:
+            while True:
+                fused = self._fused_factory()
+                if fused is None:      # engine can't fuse anymore
+                    return
+                for b in self._bucket_ladder():
+                    if fused([self._warm_payload], b) is None:
+                        break          # corpus moved AGAIN mid-rebuild
+                else:
+                    self._fused_similar = fused
+                    print("serve: fused path rebuilt at the grown corpus "
+                          f"shape (n={self.engine.n})", file=sys.stderr,
+                          flush=True)
+                    return
+                # retry at the newest shape — the live path stopped
+                # probing fused (it is None), so nothing else would
+                # reschedule; each iteration's compiles are still useful
+                # warm-up for the shapes they hit
+                time.sleep(0.05)
+        except Exception as e:     # fallback chain keeps serving
+            print(f"serve: fused-path rebuild failed ({e!r}); staying on "
+                  "the unfused chain", file=sys.stderr, flush=True)
+        finally:
+            with self._refuse_lock:
+                self._refusing = False
 
     def _search_bucketed(self, q, n: int):
         """Host-path engine search at the bucketed query count: ``q`` has

@@ -1188,6 +1188,97 @@ def test_fused_falls_back_when_k_or_corpus_changes():
         svc.close()
 
 
+def test_fused_rebuilds_after_corpus_growth():
+    """An /update that invalidates the fused program must not downgrade
+    the service forever: the background rebuild (fused_factory) compiles
+    a fresh fused fn at the grown shape, warms every bucket, and swaps it
+    in — while the fallback chain keeps answering correctly meanwhile."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    svc, embed = _updatable_service(score_th=None, max_batch=8)
+    calls = {"factory": 0, "live": 0}
+
+    def make_fused():
+        real = svc.engine.fused_search_fn(lambda v, q: q, svc._k_req)
+        if real is None:
+            return None
+
+        def fused(texts, pad_to):
+            vec = np.zeros((pad_to, 4), np.float32)
+            vec[: len(texts)] = embed(texts)
+            out = real(None, jnp.asarray(vec))
+            if out is not None:
+                calls["live"] += 1
+            return out
+
+        return fused
+
+    def factory():
+        calls["factory"] += 1
+        return make_fused()
+
+    svc._fused_similar = make_fused()
+    svc._fused_factory = factory
+    try:
+        assert svc.similar("q0", score_th=None)
+        svc.update(["fresh-e"], ["e"])          # 4 -> 5 rows: k_eff moves
+        # this request bails off the stale fused fn, serves via fallback,
+        # and schedules the rebuild
+        got = svc.similar("fresh-e", score_th=None)
+        assert got[0]["key"] == "e"
+        deadline = _time.monotonic() + 30
+        while svc._fused_similar is None and _time.monotonic() < deadline:
+            _time.sleep(0.02)
+        assert calls["factory"] >= 1
+        assert svc._fused_similar is not None, "rebuild never swapped in"
+        before = calls["live"]
+        got = svc.similar("fresh-e", score_th=None)
+        assert got[0]["key"] == "e"
+        assert calls["live"] > before, "request did not ride the rebuilt " \
+                                       "fused path"
+    finally:
+        svc.close()
+
+
+def test_cli_serve_update_overflow_refuses(tmp_path, monkeypatch):
+    """End-to-end through the real CLI service: a corpus-overflowing
+    /update downgrades to the unfused chain, then the background rebuild
+    restores the fused path at the grown shape and requests ride it."""
+    import time as _time
+
+    import multimodalsimilar_tpu.cli as cli
+    monkeypatch.setattr(cli, "_knn_backend_mesh",
+                        lambda a: ("xla", None, None))
+    df = pd.DataFrame({
+        "spu_sn": [f"sku{i}" for i in range(8)],
+        "spu_name": [f"{'甲乙'[i % 2] * 2}商品{i}" for i in range(8)]})
+    data = str(tmp_path / "corpus.csv")
+    df.to_csv(data, index=False)
+    args = cli.build_parser().parse_args(
+        ["serve", "--data", data, "--max_length", "8", "--batch_size", "8",
+         "--max_batch", "4", "--k", "3", "--max_wait_ms", "2"])
+    service, _ = cli._build_serve_service(args)
+    try:
+        assert service._fused_similar is not None
+        assert service._fused_factory is not None
+        # 64 appended rows overflow any small-corpus padding tail
+        service.update([f"新品{i}" for i in range(64)],
+                       [f"new{i}" for i in range(64)])
+        got = service.similar("新品7", score_th=None)   # fallback serves
+        assert got and got[0]["key"] == "new7"
+        deadline = _time.monotonic() + 120
+        while service._fused_similar is None \
+                and _time.monotonic() < deadline:
+            _time.sleep(0.05)
+        assert service._fused_similar is not None, "rebuild never finished"
+        got = service.similar("新品3", score_th=None)
+        assert got and got[0]["key"] == "new3"
+    finally:
+        service.close()
+
+
 def test_cli_serve_wires_fused_path(tmp_path, monkeypatch):
     """On a single chip (production TPU serving) the engine is mesh-less
     and the bert tower must wire the fused one-program path. (The test
