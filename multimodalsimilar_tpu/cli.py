@@ -1489,12 +1489,10 @@ def _warm_serve_service(service, args):
                         k=1)
     else:
         service.similar("warmup", k=1)
-    m, ladder = 2, []
-    while m < args.max_batch:
-        ladder.append(m)
-        m *= 2
-    ladder.append(args.max_batch)   # the cap itself, pow2 or not — the
-    # exact bucket set SimilarityService._bucket_size quantizes to
+    # the exact bucket set _bucket_size quantizes to, INCLUDING bucket 1
+    # (the c=1 operating point) — this is also the ladder the background
+    # fused-path rebuild warms, so the two can't drift
+    ladder = service._bucket_ladder()
     if service._fused_similar is not None \
             or service._embed_queries_device is not None:
         # drive the REAL device path per bucket: the fused program (and
@@ -1507,11 +1505,12 @@ def _warm_serve_service(service, args):
                 and service._embed_queries_device is not None:
             # With a fused path the per-bucket loop above never traces the
             # FALLBACK tower programs. They are corpus-independent, and a
-            # corpus-overflowing /update permanently downgrades requests
-            # to the unfused chain — without this, every bucket's first
-            # live request after that would pay a fresh relay tower
-            # compile (the fallback's k-NN side necessarily recompiles at
-            # the grown corpus shape; the tower needn't).
+            # corpus-overflowing /update downgrades requests to the
+            # unfused chain until the background rebuild lands — without
+            # this, every bucket's first live request in that window
+            # would pay a fresh relay tower compile (the fallback's k-NN
+            # side necessarily recompiles at the grown corpus shape; the
+            # tower needn't).
             if service._dev_accepts_pad:
                 for m in ladder:
                     service._embed_queries_device(["warmup"], pad_to=m)
@@ -1609,11 +1608,14 @@ def cmd_eval(args):
     src = TextClassificationSource(df, tok, args.text_col, args.label_col,
                                    args.max_length,
                                    seq_buckets=_seq_buckets(args))
-    # --num_labels: the head size must match the CHECKPOINT, not whatever
-    # labels happen to appear in this eval split (a split missing the top
-    # training label would otherwise build a smaller head and fail restore)
-    num_labels = (args.num_labels if args.num_labels
-                  else int(df[args.label_col].max()) + 1)
+    # what this split's labels actually require of the head — enforced
+    # against the checkpoint REGARDLESS of --num_labels (out-of-range
+    # labels flow into clamped gathers and silently bogus loss/accuracy)
+    data_implied = int(df[args.label_col].max()) + 1
+    # --num_labels: the TRAINING class count (head size BEFORE any
+    # --model_parallel padding); without it the width is derived from
+    # this split, which breaks if the split lacks the top label
+    num_labels = args.num_labels or data_implied
     # raw (template-free) restore BEFORE building the model: the checkpoint
     # is the ground truth for the head width — `train --model_parallel N`
     # pads the class count to a divisible one (_pad_for_model_parallel), so
@@ -1624,34 +1626,42 @@ def cmd_eval(args):
         else None
     num_valid = None
     head_w = (restored or {}).get("params", {}).get("head", {}).get("weight")
-    if head_w is not None and head_w.shape[0] != num_labels:
+    if head_w is not None:
         head_classes = int(head_w.shape[0])
-        if head_classes < num_labels:
-            # Labels outside the head's range would flow into clamped
-            # out-of-range gathers and silently bogus loss/accuracy.
+        if head_classes < data_implied:
             raise SystemExit(
                 f"eval: checkpoint head has {head_classes} classes but the "
-                f"data implies {num_labels} (max {args.label_col} + 1) — "
+                f"data implies {data_implied} (max {args.label_col} + 1) — "
                 f"labels out of the head's range. Wrong checkpoint, wrong "
                 f"--label_col, or a label map mismatch.")
-        # Head WIDER than the data implies: either model-parallel class
-        # padding (a few dead pad rows) or an eval split that simply lacks
-        # the top training labels. Only the user knows the true trained
-        # class count, and masking anything below it would hide REAL
-        # trained classes (inflating accuracy vs the in-loop eval, which
-        # masks only the pad rows) — so require it explicitly.
-        if not args.num_labels:
+        if args.num_labels:
+            # masked (pad) classes must not appear as labels either —
+            # a -inf true-class logit is an always-wrong row + inf loss
+            if not data_implied <= args.num_labels <= head_classes:
+                raise SystemExit(
+                    f"eval: --num_labels {args.num_labels} must lie in "
+                    f"[data-implied {data_implied}, checkpoint head "
+                    f"{head_classes}] — it is the TRAINING class count "
+                    f"(the head size before --model_parallel padding)")
+            if args.num_labels < head_classes:
+                print(f"eval: checkpoint head {head_classes} classes, "
+                      f"--num_labels {args.num_labels} valid — masking "
+                      f"{head_classes - args.num_labels} pad classes like "
+                      f"the in-loop eval", file=sys.stderr, flush=True)
+                num_valid = args.num_labels
+        elif head_classes > data_implied:
+            # Head WIDER than the data implies: either model-parallel
+            # class padding (a few dead pad rows) or an eval split that
+            # simply lacks the top training labels. Only the user knows
+            # the true trained class count, and masking anything below it
+            # would hide REAL trained classes (inflating accuracy vs the
+            # in-loop eval, which masks only the pad rows).
             raise SystemExit(
                 f"eval: checkpoint head has {head_classes} classes, data "
-                f"implies only {num_labels}. Pass --num_labels with the "
+                f"implies only {data_implied}. Pass --num_labels with the "
                 f"TRAINING class count so only model-parallel pad classes "
                 f"are masked (e.g. --num_labels 10205 for a 10208-padded "
                 f"head); an inferred count would mask real classes.")
-        print(f"eval: checkpoint head {head_classes} classes, "
-              f"--num_labels {num_labels} valid — masking "
-              f"{head_classes - num_labels} pad classes like the in-loop "
-              f"eval", file=sys.stderr, flush=True)
-        num_valid = num_labels
         num_labels = head_classes
     model = NlpTextClassifier(_bert_config(args.bert_preset), num_labels,
                               pool=args.pool)
@@ -2232,9 +2242,12 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--max_length", type=int, default=128)
     ev.add_argument("--batch_size", type=int, default=256)
     ev.add_argument("--num_labels", type=int, default=None,
-                    help="head size of the CHECKPOINT (default: derived "
-                         "from this split, which breaks if the split "
-                         "lacks the top label)")
+                    help="the TRAINING class count — for a checkpoint "
+                         "padded by --model_parallel, the VALID (unpadded) "
+                         "count, e.g. 10205 for a 10208-padded head (pad "
+                         "classes are masked like the in-loop eval). "
+                         "Default: derived from this split, which breaks "
+                         "if the split lacks the top label")
     ev.add_argument("--pool", default="cls",
                     choices=["cls", "mean"],
                     help="must match the trained model (--pool at train "

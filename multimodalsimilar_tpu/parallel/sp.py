@@ -82,19 +82,6 @@ def active(mesh: Mesh):
         _MESH = prev
 
 
-def enable(mesh: Mesh) -> None:
-    """Un-scoped variant of ``active`` for interactive use; pair with
-    ``disable``. The Trainer uses ``active``."""
-    _check_mesh(mesh)
-    global _MESH
-    _MESH = mesh
-
-
-def disable() -> None:
-    global _MESH
-    _MESH = None
-
-
 def applied_count() -> int:
     """How many times ``seq_shard`` has actually constrained a tensor
     (i.e. ran inside an ``active`` scope) — lets callers detect a

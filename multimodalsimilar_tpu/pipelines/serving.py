@@ -281,13 +281,16 @@ class MicroBatcher:
             # readback round-trip rode on top of this batch's device work
             if pending is not None:
                 self._finish(*pending)
-            if deferred is not None and len(batch) < self.max_batch \
-                    and self._q.empty():
-                # partial batch, no follow-up traffic queued: holding the
-                # readback pending can't overlap anything (its own clients
-                # are blocked on the futures) — it would only add a full
-                # max_wait queue-poll stall to every low-concurrency
-                # request. Resolve now.
+            if deferred is not None and self._q.empty():
+                # no follow-up traffic queued: holding the readback
+                # pending can't overlap anything (its own clients are
+                # blocked on the futures) — it would only add a full
+                # max_wait queue-poll stall before resolving. This bites
+                # partial batches at low concurrency AND full batches at
+                # c == max_batch (every client in the batch, queue always
+                # empty: +max_wait on every single batch). The depth-1
+                # pipeline engages exactly when there IS queued traffic
+                # to overlap with (c > max_batch, or open-loop arrivals).
                 self._finish(batch, deferred)
                 deferred = None
             pending = (batch, deferred) if deferred is not None else None
@@ -474,10 +477,12 @@ class SimilarityService:
 
                 return DeferredBatch(finish)
             # the compiled corpus shape / k is stale (an /update outgrew
-            # it) — that's permanent for THIS fused fn; stop re-checking
-            # per batch and rebuild off-thread while the fallback chain
-            # keeps serving
-            self._fused_similar = None
+            # it). KEEP the stale fn in place as a probe — its bail is a
+            # host-side shape check, nanoseconds — and (re)schedule the
+            # off-thread rebuild. Nulling it instead would make a rebuild
+            # that raced another /update (or died on a transient relay
+            # error) a PERMANENT downgrade: with nothing left to probe,
+            # no later request could ever reschedule.
             self._schedule_refuse()
         if self._embed_queries_device is None:
             return None
@@ -543,29 +548,27 @@ class SimilarityService:
                          name="serve-refuse").start()
 
     def _refuse_worker(self) -> None:
+        """One rebuild attempt. Every failure mode self-corrects because
+        the live path keeps PROBING the stale fused fn and rescheduling:
+        a warm probe that bails (corpus moved again mid-rebuild), a
+        transient build exception, even a stale fn swapped in by a
+        rebuild that raced another /update — the next similar request's
+        probe bails and schedules a fresh attempt."""
         import sys
         try:
-            while True:
-                fused = self._fused_factory()
-                if fused is None:      # engine can't fuse anymore
-                    return
-                for b in self._bucket_ladder():
-                    if fused([self._warm_payload], b) is None:
-                        break          # corpus moved AGAIN mid-rebuild
-                else:
-                    self._fused_similar = fused
-                    print("serve: fused path rebuilt at the grown corpus "
-                          f"shape (n={self.engine.n})", file=sys.stderr,
-                          flush=True)
-                    return
-                # retry at the newest shape — the live path stopped
-                # probing fused (it is None), so nothing else would
-                # reschedule; each iteration's compiles are still useful
-                # warm-up for the shapes they hit
-                time.sleep(0.05)
+            fused = self._fused_factory()
+            if fused is None:      # engine can't fuse anymore
+                return
+            for b in self._bucket_ladder():
+                if fused([self._warm_payload], b) is None:
+                    return         # corpus moved again; next probe retries
+            self._fused_similar = fused
+            print("serve: fused path rebuilt at the grown corpus "
+                  f"shape (n={self.engine.n})", file=sys.stderr,
+                  flush=True)
         except Exception as e:     # fallback chain keeps serving
-            print(f"serve: fused-path rebuild failed ({e!r}); staying on "
-                  "the unfused chain", file=sys.stderr, flush=True)
+            print(f"serve: fused-path rebuild failed ({e!r}); will retry "
+                  "on the next request", file=sys.stderr, flush=True)
         finally:
             with self._refuse_lock:
                 self._refusing = False

@@ -1219,20 +1219,21 @@ def test_fused_rebuilds_after_corpus_growth():
         calls["factory"] += 1
         return make_fused()
 
-    svc._fused_similar = make_fused()
+    stale = make_fused()
+    svc._fused_similar = stale
     svc._fused_factory = factory
     try:
         assert svc.similar("q0", score_th=None)
         svc.update(["fresh-e"], ["e"])          # 4 -> 5 rows: k_eff moves
-        # this request bails off the stale fused fn, serves via fallback,
-        # and schedules the rebuild
+        # this request bails off the stale fused fn (which stays in place
+        # as the probe), serves via fallback, and schedules the rebuild
         got = svc.similar("fresh-e", score_th=None)
         assert got[0]["key"] == "e"
         deadline = _time.monotonic() + 30
-        while svc._fused_similar is None and _time.monotonic() < deadline:
+        while svc._fused_similar is stale and _time.monotonic() < deadline:
             _time.sleep(0.02)
         assert calls["factory"] >= 1
-        assert svc._fused_similar is not None, "rebuild never swapped in"
+        assert svc._fused_similar is not stale, "rebuild never swapped in"
         before = calls["live"]
         got = svc.similar("fresh-e", score_th=None)
         assert got[0]["key"] == "e"
@@ -1249,8 +1250,15 @@ def test_cli_serve_update_overflow_refuses(tmp_path, monkeypatch):
     import time as _time
 
     import multimodalsimilar_tpu.cli as cli
+    from multimodalsimilar_tpu.retrieval import knn
     monkeypatch.setattr(cli, "_knn_backend_mesh",
                         lambda a: ("xla", None, None))
+    # plan_search pads the cached corpus to a BLOCK multiple (thousands of
+    # rows even for a tiny corpus) and the traced true_n absorbs appends
+    # within the pad — shrink the block so a 64-row update really
+    # overflows the compiled shape
+    monkeypatch.setattr(knn, "plan_search",
+                        lambda n, d, q: (8, n + (-n) % 8))
     df = pd.DataFrame({
         "spu_sn": [f"sku{i}" for i in range(8)],
         "spu_name": [f"{'甲乙'[i % 2] * 2}商品{i}" for i in range(8)]})
@@ -1261,18 +1269,19 @@ def test_cli_serve_update_overflow_refuses(tmp_path, monkeypatch):
          "--max_batch", "4", "--k", "3", "--max_wait_ms", "2"])
     service, _ = cli._build_serve_service(args)
     try:
-        assert service._fused_similar is not None
+        stale = service._fused_similar
+        assert stale is not None
         assert service._fused_factory is not None
-        # 64 appended rows overflow any small-corpus padding tail
+        # 64 appended rows overflow the 8-row block padding
         service.update([f"新品{i}" for i in range(64)],
                        [f"new{i}" for i in range(64)])
         got = service.similar("新品7", score_th=None)   # fallback serves
         assert got and got[0]["key"] == "new7"
         deadline = _time.monotonic() + 120
-        while service._fused_similar is None \
+        while service._fused_similar is stale \
                 and _time.monotonic() < deadline:
             _time.sleep(0.05)
-        assert service._fused_similar is not None, "rebuild never finished"
+        assert service._fused_similar is not stale, "rebuild never finished"
         got = service.similar("新品3", score_th=None)
         assert got and got[0]["key"] == "new3"
     finally:
@@ -1361,6 +1370,36 @@ def test_microbatcher_partial_deferred_empty_queue_resolves_now():
         assert mb.submit("x") == "r"
         # without the empty-queue check the finish only runs after the
         # worker's next queue poll times out (the full 500 ms)
+        assert times["finish"] - times["dispatch"] < 0.25
+    finally:
+        mb.close()
+
+
+def test_microbatcher_full_deferred_empty_queue_resolves_now():
+    """A FULL batch whose dispatch leaves the queue empty must also
+    resolve immediately: at c == max_batch every client is inside the
+    batch, so the queue is ALWAYS empty at this point and holding the
+    readback pending added a max_wait queue-poll stall to every single
+    batch (review finding on the depth-1 pipeline gating)."""
+    import time as _time
+
+    from multimodalsimilar_tpu.pipelines.serving import (DeferredBatch,
+                                                         MicroBatcher)
+    times = {}
+
+    def run_batch(items):
+        times["dispatch"] = _time.monotonic()
+
+        def finish():
+            times["finish"] = _time.monotonic()
+            return ["r"] * len(items)
+
+        return DeferredBatch(finish)
+
+    # max_batch 1 == 1 submitted item -> the batch is FULL
+    mb = MicroBatcher(run_batch, max_batch=1, max_wait_ms=500)
+    try:
+        assert mb.submit("x") == "r"
         assert times["finish"] - times["dispatch"] < 0.25
     finally:
         mb.close()
@@ -1774,8 +1813,9 @@ def test_warm_serve_service_compiles_fallback_tower(tmp_path, monkeypatch):
         service._embed_queries_device = counting
         _warm_serve_service(service, args)
         # the fused arm handles the similar ladder, so every fallback
-        # tower shape must come from the explicit fallback warm loop
-        assert sorted(p for p in pads if p is not None) == [2, 4, 8]
+        # tower shape — INCLUDING bucket 1, the c=1 operating point —
+        # must come from the explicit fallback warm loop
+        assert sorted(p for p in pads if p is not None) == [1, 2, 4, 8]
     finally:
         service.close()
 
