@@ -1064,9 +1064,10 @@ def _build_serve_service(args):
             "per-key emb.txt layout instead")
     t0 = _time.perf_counter()
     metric, normalize = "ip", True
+    cv_embedder = None
     if args.tower == "cv":
-        embed_queries, parser, keys, emb, cats = _serve_cv_corpus(args, df,
-                                                                  cats)
+        (embed_queries, parser, keys, emb, cats,
+         cv_embedder) = _serve_cv_corpus(args, df, cats)
     elif args.tower == "multimodal":
         embed_queries, parser, keys, emb, cats = \
             _serve_multimodal_corpus(args, df, cats)
@@ -1108,6 +1109,18 @@ def _build_serve_service(args):
                               mesh=mesh, backend=backend,
                               approx_recall=approx)
     embed_device = fused = fused_factory = None
+    warm_payload = "warmup"
+    if args.tower == "cv" and args.max_batch <= args.batch_size:
+        # same fused one-program serving as the bert tower: decode/resize
+        # on the handler threads, tower + normalize + k-NN as ONE device
+        # program per pow2 bucket, with the background rebuild after a
+        # corpus-overflowing /update
+        fused = cv_embedder.fused_similar_fn(engine, args.k)
+        embed_device = cv_embedder.embed_device
+        fused_factory = lambda: cv_embedder.fused_similar_fn(engine, args.k)  # noqa: E731
+        import numpy as _np
+        warm_payload = _np.zeros(
+            (args.image_size, args.image_size, 3), _np.uint8)
     if args.tower == "bert" and args.max_batch <= args.batch_size:
         # best path: the WHOLE request (tower -> normalize -> k-NN) as
         # ONE jitted program — the unfused chain's 5-6 per-batch program
@@ -1127,7 +1140,8 @@ def _build_serve_service(args):
                                 query_parser=parser,
                                 embed_queries_device=embed_device,
                                 fused_similar=fused,
-                                fused_factory=fused_factory)
+                                fused_factory=fused_factory,
+                                warm_payload=warm_payload)
     return service, len(keys)
 
 
@@ -1406,7 +1420,8 @@ def _serve_cv_corpus(args, df, cats):
     def embed_queries(images):
         return embedder.embed_batch(np.stack(list(images)))
 
-    return embed_queries, ImageQueryParser(args.image_size), keys, emb, cats
+    return (embed_queries, ImageQueryParser(args.image_size), keys, emb,
+            cats, embedder)
 
 
 def _serve_multimodal_corpus(args, df, cats):
@@ -1485,10 +1500,10 @@ def _warm_serve_service(service, args):
     import numpy as np
     if args.tower in ("cv", "multimodal"):
         warm = np.zeros((args.image_size, args.image_size, 3), np.uint8)
-        service.similar(warm if args.tower == "cv" else ("warmup", warm),
-                        k=1)
+        wp = warm if args.tower == "cv" else ("warmup", warm)
     else:
-        service.similar("warmup", k=1)
+        wp = "warmup"
+    service.similar(wp, k=1)
     # the exact bucket set _bucket_size quantizes to, INCLUDING bucket 1
     # (the c=1 operating point) — this is also the ladder the background
     # fused-path rebuild warms, so the two can't drift
@@ -1500,7 +1515,7 @@ def _warm_serve_service(service, args):
         # per-shape — warming the engine alone left them as ~2 s
         # first-sight spikes under load (serving_load.py)
         for m in ladder:
-            service._run_batch([{"op": "similar", "query": "warmup"}] * m)
+            service._run_batch([{"op": "similar", "query": wp}] * m)
         if service._fused_similar is not None \
                 and service._embed_queries_device is not None:
             # With a fused path the per-bucket loop above never traces the
@@ -1513,12 +1528,12 @@ def _warm_serve_service(service, args):
             # tower needn't).
             if service._dev_accepts_pad:
                 for m in ladder:
-                    service._embed_queries_device(["warmup"], pad_to=m)
+                    service._embed_queries_device([wp], pad_to=m)
             else:
-                service._embed_queries_device(["warmup"])
+                service._embed_queries_device([wp])
         # mixed/update batches run the HOST path: its tower shape and
         # per-bucket k-NN programs must not compile on the first update
-        service.embed(["warmup"])
+        service.embed([wp])
         d = service.engine._emb.shape[1]
         for m in ladder:
             service.engine.search(service.k,

@@ -234,13 +234,58 @@ class ImageEmbedder:
 
         from multimodalsimilar_tpu.models.vision import device_normalize
 
-        @jax.jit
-        def run(v, images):
+        def tower(v, images):
             return model.apply(v, device_normalize(images),
                                method=model.predict_emb)
 
+        run = jax.jit(tower)
+        self.tower_fn = tower   # uncompiled: composable into fused programs
         self._variables = variables
         self._run = lambda *a: run(self._variables, *a)
+
+    def embed_device(self, images: Sequence[np.ndarray],
+                     pad_to: int = None):
+        """One micro-batch of decoded uint8 [S, S, 3] images -> a padded
+        [pad_to, D] jax.Array STILL ON DEVICE — the image-tower twin of
+        TextEmbedder.embed_device (same shape-stability and pad_to-bucket
+        contract; rows past len(images) embed zero images and must be
+        discarded by the caller). uint8 ships to the device and
+        normalization runs on-chip (PERF.md 'Relay H2D')."""
+        pad = self.batch_size if pad_to is None else pad_to
+        if not len(images) <= pad <= self.batch_size:
+            raise ValueError(f"need len(images) <= pad_to <= batch_size, "
+                             f"got {len(images)} / {pad} / "
+                             f"{self.batch_size}")
+        first = np.asarray(images[0])
+        batch = np.zeros((pad,) + first.shape, first.dtype)
+        for i, im in enumerate(images):
+            batch[i] = im
+        return self._run(jnp.asarray(batch))
+
+    def fused_similar_fn(self, engine, k: int):
+        """``(images, pad_to) -> (scores_dev, idx_dev) | None``: the
+        image-serving hot path as ONE device program — decode/resize on
+        the handler thread (ImageQueryParser), then tower + normalize +
+        exact k-NN fused (engine.fused_search_fn). Same contract as
+        TextEmbedder.fused_similar_fn: None when the engine can't fuse;
+        the returned callable yields None when the corpus outgrew the
+        compiled shape (caller falls back / rebuilds)."""
+        run = engine.fused_search_fn(self.tower_fn, k)
+        if run is None:
+            return None
+
+        def fused(images, pad_to):
+            if not len(images) <= pad_to <= self.batch_size:
+                raise ValueError(
+                    f"need len(images) <= pad_to <= batch_size, got "
+                    f"{len(images)} / {pad_to} / {self.batch_size}")
+            first = np.asarray(images[0])
+            batch = np.zeros((pad_to,) + first.shape, first.dtype)
+            for i, im in enumerate(images):
+                batch[i] = im
+            return run(self._variables, jnp.asarray(batch))
+
+        return fused
 
     def embed_batch(self, images: np.ndarray) -> np.ndarray:
         B = self.batch_size

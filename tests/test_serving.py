@@ -1188,6 +1188,86 @@ def test_fused_falls_back_when_k_or_corpus_changes():
         svc.close()
 
 
+def test_cli_serve_cv_wires_fused_path(tmp_path, monkeypatch):
+    """--tower cv gets the same fused one-program serving as bert on a
+    single chip: decode on the handler thread, tower + normalize + k-NN
+    as ONE device program, warm-up driving image payloads through every
+    path, and the rebuild factory wired."""
+    import cv2
+
+    import multimodalsimilar_tpu.cli as cli
+    monkeypatch.setattr(cli, "_knn_backend_mesh",
+                        lambda a: ("xla", None, None))
+    root = tmp_path / "imgs"
+    rng = np.random.default_rng(7)
+    imgs = {}
+    for i in range(8):
+        key = f"sku{i}"
+        img = rng.integers(0, 255, size=(24, 24, 3)).astype(np.uint8)
+        (root / key).mkdir(parents=True)
+        path = str(root / key / "0.jpg")
+        cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        imgs[key] = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+    df = pd.DataFrame({"spu_sn": list(imgs)})
+    data = str(tmp_path / "corpus.csv")
+    df.to_csv(data, index=False)
+    args = cli.build_parser().parse_args(
+        ["serve", "--tower", "cv", "--data", data, "--img_root", str(root),
+         "--backbone", "tiny", "--image_size", "16", "--fc_dim", "8",
+         "--batch_size", "8", "--max_batch", "8", "--k", "3",
+         "--score_th", "0.0", "--max_wait_ms", "2"])
+    service, _ = cli._build_serve_service(args)
+    try:
+        assert service._fused_similar is not None
+        assert service._fused_factory is not None
+        assert isinstance(service._warm_payload, np.ndarray)
+        cli._warm_serve_service(service, args)   # image payloads end-to-end
+        from multimodalsimilar_tpu.data import images as I
+        q = I.resize(imgs["sku3"], args.image_size)
+        got = service.similar(q, score_th=None)
+        assert got and got[0]["key"] == "sku3"
+    finally:
+        service.close()
+
+
+def test_image_embedder_fused_matches_unfused():
+    """ImageEmbedder's fused one-program path must return exactly what
+    embed_batch -> engine.search does."""
+    import jax
+
+    from multimodalsimilar_tpu.models.vision import (CvImageClassifier,
+                                                     backbone_config)
+    from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
+    from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+
+    model = CvImageClassifier(backbone_config("tiny"), num_labels=3,
+                              fc_dim=8)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(6, 16, 16, 3)).astype(np.uint8)
+    import jax.numpy as jnp
+    variables = jax.jit(lambda x: model.init(
+        {"params": jax.random.key(0)}, x,
+        label=jnp.zeros(x.shape[0], jnp.int32)))(jnp.asarray(
+            imgs.astype(np.float32)))
+    emb = ImageEmbedder(model, variables, image_size=16, batch_size=4)
+    corpus = emb.embed_batch(imgs)
+    engine = SimilarityEngine(corpus, [f"k{i}" for i in range(6)],
+                              metric="ip", normalize=True)
+    fused = emb.fused_similar_fn(engine, k=3)
+    assert fused is not None
+    queries = [imgs[2], imgs[5], imgs[0]]
+    dv, di = fused(queries, 4)
+    v_ref, i_ref = engine.search(3, queries=emb.embed_batch(
+        np.stack(queries)))
+    np.testing.assert_allclose(np.asarray(dv)[:3], v_ref, rtol=1e-4,
+                               atol=1e-5)
+    assert np.array_equal(np.asarray(di)[:3], i_ref)
+    # embed_device parity at the bucket
+    dev = np.asarray(emb.embed_device(queries, pad_to=4))[:3]
+    np.testing.assert_allclose(dev, emb.embed_batch(np.stack(queries)),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_fused_rebuilds_after_corpus_growth():
     """An /update that invalidates the fused program must not downgrade
     the service forever: the background rebuild (fused_factory) compiles
