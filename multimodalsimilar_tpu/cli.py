@@ -1069,8 +1069,8 @@ def _build_serve_service(args):
         (embed_queries, parser, keys, emb, cats,
          cv_embedder) = _serve_cv_corpus(args, df, cats)
     elif args.tower == "multimodal":
-        embed_queries, parser, keys, emb, cats = \
-            _serve_multimodal_corpus(args, df, cats)
+        (embed_queries, parser, keys, emb, cats,
+         mm_embedder) = _serve_multimodal_corpus(args, df, cats)
         # the fused job searches UN-normalized squared L2
         # (multimodal_infer.py:140-145 IndexFlatL2) — scores ascend, and
         # a request's score_th means "max distance"
@@ -1110,6 +1110,15 @@ def _build_serve_service(args):
                               approx_recall=approx)
     embed_device = fused = fused_factory = None
     warm_payload = "warmup"
+    if args.tower == "multimodal" and args.max_batch <= args.batch_size:
+        # both towers + norm-concat fusion + un-normalized L2 k-NN as ONE
+        # device program (multimodal_infer.py:140-145 semantics)
+        fused = mm_embedder.fused_similar_fn(engine, args.k)
+        embed_device = mm_embedder.embed_device
+        fused_factory = lambda: mm_embedder.fused_similar_fn(engine, args.k)  # noqa: E731
+        import numpy as _np
+        warm_payload = ("warmup", _np.zeros(
+            (args.image_size, args.image_size, 3), _np.uint8))
     if args.tower == "cv" and args.max_batch <= args.batch_size:
         # same fused one-program serving as the bert tower: decode/resize
         # on the handler threads, tower + normalize + k-NN as ONE device
@@ -1454,7 +1463,7 @@ def _serve_multimodal_corpus(args, df, cats):
                         [text for text, _ in pairs])
 
     return (embed_queries, MultimodalQueryParser(args.image_size), keys,
-            emb, cats)
+            emb, cats, embedder)
 
 
 def _serve_fasttext_corpus(args, df, cats):

@@ -436,14 +436,56 @@ class MultimodalEmbedder:
 
         from multimodalsimilar_tpu.models.vision import device_normalize
 
-        @jax.jit
-        def run(v, images, input_ids, attention_mask, token_type_ids):
+        def tower(v, images, input_ids, attention_mask, token_type_ids):
             return model.apply(v, device_normalize(images), input_ids,
                                attention_mask, token_type_ids,
                                method=model.predict_emb)
 
+        run = jax.jit(tower)
+        self.tower_fn = tower   # uncompiled: composable into fused programs
         self._variables = variables
         self._run = lambda *a: run(self._variables, *a)
+
+    def _pad_pair_batch(self, pairs, pad: int):
+        """(images, input_ids, attention_mask, token_type_ids) jnp args
+        for a [pad]-row batch from (text, uint8 image) pairs."""
+        if not len(pairs) <= pad <= self.batch_size:
+            raise ValueError(f"need len(pairs) <= pad_to <= batch_size, "
+                             f"got {len(pairs)} / {pad} / "
+                             f"{self.batch_size}")
+        texts = [t for t, _ in pairs]
+        toks = _pad_rows(self.tokenizer(texts, self.max_length), pad)
+        first = np.asarray(pairs[0][1])
+        images = np.zeros((pad,) + first.shape, first.dtype)
+        for i, (_, im) in enumerate(pairs):
+            images[i] = im
+        return (jnp.asarray(images), jnp.asarray(toks["input_ids"]),
+                jnp.asarray(toks["attention_mask"]),
+                jnp.asarray(toks["token_type_ids"]))
+
+    def embed_device(self, pairs: Sequence, pad_to: int = None):
+        """One micro-batch of (text, uint8 image) pairs -> a padded
+        [pad_to, 2560] jax.Array still on device — same shape-stability /
+        bucket contract as TextEmbedder.embed_device (rows past
+        len(pairs) are padding the caller discards)."""
+        pad = self.batch_size if pad_to is None else pad_to
+        return self._run(*self._pad_pair_batch(list(pairs), pad))
+
+    def fused_similar_fn(self, engine, k: int):
+        """``(pairs, pad_to) -> (scores_dev, idx_dev) | None``: the
+        multimodal serving hot path as ONE device program — both towers,
+        the norm-concat fusion, and the (un-normalized L2,
+        multimodal_infer.py:140-145) k-NN fused. Same contract as
+        TextEmbedder.fused_similar_fn."""
+        run = engine.fused_search_fn(self.tower_fn, k)
+        if run is None:
+            return None
+
+        def fused(pairs, pad_to):
+            args = self._pad_pair_batch(list(pairs), pad_to)
+            return run(self._variables, *args)
+
+        return fused
 
     def __call__(self, images: np.ndarray, texts: Sequence[str]
                  ) -> np.ndarray:

@@ -567,7 +567,7 @@ def serve_mm_cli(tmp_path_factory):
     thread.start()
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
     texts = {f"sku{i}": f"商品{i}号" for i in range(n)}
-    yield base, service, imgs, texts
+    yield base, service, imgs, texts, args
     httpd.shutdown()
     httpd.server_close()
     service.close()
@@ -575,7 +575,7 @@ def serve_mm_cli(tmp_path_factory):
 
 
 def test_http_multimodal_own_pair_ranks_first(serve_mm_cli):
-    base, service, imgs, texts = serve_mm_cli
+    base, service, imgs, texts, _ = serve_mm_cli
     got = _post(base + "/similar",
                 {"text": texts["sku2"],
                  "image_b64": _b64_img(imgs["sku2"])})["neighbors"]
@@ -592,8 +592,41 @@ def test_http_multimodal_own_pair_ranks_first(serve_mm_cli):
     assert [g["key"] for g in tight] == ["sku2"]
 
 
+def test_multimodal_fused_serving_wires_and_matches(serve_mm_cli,
+                                                     monkeypatch):
+    """A mesh-less (single-chip) multimodal service with max_batch <=
+    batch_size rides the fused ONE-program path (both towers + fusion +
+    un-normalized L2 k-NN) and returns the host path's results."""
+    import copy
+
+    import multimodalsimilar_tpu.cli as cli
+    _, host_service, imgs, texts, base_args = serve_mm_cli
+    monkeypatch.setattr(cli, "_knn_backend_mesh",
+                        lambda a: ("xla", None, None))
+    args = copy.deepcopy(base_args)
+    args.max_batch = 8        # <= batch_size: wires the fused path
+    service, _ = cli._build_serve_service(args)
+    try:
+        assert service._fused_similar is not None
+        assert service._fused_factory is not None
+        wp = service._warm_payload
+        assert isinstance(wp, tuple) and isinstance(wp[1], np.ndarray)
+        cli._warm_serve_service(service, args)
+        from multimodalsimilar_tpu.data import images as I
+        q = (texts["sku4"], I.resize(imgs["sku4"], args.image_size))
+        got = service.similar(q, score_th=None)
+        ref = host_service.similar(q, score_th=None)
+        assert got and got[0]["key"] == "sku4"
+        assert [g["key"] for g in got] == [r["key"] for r in ref]
+        np.testing.assert_allclose([g["score"] for g in got],
+                                   [r["score"] for r in ref],
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        service.close()
+
+
 def test_http_multimodal_embed_batch_and_errors(serve_mm_cli):
-    base, service, imgs, texts = serve_mm_cli
+    base, service, imgs, texts, _ = serve_mm_cli
     out = _post(base + "/embed",
                 {"texts": [texts["sku0"], texts["sku1"]],
                  "images_b64": [_b64_img(imgs["sku0"]),
