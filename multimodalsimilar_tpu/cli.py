@@ -1029,6 +1029,17 @@ def _sku_to_spusn(area_df, emb, args):
     return {sp: by_sku[sk] for sk, sp in zip(skus, spusns) if sk in by_sku}
 
 
+def _serve_warm_payload(args):
+    """The one warm query for args.tower — used by the pre-traffic warm-up
+    ladder AND the background fused-path rebuild (service._warm_payload),
+    so the two can never drift on payload shape."""
+    if args.tower in ("cv", "multimodal"):
+        import numpy as np
+        warm = np.zeros((args.image_size, args.image_size, 3), np.uint8)
+        return warm if args.tower == "cv" else ("warmup", warm)
+    return "warmup"
+
+
 def _build_serve_service(args):
     """(SimilarityService, corpus_rows) for ``cli serve`` — factored out of
     cmd_serve so tests can build the hot service without the blocking
@@ -1064,13 +1075,13 @@ def _build_serve_service(args):
             "per-key emb.txt layout instead")
     t0 = _time.perf_counter()
     metric, normalize = "ip", True
-    cv_embedder = None
+    dev_embedder = None   # the tower embedder the fused device path wires
     if args.tower == "cv":
         (embed_queries, parser, keys, emb, cats,
-         cv_embedder) = _serve_cv_corpus(args, df, cats)
+         dev_embedder) = _serve_cv_corpus(args, df, cats)
     elif args.tower == "multimodal":
         (embed_queries, parser, keys, emb, cats,
-         mm_embedder) = _serve_multimodal_corpus(args, df, cats)
+         dev_embedder) = _serve_multimodal_corpus(args, df, cats)
         # the fused job searches UN-normalized squared L2
         # (multimodal_infer.py:140-145 IndexFlatL2) — scores ascend, and
         # a request's score_th means "max distance"
@@ -1081,6 +1092,7 @@ def _build_serve_service(args):
     else:
         parser = None    # SimilarityService defaults to TextQueryParser
         embedder = _build_text_embedder(args, df=df)
+        dev_embedder = embedder
         embed_queries = _embed_fn_from_embedder(embedder)
         keys = df[args.key_col].astype(str).tolist()
         texts = df[args.text_col].astype(str).tolist()
@@ -1108,40 +1120,24 @@ def _build_serve_service(args):
                               normalize=normalize,
                               mesh=mesh, backend=backend,
                               approx_recall=approx)
+    warm_payload = _serve_warm_payload(args)
     embed_device = fused = fused_factory = None
-    warm_payload = "warmup"
-    if args.tower == "multimodal" and args.max_batch <= args.batch_size:
-        # both towers + norm-concat fusion + un-normalized L2 k-NN as ONE
-        # device program (multimodal_infer.py:140-145 semantics)
-        fused = mm_embedder.fused_similar_fn(engine, args.k)
-        embed_device = mm_embedder.embed_device
-        fused_factory = lambda: mm_embedder.fused_similar_fn(engine, args.k)  # noqa: E731
-        import numpy as _np
-        warm_payload = ("warmup", _np.zeros(
-            (args.image_size, args.image_size, 3), _np.uint8))
-    if args.tower == "cv" and args.max_batch <= args.batch_size:
-        # same fused one-program serving as the bert tower: decode/resize
-        # on the handler threads, tower + normalize + k-NN as ONE device
-        # program per pow2 bucket, with the background rebuild after a
-        # corpus-overflowing /update
-        fused = cv_embedder.fused_similar_fn(engine, args.k)
-        embed_device = cv_embedder.embed_device
-        fused_factory = lambda: cv_embedder.fused_similar_fn(engine, args.k)  # noqa: E731
-        import numpy as _np
-        warm_payload = _np.zeros(
-            (args.image_size, args.image_size, 3), _np.uint8)
-    if args.tower == "bert" and args.max_batch <= args.batch_size:
-        # best path: the WHOLE request (tower -> normalize -> k-NN) as
-        # ONE jitted program — the unfused chain's 5-6 per-batch program
-        # dispatches each pay the ~15 ms relay floor (PERF.md "Online
-        # serving under load"). embed_device is the fallback chain when
-        # the engine can't fuse or the corpus outgrows the fused shape;
-        # the factory lets the service REBUILD the fused path at the
-        # grown shape after an overflowing /update instead of staying
-        # downgraded forever.
-        fused = embedder.fused_similar_fn(engine, args.k)
-        embed_device = embedder.embed_device
-        fused_factory = lambda: embedder.fused_similar_fn(engine, args.k)  # noqa: E731
+    if dev_embedder is not None and args.max_batch <= args.batch_size:
+        # best path (bert / cv / multimodal towers): the WHOLE request —
+        # tower(s) [+ norm-concat fusion for multimodal] -> normalize ->
+        # exact k-NN (un-normalized L2 for multimodal,
+        # multimodal_infer.py:140-145) — as ONE jitted program per pow2
+        # bucket. The unfused chain's 5-6 per-batch program dispatches
+        # each pay the ~15 ms relay floor (PERF.md "Online serving under
+        # load"). embed_device is the fallback chain when the engine
+        # can't fuse or the corpus outgrows the fused shape; the factory
+        # lets the service REBUILD the fused path at the grown shape
+        # after an overflowing /update instead of staying downgraded
+        # forever. fasttext stays host-side (its sentence vectors are a
+        # table mean — no device work to fuse).
+        fused = dev_embedder.fused_similar_fn(engine, args.k)
+        embed_device = dev_embedder.embed_device
+        fused_factory = lambda: dev_embedder.fused_similar_fn(engine, args.k)  # noqa: E731
     service = SimilarityService(embed_queries, engine, k=args.k,
                                 score_th=_serve_score_th(args),
                                 max_batch=args.max_batch,
@@ -1507,11 +1503,7 @@ def _warm_serve_service(service, args):
     benchmarks/serving_load.py). Runs before traffic, so driving the
     engine from this thread doesn't race the device worker."""
     import numpy as np
-    if args.tower in ("cv", "multimodal"):
-        warm = np.zeros((args.image_size, args.image_size, 3), np.uint8)
-        wp = warm if args.tower == "cv" else ("warmup", warm)
-    else:
-        wp = "warmup"
+    wp = service._warm_payload   # _serve_warm_payload(args), via _build
     service.similar(wp, k=1)
     # the exact bucket set _bucket_size quantizes to, INCLUDING bucket 1
     # (the c=1 operating point) — this is also the ladder the background

@@ -243,6 +243,20 @@ class ImageEmbedder:
         self._variables = variables
         self._run = lambda *a: run(self._variables, *a)
 
+    def _pad_image_batch(self, images, pad: int) -> np.ndarray:
+        """[pad, S, S, 3] host batch: the images, zero-padded to ``pad``
+        rows (shared by embed_device and the fused path — keep them
+        identical)."""
+        if not 1 <= len(images) <= pad <= self.batch_size:
+            raise ValueError(f"need 1 <= len(images) <= pad_to <= "
+                             f"batch_size, got {len(images)} / {pad} / "
+                             f"{self.batch_size}")
+        first = np.asarray(images[0])
+        batch = np.zeros((pad,) + first.shape, first.dtype)
+        for i, im in enumerate(images):
+            batch[i] = im
+        return batch
+
     def embed_device(self, images: Sequence[np.ndarray],
                      pad_to: int = None):
         """One micro-batch of decoded uint8 [S, S, 3] images -> a padded
@@ -252,15 +266,7 @@ class ImageEmbedder:
         discarded by the caller). uint8 ships to the device and
         normalization runs on-chip (PERF.md 'Relay H2D')."""
         pad = self.batch_size if pad_to is None else pad_to
-        if not len(images) <= pad <= self.batch_size:
-            raise ValueError(f"need len(images) <= pad_to <= batch_size, "
-                             f"got {len(images)} / {pad} / "
-                             f"{self.batch_size}")
-        first = np.asarray(images[0])
-        batch = np.zeros((pad,) + first.shape, first.dtype)
-        for i, im in enumerate(images):
-            batch[i] = im
-        return self._run(jnp.asarray(batch))
+        return self._run(jnp.asarray(self._pad_image_batch(images, pad)))
 
     def fused_similar_fn(self, engine, k: int):
         """``(images, pad_to) -> (scores_dev, idx_dev) | None``: the
@@ -275,14 +281,7 @@ class ImageEmbedder:
             return None
 
         def fused(images, pad_to):
-            if not len(images) <= pad_to <= self.batch_size:
-                raise ValueError(
-                    f"need len(images) <= pad_to <= batch_size, got "
-                    f"{len(images)} / {pad_to} / {self.batch_size}")
-            first = np.asarray(images[0])
-            batch = np.zeros((pad_to,) + first.shape, first.dtype)
-            for i, im in enumerate(images):
-                batch[i] = im
+            batch = self._pad_image_batch(images, pad_to)
             return run(self._variables, jnp.asarray(batch))
 
         return fused
@@ -449,9 +448,9 @@ class MultimodalEmbedder:
     def _pad_pair_batch(self, pairs, pad: int):
         """(images, input_ids, attention_mask, token_type_ids) jnp args
         for a [pad]-row batch from (text, uint8 image) pairs."""
-        if not len(pairs) <= pad <= self.batch_size:
-            raise ValueError(f"need len(pairs) <= pad_to <= batch_size, "
-                             f"got {len(pairs)} / {pad} / "
+        if not 1 <= len(pairs) <= pad <= self.batch_size:
+            raise ValueError(f"need 1 <= len(pairs) <= pad_to <= "
+                             f"batch_size, got {len(pairs)} / {pad} / "
                              f"{self.batch_size}")
         texts = [t for t, _ in pairs]
         toks = _pad_rows(self.tokenizer(texts, self.max_length), pad)

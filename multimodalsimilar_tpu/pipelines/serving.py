@@ -466,6 +466,13 @@ class SimilarityService:
         Preference order: fused ONE-program chain, then the two-program
         embed_device -> search_device chain."""
         bucket = self._bucket_size(n)
+        if bucket > self._max_batch:
+            # _bucket_size's oversized-direct-call escape (a library/test
+            # call bigger than max_batch, bypassing the batcher): the
+            # device paths are compiled/validated only up to batch_size
+            # (wiring guard: max_batch <= batch_size), so serve it on the
+            # host path instead of erroring out of the embedder
+            return None
         if self._fused_similar is not None:
             out = self._fused_similar(queries, bucket)
             if out is not None:

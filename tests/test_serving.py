@@ -944,6 +944,33 @@ def test_service_device_path_mixed_batch_falls_back_to_host():
         svc.close()
 
 
+def test_oversized_direct_batch_falls_back_to_host_path():
+    """_bucket_size's oversized-direct-call escape (a library/test call
+    with n > max_batch, bypassing the batcher) must serve on the HOST
+    path: the device paths are only compiled/validated up to batch_size
+    (regression — the fused/embed_device size check used to raise out of
+    the embedder and fail the whole batch)."""
+    from multimodalsimilar_tpu.retrieval.engine import SimilarityEngine
+    corpus_texts = [f"{'甲乙丙丁'[i % 4]}商品{i}" for i in range(12)]
+    emb = _tiny_text_embedder(corpus_texts, batch_size=4)
+    eng = SimilarityEngine(emb(corpus_texts),
+                           [f"k{i}" for i in range(12)])
+    fused = emb.fused_similar_fn(eng, k=3)
+    assert fused is not None
+    svc = SimilarityService(
+        lambda tt: emb(list(tt)), eng, k=3, max_batch=4, max_wait_ms=1.0,
+        embed_queries_device=emb.embed_device, fused_similar=fused)
+    try:
+        items = [{"op": "similar", "query": t} for t in corpus_texts[:5]]
+        out = svc._run_batch(items)            # n=5 > max_batch=batch_size
+        assert len(out) == 5
+        for row, t in enumerate(corpus_texts[:5]):
+            scores, idx = out[row]
+            assert eng.keys[int(np.asarray(idx)[0])] == f"k{row}"
+    finally:
+        svc.close()
+
+
 def test_engine_search_device_queries_match_host():
     import jax.numpy as jnp
 
