@@ -1068,11 +1068,6 @@ def _build_serve_service(args):
                              f"{args.data} (has: {list(df.columns)})")
         cats = df[args.category_col].tolist()
     backend, mesh, approx = _knn_backend_mesh(args)
-    if args.emb_table and args.tower in ("cv", "multimodal"):
-        raise SystemExit(
-            f"--emb_table is for the text towers (bert/fasttext); the "
-            f"{args.tower} corpus warm-starts from --emb_cache / the "
-            "per-key emb.txt layout instead")
     t0 = _time.perf_counter()
     metric, normalize = "ip", True
     dev_embedder = None   # the tower embedder the fused device path wires
@@ -1384,6 +1379,56 @@ def _corpus_with_emb_table(args, keys, texts, embed_bulk):
     return emb
 
 
+def _corpus_rows_from_table(args, keys, embed_missing, dim_hint=None):
+    """(emb [L, D], live row indices) — the image-side towers' analogue
+    of _corpus_with_emb_table (cv / multimodal, whose embed step can FAIL
+    per key). Corpus keys found in the nightly job's table take its
+    vectors — they need NO image on disk; the rest embed fresh through
+    ``embed_missing(miss_keys) -> {key: vec}``, and keys it cannot embed
+    (no readable image) drop exactly like the no-table path.
+    ``dim_hint`` (the tower's known output dim, when available) fails a
+    stale table fast even with zero misses."""
+    import numpy as np
+    import pandas as pd
+
+    pre_keys, pre_emb = _load_emb_table(args)
+
+    def _dim_check(got_dim, what):
+        if got_dim != pre_emb.shape[1]:
+            raise SystemExit(
+                f"--emb_table dim {pre_emb.shape[1]} != {what} "
+                f"{got_dim} — the table was built by a different model; "
+                "rebuild it or drop --emb_table")
+
+    if dim_hint is not None:
+        _dim_check(dim_hint, "tower dim")
+    pos = pd.Index(pre_keys).get_indexer(pd.Index(np.asarray(keys,
+                                                             object)))
+    hit = pos >= 0
+    if not hit.any():
+        raise SystemExit(
+            f"--emb_table {args.emb_table}: no overlap with the corpus "
+            f"keys — wrong table or wrong --key_col?")
+    miss = [keys[i] for i in np.nonzero(~hit)[0]]
+    fresh = embed_missing(miss) if miss else {}
+    if fresh:
+        _dim_check(int(next(iter(fresh.values())).shape[-1]), "tower dim")
+    live, rows = [], []
+    for i, k in enumerate(keys):
+        if hit[i]:
+            live.append(i)
+            rows.append(pre_emb[pos[i]])
+        elif k in fresh:
+            live.append(i)
+            rows.append(np.asarray(fresh[k], np.float32).reshape(-1))
+    dropped = len(keys) - len(live)
+    print(f"serve: corpus {int(hit.sum())} rows from --emb_table, "
+          f"{len(live) - int(hit.sum())} embedded fresh"
+          + (f", {dropped} dropped (no table row or readable image)"
+             if dropped else ""), file=sys.stderr)
+    return np.stack(rows).astype(np.float32), live
+
+
 def _serve_cv_corpus(args, df, cats):
     """(embed_queries, parser, keys, emb, cats) for ``serve --tower cv``:
     the corpus is embedded from the reference's image layout
@@ -1404,21 +1449,33 @@ def _serve_cv_corpus(args, df, cats):
                                                   "emb.txt"),
         cache=_emb_cache(args), emb_dim=args.fc_dim)
     keys_all = df[args.key_col].astype(str).tolist()
-    emb_map = embedder.embed_keys(
-        keys_all, lambda k: [os.path.join(args.img_root, k, f"{j}.jpg")
-                             for j in range(8)])
-    # keys without a single readable image drop out of the corpus — and
-    # the category list must stay row-aligned with the survivors
-    live = [i for i, k in enumerate(keys_all) if k in emb_map]
-    if not live:
-        raise SystemExit(f"no readable images under {args.img_root} for "
-                         f"any corpus row — check --img_root/--key_col")
-    if len(live) < len(keys_all):
-        print(f"serve: {len(keys_all) - len(live)} of {len(keys_all)} "
-              f"corpus keys have no readable image and were dropped",
-              file=sys.stderr)
+
+    def paths_for_key(k):
+        return [os.path.join(args.img_root, str(k), f"{j}.jpg")
+                for j in range(8)]
+
+    if args.emb_table:
+        # warm-start from the nightly cv job's own table
+        # (goodssku_emb_cv_di layout): hit keys need NO image on disk
+        emb, live = _corpus_rows_from_table(
+            args, keys_all,
+            lambda mk: embedder.embed_keys(list(mk), paths_for_key),
+            dim_hint=embedder.emb_dim)
+    else:
+        emb_map = embedder.embed_keys(keys_all, paths_for_key)
+        # keys without a single readable image drop out of the corpus —
+        # and the category list must stay row-aligned with the survivors
+        live = [i for i, k in enumerate(keys_all) if k in emb_map]
+        if not live:
+            raise SystemExit(f"no readable images under {args.img_root} "
+                             "for any corpus row — check "
+                             "--img_root/--key_col")
+        if len(live) < len(keys_all):
+            print(f"serve: {len(keys_all) - len(live)} of {len(keys_all)} "
+                  f"corpus keys have no readable image and were dropped",
+                  file=sys.stderr)
+        emb = np.stack([emb_map[keys_all[i]] for i in live])
     keys = [keys_all[i] for i in live]
-    emb = np.stack([emb_map[k] for k in keys])
     if cats is not None:
         cats = [cats[i] for i in live]
 
@@ -1443,12 +1500,24 @@ def _serve_multimodal_corpus(args, df, cats):
         raise SystemExit("serve --tower multimodal requires --checkpoint "
                          "(a trained fused model — cli train multimodal)")
     embedder = _multimodal_embedder(args, df)
-    emb, keep = _fused_embeddings(args, df, embedder=embedder)
     keys_all = df[args.key_col].astype(str).tolist()
-    if len(keep) < len(keys_all):
-        print(f"serve: {len(keys_all) - len(keep)} of {len(keys_all)} "
-              f"corpus keys have no readable image and were dropped",
-              file=sys.stderr)
+    if args.emb_table:
+        # warm-start from the nightly fused-embedding table: hit keys
+        # need NO image on disk; the rest run the fused tower pass
+        def embed_missing(mk):
+            want = set(mk)
+            sub = df[[k in want for k in keys_all]].reset_index(drop=True)
+            semb, skeep = _fused_embeddings(args, sub, embedder=embedder)
+            skeys = sub[args.key_col].astype(str).tolist()
+            return {skeys[j]: semb[i] for i, j in enumerate(skeep)}
+
+        emb, keep = _corpus_rows_from_table(args, keys_all, embed_missing)
+    else:
+        emb, keep = _fused_embeddings(args, df, embedder=embedder)
+        if len(keep) < len(keys_all):
+            print(f"serve: {len(keys_all) - len(keep)} of {len(keys_all)} "
+                  f"corpus keys have no readable image and were dropped",
+                  file=sys.stderr)
     keys = [keys_all[i] for i in keep]
     if cats is not None:
         cats = [cats[i] for i in keep]
@@ -2195,9 +2264,12 @@ def build_parser() -> argparse.ArgumentParser:
                           "embedding table (the nightly 'embed' jobs' "
                           "output: key_col + '[x,y,...]' strings; "
                           "csv/parquet/hive://db.table). Corpus keys "
-                          "found there skip the startup tower pass; "
-                          "missing keys embed fresh (bert/fasttext "
-                          "towers)")
+                          "found there skip the startup tower pass "
+                          "(cv/multimodal: hit keys need no image on "
+                          "disk); missing keys embed fresh. All four "
+                          "towers; multimodal tables must hold "
+                          "UN-normalized vectors (IndexFlatL2 "
+                          "semantics)")
     srv.add_argument("--emb_col", default="embedding",
                      help="embedding column in --emb_table")
     srv.add_argument("--emb_table_cache", default=None, metavar="DIR",

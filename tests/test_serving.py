@@ -1722,11 +1722,109 @@ def test_serve_emb_table_guards(tmp_path):
     with pytest.raises(SystemExit, match="overlap"):
         _build_serve_service(args)
 
-    # cv/multimodal towers reject the flag loudly
-    args = build_parser().parse_args(
-        ["serve", "--tower", "cv", "--data", data, "--emb_table", table])
-    with pytest.raises(SystemExit, match="emb_cache"):
+def test_serve_cv_emb_table_warm_start(tmp_path):
+    """--emb_table for the cv tower (the nightly goodssku_emb_cv_di table
+    layout): covered keys serve from the table and need NO image on disk;
+    missing keys embed fresh from their images; a dim mismatch with the
+    tower fails fast BEFORE any tower pass."""
+    import cv2
+
+    from multimodalsimilar_tpu.cli import _build_serve_service, build_parser
+    from multimodalsimilar_tpu.pipelines.embed import format_embedding
+    root = tmp_path / "imgs"
+    rng = np.random.default_rng(3)
+    n = 8
+    # images only for sku0..sku5 — sku6/sku7 will live from the table alone
+    for i in range(6):
+        key = f"sku{i}"
+        (root / key).mkdir(parents=True)
+        img = rng.integers(0, 255, size=(24, 24, 3)).astype(np.uint8)
+        cv2.imwrite(str(root / key / "0.jpg"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    df = pd.DataFrame({"spu_sn": [f"sku{i}" for i in range(n)]})
+    data = str(tmp_path / "corpus.csv")
+    df.to_csv(data, index=False)
+    flags = ["serve", "--tower", "cv", "--data", data, "--img_root",
+             str(root), "--backbone", "tiny", "--image_size", "16",
+             "--fc_dim", "8", "--batch_size", "8", "--k", "3",
+             "--score_th", "0.0", "--max_wait_ms", "2"]
+    # harvest the true tower vectors once (no table)
+    args = build_parser().parse_args(flags)
+    svc, n0 = _build_serve_service(args)
+    try:
+        assert n0 == 6                       # sku6/7: no image, dropped
+        vecs = {k: np.asarray(v, np.float32)
+                for k, v in zip(svc.engine.keys, svc.engine._emb[:n0])}
+    finally:
+        svc.close()
+    extra = rng.normal(size=(2, 8)).astype(np.float32)
+    vecs["sku6"], vecs["sku7"] = extra[0], extra[1]
+    # table covers sku2..sku7 (incl. the two imageless keys)
+    tbl = pd.DataFrame({
+        "spu_sn": [f"sku{i}" for i in range(2, 8)],
+        "embedding": [format_embedding(vecs[f"sku{i}"])
+                      for i in range(2, 8)]})
+    table = str(tmp_path / "cv_emb.parquet")
+    tbl.to_parquet(table)
+    args = build_parser().parse_args(flags + ["--emb_table", table])
+    svc, n1 = _build_serve_service(args)
+    try:
+        assert n1 == 8                       # 6 hits + sku0/1 fresh
+        got = {k: np.asarray(v, np.float32)
+               for k, v in zip(svc.engine.keys, svc.engine._emb[:n1])}
+        for i in range(8):
+            want = vecs[f"sku{i}"]
+            want = want / np.linalg.norm(want)   # ip engine normalizes
+            np.testing.assert_allclose(got[f"sku{i}"], want, atol=1e-4)
+    finally:
+        svc.close()
+    # dim mismatch (9-wide table vs fc_dim 8) fails fast via the
+    # embedder's known emb_dim — before any image embeds
+    bad = tbl.copy()
+    bad["embedding"] = bad["embedding"].str.replace(r"\]$", ",0.5]",
+                                                    regex=True)
+    badp = str(tmp_path / "bad_cv.parquet")
+    bad.to_parquet(badp)
+    args = build_parser().parse_args(flags + ["--emb_table", badp])
+    with pytest.raises(SystemExit, match="dim"):
         _build_serve_service(args)
+
+
+def test_serve_multimodal_emb_table_warm_start(serve_mm_cli, tmp_path):
+    """--emb_table for the fused 2560-d tower: covered keys (even one
+    with NO image on disk — 'ghost') serve straight from the table,
+    missing keys run the fused tower pass, and the stored vectors stay
+    UN-normalized (multimodal_infer's IndexFlatL2 semantics)."""
+    import copy
+
+    import multimodalsimilar_tpu.cli as cli
+    from multimodalsimilar_tpu.pipelines.embed import format_embedding
+    _, host_service, imgs, texts, base_args = serve_mm_cli
+    eng = host_service.engine
+    n = len(eng.keys)
+    vecs = {k: np.asarray(eng._emb[i], np.float32)
+            for i, k in enumerate(eng.keys)}
+    rows = list(eng.keys)[:6] + ["ghost"]    # ghost has no image on disk
+    vecs["ghost"] = np.random.default_rng(0).normal(
+        size=vecs[rows[0]].shape).astype(np.float32)
+    tbl = pd.DataFrame({
+        "spu_sn": rows,
+        "embedding": [format_embedding(vecs[k], normalize=False)
+                      for k in rows]})
+    table = str(tmp_path / "mm_emb.parquet")
+    tbl.to_parquet(table)
+    args = copy.deepcopy(base_args)
+    args.emb_table = table
+    svc, n_served = cli._build_serve_service(args)
+    try:
+        assert n_served == n + 1             # ghost lives from the table
+        got = {k: np.asarray(v, np.float32)
+               for k, v in zip(svc.engine.keys, svc.engine._emb[:n_served])}
+        for k in list(eng.keys) + ["ghost"]:
+            np.testing.assert_allclose(got[k], vecs[k], atol=1e-4,
+                                       rtol=1e-4)
+    finally:
+        svc.close()
 
 
 def test_serve_emb_table_array_typed_column(tmp_path):
