@@ -135,7 +135,8 @@ def ici_seconds(colls) -> float:
 
 
 def build(batch, seq, model_parallel, classes=10208, bf16_grads=False,
-          tensor_parallel=False, preset="base", sequence_parallel=False):
+          tensor_parallel=False, preset="base", sequence_parallel=False,
+          pipeline_parallel=0):
     from multimodalsimilar_tpu.models.bert import BertConfig
     from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
     from multimodalsimilar_tpu.parallel.mesh import batch_sharding, create_mesh
@@ -152,7 +153,9 @@ def build(batch, seq, model_parallel, classes=10208, bf16_grads=False,
     # comparison is apples-to-apples.
     make = (BertConfig.roberta_wwm_ext_large if preset == "large"
             else BertConfig.roberta_wwm_ext)
-    cfg = make(sequence_parallel=sequence_parallel)
+    cfg = make(sequence_parallel=sequence_parallel,
+               pipeline_parallel=pipeline_parallel > 0,
+               pp_microbatches=max(int(pipeline_parallel), 1))
     model = NlpTextClassifier(cfg, classes)
     task = text_arcface_task(model)
     tx = dual_group_adamw(lambda s: 5e-5, lambda s: 1e-2,
@@ -161,6 +164,7 @@ def build(batch, seq, model_parallel, classes=10208, bf16_grads=False,
                       TrainerConfig(model_parallel_heads=model_parallel > 1,
                                     tensor_parallel=tensor_parallel,
                                     sequence_parallel=sequence_parallel,
+                                    pipeline_parallel=pipeline_parallel > 0,
                                     bf16_grad_allreduce=bf16_grads))
 
     bsh = batch_sharding(mesh)
@@ -195,10 +199,12 @@ def build(batch, seq, model_parallel, classes=10208, bf16_grads=False,
 
 
 def analyze(batch, seq, model_parallel, classes=10208, bf16_grads=False,
-            tensor_parallel=False, preset="base", sequence_parallel=False):
+            tensor_parallel=False, preset="base", sequence_parallel=False,
+            pipeline_parallel=0):
     lowered = build(batch, seq, model_parallel, classes, bf16_grads,
                     tensor_parallel, preset,
-                    sequence_parallel=sequence_parallel)
+                    sequence_parallel=sequence_parallel,
+                    pipeline_parallel=pipeline_parallel)
     compiled = lowered.compile()
     if bf16_grads:
         colls = collect_stablehlo_all_reduces(lowered.as_text())
@@ -214,8 +220,10 @@ def analyze(batch, seq, model_parallel, classes=10208, bf16_grads=False,
         e["bytes"] += c["bytes"]
     t_ici = ici_seconds(colls)
     t_compute = flops / (BF16_PEAK * MEASURED_MFU)
-    label = (" (+ sequence-parallel activations)"
-             if sequence_parallel else
+    label = ((f" (GPipe pipeline tower, M={pipeline_parallel})"
+              if pipeline_parallel else
+              " (+ sequence-parallel activations)")
+             if (pipeline_parallel or sequence_parallel) else
              " (class-sharded head + tensor-parallel tower)"
              if tensor_parallel else
              " (class-sharded head)" if model_parallel > 1
@@ -311,6 +319,10 @@ def main():
     ap.add_argument("--tp", action="store_true",
                     help="add a tensor-parallel-tower row per mp > 1 "
                          "(--tensor_parallel placement)")
+    ap.add_argument("--pp", type=int, default=0, metavar="M",
+                    help="add a GPipe pipeline-parallel-tower row per "
+                         "mp > 1 with M microbatches (--pipeline_parallel "
+                         "placement)")
     ap.add_argument("--sp", action="store_true",
                     help="add a sequence-parallel row per mp > 1 (tensor-"
                          "parallel tower + seq-sharded activations)")
@@ -330,6 +342,10 @@ def main():
         if args.tp and mp > 1:
             print(json.dumps(analyze(args.batch, args.seq, mp,
                                      tensor_parallel=True,
+                                     preset=args.preset)), flush=True)
+        if args.pp and mp > 1:
+            print(json.dumps(analyze(args.batch, args.seq, mp,
+                                     pipeline_parallel=args.pp,
                                      preset=args.preset)), flush=True)
         if args.sp and mp > 1:
             print(json.dumps(analyze(args.batch, args.seq, mp,

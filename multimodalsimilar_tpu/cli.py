@@ -197,6 +197,17 @@ def _add_common_train_flags(p):
                         "temp); this XLA's decomposition adds gather "
                         "traffic, so skip it at N=2 (PERF.md). Requires "
                         "--tensor_parallel")
+    p.add_argument("--pipeline_parallel", type=int, default=0, metavar="M",
+                   help="GPipe pipeline parallelism of the BERT tower over "
+                        "the --model_parallel axis with M microbatches per "
+                        "step (bubble (P-1)/(M+P-1)): the layer stack "
+                        "becomes one stacked param tree sharded over "
+                        "stages — each chip holds num_layers/N layers' "
+                        "params + Adam moments. Alternative to "
+                        "--tensor_parallel (mutually exclusive); requires "
+                        "--model_parallel N > 1 dividing num_layers; the "
+                        "per-chip batch must divide by M. Checkpoints use "
+                        "the stacked layout (pp_layers)")
     p.add_argument("--grad_accum", type=int, default=1, metavar="K",
                    help="accumulate grads over K micro-batches before each "
                         "optimizer step (effective batch = K*batch_size; "
@@ -226,12 +237,39 @@ def _restore_required(checkpoint_dir, template=None):
     return state
 
 
+def _ckpt_has_pp(checkpoint_dir) -> bool:
+    """Was this checkpoint trained with --pipeline_parallel? PP stores the
+    tower's layer stack as ONE stacked tree under ``pp_layers``
+    (models/bert.py PipelinedBertLayers); the key is visible in orbax's
+    step metadata, so checkpoint consumers (eval/embed/similar/serve) can
+    rebuild the model with the matching structure automatically — the
+    stacked model runs as a sequential scan without a pipeline mesh, so
+    single-chip inference needs no conversion."""
+    import glob as _glob
+    if not checkpoint_dir:
+        return False
+    for meta in _glob.glob(os.path.join(str(checkpoint_dir), "*",
+                                        "default", "_METADATA")):
+        try:
+            with open(meta) as f:
+                if '"pp_layers"' in f.read():
+                    return True
+        except OSError:
+            continue
+    return False
+
+
 def _bert_config(preset: str, remat: bool = False,
-                 sequence_parallel: bool = False):
+                 sequence_parallel: bool = False,
+                 pipeline_parallel: int = 0):
+    """``pipeline_parallel`` is the GPipe microbatch count M (0 = off);
+    stage count comes from the mesh model axis at run time."""
     from multimodalsimilar_tpu.models.bert import BertConfig
     make = {"tiny": BertConfig.tiny, "base": BertConfig.roberta_wwm_ext,
             "large": BertConfig.roberta_wwm_ext_large}[preset]
-    return make(remat=remat, sequence_parallel=sequence_parallel)
+    return make(remat=remat, sequence_parallel=sequence_parallel,
+                pipeline_parallel=pipeline_parallel > 0,
+                pp_microbatches=max(int(pipeline_parallel), 1))
 
 
 def _opt_step_units(args, steps_per_epoch):
@@ -299,6 +337,7 @@ def _trainer(task, args, steps_per_epoch, mesh):
         model_parallel_heads=getattr(args, "model_parallel", 1) > 1,
         tensor_parallel=getattr(args, "tensor_parallel", False),
         sequence_parallel=getattr(args, "sequence_parallel", False),
+        pipeline_parallel=getattr(args, "pipeline_parallel", 0) > 0,
         bf16_grad_allreduce=getattr(args, "bf16_grads", False),
         grad_accum=accum,
         overwrite=getattr(args, "overwrite", False),
@@ -358,7 +397,8 @@ def cmd_train_nlp(args):
         int(df[args.label_col].max()) + 1, args)
     model = NlpTextClassifier(_bert_config(args.bert_preset,
                                        remat=args.remat,
-                                       sequence_parallel=args.sequence_parallel),
+                                       sequence_parallel=args.sequence_parallel,
+                                       pipeline_parallel=args.pipeline_parallel),
                               num_labels,
                               arcface=ArcFaceParams(m=args.margin),
                               pool=getattr(args, "pool", "cls"))
@@ -401,7 +441,8 @@ def cmd_train_multilabel(args):
                                       args)
     model = NlpMultilabelClassifier(
         _bert_config(args.bert_preset, remat=args.remat,
-                     sequence_parallel=args.sequence_parallel),
+                     sequence_parallel=args.sequence_parallel,
+                     pipeline_parallel=args.pipeline_parallel),
         lv1_labels=lv1, lv2_labels=lv2, tag_labels=tag)
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
@@ -435,11 +476,13 @@ def cmd_train_multilabel(args):
 def cmd_train_cv(args):
     if args.fused_loss or args.remat \
             or getattr(args, "tensor_parallel", False) \
-            or getattr(args, "sequence_parallel", False):
+            or getattr(args, "sequence_parallel", False) \
+            or getattr(args, "pipeline_parallel", 0):
         raise SystemExit(
             "train cv: --fused_loss/--remat/--tensor_parallel/"
-            "--sequence_parallel apply to the BERT-tower text recipes; the "
-            "cv task has none of them — refusing to silently ignore them")
+            "--sequence_parallel/--pipeline_parallel apply to the "
+            "BERT-tower text recipes; the cv task has none of them — "
+            "refusing to silently ignore them")
     from multimodalsimilar_tpu.data.datasets import (
         ImageClassificationSource, read_table)
     from multimodalsimilar_tpu.models.vision import (
@@ -494,7 +537,8 @@ def cmd_train_pair(args):
                          seq_buckets=_seq_buckets(args))
     model = SiamesePairModel(_bert_config(
         args.bert_preset, remat=args.remat,
-        sequence_parallel=args.sequence_parallel))
+        sequence_parallel=args.sequence_parallel,
+        pipeline_parallel=args.pipeline_parallel))
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
     trainer = _trainer(pair_task(model), args, steps, mesh)
@@ -541,7 +585,8 @@ def cmd_train_multimodal(args):
         int(df[args.label_col].max()) + 1, args)
     model = MultimodalClassifier(
         _bert_config(args.bert_preset, remat=args.remat,
-                     sequence_parallel=args.sequence_parallel),
+                     sequence_parallel=args.sequence_parallel,
+                     pipeline_parallel=args.pipeline_parallel),
         backbone_config(args.backbone),
         num_labels=mm_labels, fc_dim=args.fc_dim)
     mesh = _mesh(args)
@@ -714,7 +759,10 @@ def _build_text_embedder(args, df=None):
     # twice (and the --tokenizer branch never needs it at all)
     tok = _tokenizer(args, df=df)
     from multimodalsimilar_tpu.utils.dtypes import DTypePolicy
-    model = NlpTextClassifier(_bert_config(args.bert_preset), args.num_labels,
+    ckpt_pp = _ckpt_has_pp(getattr(args, "checkpoint", None))
+    model = NlpTextClassifier(_bert_config(args.bert_preset,
+                                           pipeline_parallel=int(ckpt_pp)),
+                              args.num_labels,
                               pool=getattr(args, "pool", "cls"),
                               policy=DTypePolicy.inference())
     sample = tok(["x"], args.max_length)
@@ -737,6 +785,12 @@ def _build_text_embedder(args, df=None):
         print("--int8: int8 PTQ text tower — cosine parity < 1e-3, but "
               "measured slower than the bf16 default on this harness "
               "(PERF.md headroom #2)", file=sys.stderr)
+        if ckpt_pp:
+            raise SystemExit(
+                "--int8: the int8 PTQ tower does not support the "
+                "pipeline-parallel stacked layout; export the checkpoint "
+                "to the sequential layout first "
+                "(models.bert.unstack_layer_params) or drop --int8")
         model = QuantTextEmbModel(_bert_config(args.bert_preset),
                                   pool=getattr(args, "pool", "cls"),
                                   policy=DTypePolicy.inference())
@@ -861,7 +915,9 @@ def _multimodal_embedder(args, df):
     _require_tokenizer_with_checkpoint(args)   # same garbage-vocab trap
     tok = _tokenizer(args, df=df)
     model = MultimodalClassifier(
-        _bert_config(args.bert_preset), backbone_config(args.backbone),
+        _bert_config(args.bert_preset,
+                     pipeline_parallel=int(_ckpt_has_pp(args.checkpoint))),
+        backbone_config(args.backbone),
         num_labels=args.num_labels, fc_dim=args.fc_dim,
         policy=DTypePolicy.inference())
     # no init here: the checkpoint is mandatory on this path, and a jitted
@@ -1748,8 +1804,10 @@ def cmd_eval(args):
                 f"are masked (e.g. --num_labels 10205 for a 10208-padded "
                 f"head); an inferred count would mask real classes.")
         num_labels = head_classes
-    model = NlpTextClassifier(_bert_config(args.bert_preset), num_labels,
-                              pool=args.pool)
+    model = NlpTextClassifier(
+        _bert_config(args.bert_preset,
+                     pipeline_parallel=int(_ckpt_has_pp(args.checkpoint))),
+        num_labels, pool=args.pool)
     mesh = _mesh(args)
     trainer = Trainer(text_arcface_task(model, num_valid=num_valid),
                       dual_group_adamw(lambda s: 0.0, lambda s: 0.0), mesh,
@@ -1860,7 +1918,10 @@ def cmd_export_checkpoint(args):
     state = CheckpointManager(args.checkpoint).restore()
     if state is None:
         raise SystemExit(f"no checkpoint found at {args.checkpoint}")
-    params = state["params"]
+    # PP checkpoints store the tower stack as pp_layers/stack; the
+    # reference layout is per-layer — unstack first (no-op otherwise)
+    from multimodalsimilar_tpu.models.bert import unstack_tree
+    params = unstack_tree(state["params"])
     stats = state.get("batch_stats", {})
     bert_cfg = _bert_config(args.bert_preset)
     if args.kind == "nlp":

@@ -56,6 +56,16 @@ class BertConfig:
     # Korthikanti et al. 2022; requires tensor_parallel training (the
     # Trainer enables the mesh — parallel/sp.py; a no-op otherwise).
     sequence_parallel: bool = False
+    # GPipe pipeline parallelism over the mesh `model` axis
+    # (parallel/pp.py): the transformer stack becomes ONE stacked
+    # [L, ...] param tree (``pp_layers/stack``) sharded over pipeline
+    # stages; the forward runs the SPMD GPipe schedule when the Trainer
+    # scopes a mesh, else a sequential lax.scan with identical math.
+    # Param layout converters: stack_layer_params / unstack_layer_params.
+    pipeline_parallel: bool = False
+    # GPipe microbatches per step (bubble fraction (P-1)/(M+P-1)); the
+    # per-chip batch must divide by it.
+    pp_microbatches: int = 4
 
     @classmethod
     def tiny(cls, **kw) -> "BertConfig":
@@ -158,6 +168,86 @@ class BertLayer(nn.Module):
         return _sp(hidden.astype(pol.compute_dtype), cfg)
 
 
+class PipelinedBertLayers(nn.Module):
+    """The transformer stack as ONE stacked [L, ...] param pytree, executed
+    by the GPipe schedule (parallel/pp.py) when a pipeline mesh is active
+    and by a sequential ``lax.scan`` otherwise. Same per-layer math as the
+    ``layer_<i>`` modules (it IS ``BertLayer.apply`` under the hood);
+    ``stack_layer_params``/``unstack_layer_params`` convert checkpoints
+    between the two layouts."""
+
+    config: BertConfig
+    policy: DTypePolicy
+
+    @nn.compact
+    def __call__(self, hidden, mask_bias, deterministic: bool):
+        from multimodalsimilar_tpu.parallel import pp
+        cfg, pol = self.config, self.policy
+        layer_mod = BertLayer(cfg, pol)
+
+        def init_stack(rng):
+            # one init per layer (distinct weights, like the named layer_<i>
+            # modules), vmapped into the stacked [L, ...] layout; batch row
+            # 0 is enough — param shapes don't depend on the batch.
+            def one(key):
+                return layer_mod.init({"params": key}, hidden[:1],
+                                      mask_bias[:1], True)["params"]
+            return jax.vmap(one)(jax.random.split(rng, cfg.num_layers))
+
+        stacked = self.param("stack", init_stack)
+        use_dropout = (not deterministic
+                       and (cfg.hidden_dropout > 0
+                            or cfg.attention_dropout > 0))
+        rng = (self.make_rng("dropout") if use_dropout
+               else jax.random.key(0))
+
+        def layer_fn(p_l, h, mb, key):
+            return layer_mod.apply(
+                {"params": p_l}, h, mb, deterministic,
+                rngs={"dropout": key} if use_dropout else None)
+
+        if cfg.remat:
+            layer_fn = jax.checkpoint(layer_fn)
+        return pp.gpipe(layer_fn, stacked, hidden, mask_bias, rng,
+                        cfg.pp_microbatches)
+
+
+def stack_layer_params(params: dict, num_layers: int) -> dict:
+    """Convert a sequential encoder param tree (``layer_0..layer_{L-1}``)
+    into the ``pipeline_parallel`` layout (``pp_layers/stack`` with a
+    leading [L] axis). Non-layer keys (embeddings, pooler, norms) pass
+    through unchanged — HF warm starts compose as
+    ``stack_layer_params(bert_params_from_torch(sd), L)``."""
+    out = {k: v for k, v in params.items() if not k.startswith("layer_")}
+    layers = [params[f"layer_{i}"] for i in range(num_layers)]
+    out["pp_layers"] = {
+        "stack": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)}
+    return out
+
+
+def unstack_layer_params(params: dict) -> dict:
+    """Inverse of ``stack_layer_params`` (for reverse export / inspection)."""
+    out = {k: v for k, v in params.items() if k != "pp_layers"}
+    stack = params["pp_layers"]["stack"]
+    n = jax.tree_util.tree_leaves(stack)[0].shape[0]
+    for i in range(n):
+        out[f"layer_{i}"] = jax.tree_util.tree_map(lambda x: x[i], stack)
+    return out
+
+
+def unstack_tree(tree):
+    """Recursively convert every pipeline-parallel stacked layer tree in a
+    param pytree back to the sequential ``layer_<i>`` layout — lets the
+    reverse exporters (and any sequential-layout consumer) accept
+    checkpoints trained with ``--pipeline_parallel``. No-op on trees
+    without a ``pp_layers`` node."""
+    if isinstance(tree, dict):
+        if "pp_layers" in tree:
+            tree = unstack_layer_params(tree)
+        return {k: unstack_tree(v) for k, v in tree.items()}
+    return tree
+
+
 class BertEncoderModel(nn.Module):
     """Embeddings + transformer stack + tanh pooler (= HF BertModel)."""
 
@@ -195,12 +285,17 @@ class BertEncoderModel(nn.Module):
                               jnp.finfo(pol.reduce_dtype).min)
         mask_bias = mask_bias.astype(pol.reduce_dtype)
 
-        # static_argnums counts self at 0: (h=1, mask_bias=2, deterministic=3)
-        layer_cls = (nn.remat(BertLayer, static_argnums=(3,)) if cfg.remat
-                     else BertLayer)
-        for i in range(cfg.num_layers):
-            h = layer_cls(cfg, pol, name=f"layer_{i}")(
+        if cfg.pipeline_parallel:
+            h = PipelinedBertLayers(cfg, pol, name="pp_layers")(
                 h, mask_bias, deterministic)
+        else:
+            # static_argnums counts self at 0:
+            # (h=1, mask_bias=2, deterministic=3)
+            layer_cls = (nn.remat(BertLayer, static_argnums=(3,))
+                         if cfg.remat else BertLayer)
+            for i in range(cfg.num_layers):
+                h = layer_cls(cfg, pol, name=f"layer_{i}")(
+                    h, mask_bias, deterministic)
 
         pooled = nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype,
                           param_dtype=pol.param_dtype, name="pooler")(h[:, 0])

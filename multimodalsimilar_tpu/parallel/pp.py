@@ -1,0 +1,199 @@
+"""Pipeline parallelism (GPipe-style) for the BERT text tower.
+
+The reference has no pipeline parallelism (its only scaling is
+single-process ``nn.DataParallel``, SURVEY.md §2.6 —
+nlp_classifier_train_daodian_v2_dist.py:82-86). This is the TPU-native
+lever for towers whose LAYER STACK outgrows one chip: with ``P`` pipeline
+stages over the mesh ``model`` axis, each chip holds ``L/P`` transformer
+layers' params + Adam moments (``tensor_parallel`` shards WITHIN every
+layer instead; the two address the same memory with different collective
+profiles — PP moves one [mb, S, H] activation per layer-group boundary
+per microbatch over ICI, TP moves four all-reduces per layer).
+
+TPU-native design — SPMD GPipe, not a torch-style stage scheduler:
+
+* the layer stack is ONE stacked pytree with a leading ``[L, ...]`` axis,
+  sharded ``P(model)`` on that axis (each chip materializes only its own
+  ``L/P`` layers — the actual memory relief);
+* ``jax.shard_map`` over the full (data, model) mesh runs the classic
+  GPipe schedule as compiled control flow: ``lax.scan`` over
+  ``T = M + P - 1`` ticks, each tick running the chip's local layers
+  (an inner ``lax.scan`` over the local param stack) and handing the
+  activation to the next stage with ``lax.ppermute``;
+* microbatching reshapes the per-chip batch ``[B_local, ...]`` into
+  ``[M, B_local/M, ...]``; bubble fraction is the standard
+  ``(P-1)/(M+P-1)``;
+* everything is static-shaped; inactive (bubble) ticks compute on a
+  stale buffer and their outputs land in a scratch slot ``M`` of the
+  ``[M+1, ...]`` output buffer — no data-dependent control flow, no
+  masking ``where`` over the full buffer per tick;
+* reverse-mode AD flows through ``scan``+``ppermute`` (the transpose of a
+  shift is the reverse shift), so one ``jax.grad`` over the whole step
+  IS the 1F1B-equivalent backward schedule — no hand-written backward
+  pipeline;
+* the finished activations live on the LAST stage; one ``psum`` over the
+  ``model`` axis broadcasts them to the replicated pooler/ArcFace head
+  (and, transposed, scatters the head's gradient back) — the single
+  boundary collective of the design.
+
+Like ``parallel/sp.py``, the mesh reaches trace-time model code through a
+scoped process-global (``active(mesh)``): outside a scope the stacked
+layers run as a plain sequential ``lax.scan`` (identical math, bit-equal
+params), so mesh-less traces — checkpoint templates, export, CPU tests —
+keep working.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from multimodalsimilar_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+_MESH: Optional[Mesh] = None
+_APPLIED = 0
+
+
+def _check_mesh(mesh: Mesh) -> None:
+    if mesh.shape.get(MODEL_AXIS, 1) <= 1:
+        raise ValueError(
+            f"pipeline_parallel needs a mesh model axis > 1, got "
+            f"{dict(mesh.shape)} — pass --model_parallel N or drop "
+            f"--pipeline_parallel")
+
+
+@contextlib.contextmanager
+def active(mesh: Mesh):
+    """Scope the GPipe schedule to ``mesh`` for the duration; restores the
+    previous value on exit so mesh-less traces stay sequential scans."""
+    _check_mesh(mesh)
+    global _MESH
+    prev = _MESH
+    _MESH = mesh
+    try:
+        yield
+    finally:
+        _MESH = prev
+
+
+def applied_count() -> int:
+    """How many times the pipelined path actually ran inside an ``active``
+    scope — lets the Trainer detect a half-configured run (TrainerConfig
+    flag on, model config flag off) instead of silently training
+    sequentially."""
+    return _APPLIED
+
+
+def _microbatch(tree, m: int):
+    def r(x):
+        b = x.shape[0]
+        if b % m != 0:
+            raise ValueError(
+                f"pipeline microbatching: per-chip batch {b} not divisible "
+                f"by pp_microbatches={m}")
+        return x.reshape(m, b // m, *x.shape[1:])
+    return jax.tree_util.tree_map(r, tree)
+
+
+def _run_stage(layer_fn: Callable, local_params, h, consts_mu, rng,
+               stage_base, micro_idx):
+    """Apply this chip's L/P local layers sequentially to one microbatch."""
+    n_local = jax.tree_util.tree_leaves(local_params)[0].shape[0]
+
+    def body(carry, sl):
+        j, p_l = sl
+        key = jax.random.fold_in(jax.random.fold_in(rng, stage_base + j),
+                                 micro_idx)
+        return layer_fn(p_l, carry, consts_mu, key), None
+
+    h, _ = lax.scan(body, h, (jnp.arange(n_local), local_params))
+    return h
+
+
+def sequential_scan(layer_fn: Callable, stacked_params, x, consts, rng):
+    """Reference semantics: the stacked layers applied in order (one
+    ``lax.scan``) — the no-mesh fallback and the parity oracle for the
+    pipelined path. rng folding matches the pipelined schedule with
+    microbatch index 0."""
+    return _run_stage(layer_fn, stacked_params, x, consts, rng,
+                      stage_base=jnp.int32(0), micro_idx=jnp.int32(0))
+
+
+def gpipe(layer_fn: Callable, stacked_params, x, consts, rng,
+          n_microbatches: int):
+    """Run ``x`` through the stacked layers, pipelined over the mesh
+    ``model`` axis when a mesh is ``active``, else sequentially.
+
+    ``layer_fn(layer_params, h, consts, rng_key) -> h`` applies ONE layer
+    (pure; ``h`` and every ``consts`` leaf carry a leading batch dim).
+    ``stacked_params``: pytree with leading ``[L, ...]`` on every leaf,
+    sharded ``P(model)`` on that axis by the Trainer's placement.
+    ``rng``: base dropout key, folded per (global layer, microbatch) —
+    identical folding in both paths except the microbatch index, so
+    deterministic mode is bit-comparable across paths.
+    """
+    if _MESH is None:
+        return sequential_scan(layer_fn, stacked_params, x, consts, rng)
+    global _APPLIED
+    _APPLIED += 1
+    mesh = _MESH
+    n_stages = mesh.shape[MODEL_AXIS]
+    m = int(n_microbatches)
+    if m < 1:
+        raise ValueError(f"pp_microbatches must be >= 1, got {m}")
+    n_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if n_layers % n_stages != 0:
+        raise ValueError(
+            f"pipeline_parallel: {n_layers} layers not divisible by the "
+            f"mesh model axis ({n_stages} stages)")
+
+    bspec = P(DATA_AXIS)
+
+    def pipelined(local_params, x_loc, consts_loc, r):
+        stage = lax.axis_index(MODEL_AXIS)
+        xm = _microbatch(x_loc, m)                       # [M, mb, ...]
+        cm = _microbatch(consts_loc, m)
+        mb_shape = xm.shape[1:]
+        out0 = jnp.zeros((m + 1, *mb_shape), xm.dtype)   # slot M = scratch
+        state0 = jnp.zeros(mb_shape, xm.dtype)
+        perm = [(i, i + 1) for i in range(n_stages - 1)]
+        local_n = n_layers // n_stages
+        stage_base = stage * local_n
+
+        def tick(carry, t):
+            state, out = carry
+            recv = lax.ppermute(state, MODEL_AXIS, perm)
+            mu = t - stage                       # this stage's microbatch
+            mu_c = jnp.clip(mu, 0, m - 1)
+            x_t = lax.dynamic_index_in_dim(xm, jnp.clip(t, 0, m - 1), 0,
+                                           keepdims=False)
+            h_in = jnp.where(stage == 0, x_t, recv)
+            c_mu = jax.tree_util.tree_map(
+                lambda a: lax.dynamic_index_in_dim(a, mu_c, 0,
+                                                   keepdims=False), cm)
+            y = _run_stage(layer_fn, local_params, h_in, c_mu, r,
+                           stage_base, mu_c)
+            wi = t - (n_stages - 1)              # finished microbatch index
+            valid = (stage == n_stages - 1) & (wi >= 0)
+            slot = jnp.where(valid, jnp.maximum(wi, 0), m)
+            out = lax.dynamic_update_index_in_dim(out, y, slot, 0)
+            return (y, out), None
+
+        (_, out), _ = lax.scan(tick, (state0, out0),
+                               jnp.arange(m + n_stages - 1))
+        res = out[:m].reshape(-1, *mb_shape[1:])
+        # broadcast the last stage's result to every stage (other stages'
+        # slots [:m] kept their zero init — the psum IS the broadcast)
+        return lax.psum(res, MODEL_AXIS)
+
+    cspec = jax.tree_util.tree_map(lambda _: bspec, consts)
+    return jax.shard_map(
+        pipelined, mesh=mesh,
+        in_specs=(P(MODEL_AXIS), bspec, cspec, P()),
+        out_specs=bspec,
+        check_vma=False)(stacked_params, x, consts, rng)

@@ -79,6 +79,16 @@ class TrainerConfig:
     # built with sequence_parallel=True (the constraint points live in
     # models/bert.py); the Trainer enables the process-global SP mesh.
     sequence_parallel: bool = False
+    # GPipe pipeline parallelism of the BERT tower over the same `model`
+    # axis (parallel/pp.py): the stacked layer params (pp_layers/stack,
+    # a model built with BertConfig.pipeline_parallel=True) shard over
+    # stages on their leading [L] axis — each chip holds L/P layers'
+    # params + Adam moments; the step runs the SPMD GPipe schedule.
+    # Alternative to tensor_parallel for the same memory (different
+    # collective profile: one [mb, S, H] ppermute per stage boundary per
+    # microbatch vs TP's per-layer all-reduces). Requires a mesh model
+    # axis > 1; mutually exclusive with tensor/sequence_parallel.
+    pipeline_parallel: bool = False
     # Micro-steps per optimizer step (optax.MultiSteps' every_k_schedule).
     # eval_every/save_every/log_every count OPTIMIZER steps and fire on
     # accumulation boundaries, so "--grad_accum 8 --eval_every 1000" means
@@ -116,11 +126,21 @@ class Trainer:
         self.ckpt = (CheckpointManager(config.checkpoint_dir)
                      if config.checkpoint_dir else None)
         if config.bf16_grad_allreduce and (config.model_parallel_heads
-                                           or config.tensor_parallel):
+                                           or config.tensor_parallel
+                                           or config.pipeline_parallel):
             raise ValueError(
                 "bf16_grad_allreduce is a pure-DP path (shard_map over the "
                 "data axis with fully replicated params); it cannot compose "
-                "with model_parallel_heads/tensor_parallel — pick one")
+                "with model_parallel_heads/tensor_parallel/"
+                "pipeline_parallel — pick one")
+        if config.pipeline_parallel:
+            if config.tensor_parallel or config.sequence_parallel:
+                raise ValueError(
+                    "pipeline_parallel and tensor/sequence_parallel shard "
+                    "the same mesh model axis in incompatible layouts "
+                    "(stacked stages vs per-layer weight splits) — pick one")
+            from multimodalsimilar_tpu.parallel.pp import _check_mesh
+            _check_mesh(mesh)   # raises if the model axis is 1
         if config.tensor_parallel and mesh.shape.get(MODEL_AXIS, 1) <= 1:
             raise ValueError(
                 "tensor_parallel requires a mesh model axis > 1 (e.g. "
@@ -141,39 +161,45 @@ class Trainer:
         self._eval_step = self._sp_scope(jax.jit(self._eval_step_impl))
 
     def _sp_scope(self, fn, check_applied: bool = False):
-        """With sequence_parallel: run (and therefore TRACE) the jitted
-        program under ``sp.active(self.mesh)`` — the process-global SP
-        mesh exists only for the duration of each call, so mesh-less
-        traces elsewhere stay no-ops and two trainers on different
-        meshes can't poison each other's retraces. ``check_applied``
-        catches the half-configured trap: TrainerConfig.sequence_parallel
-        with a model config that was NOT built with
-        sequence_parallel=True would otherwise train plain TP silently."""
-        if not self.config.sequence_parallel:
+        """With sequence_parallel or pipeline_parallel: run (and therefore
+        TRACE) the jitted program under the module's ``active(self.mesh)``
+        scope — the process-global mesh exists only for the duration of
+        each call, so mesh-less traces elsewhere stay no-ops and two
+        trainers on different meshes can't poison each other's retraces.
+        ``check_applied`` catches the half-configured trap: the
+        TrainerConfig flag with a model config that was NOT built with the
+        matching flag would otherwise train plain TP / sequentially,
+        silently."""
+        if self.config.sequence_parallel:
+            from multimodalsimilar_tpu.parallel import sp as scope_mod
+            flag, model_flag = "sequence_parallel", "sequence_parallel=True"
+        elif self.config.pipeline_parallel:
+            from multimodalsimilar_tpu.parallel import pp as scope_mod
+            flag, model_flag = "pipeline_parallel", "pipeline_parallel=True"
+        else:
             return fn
-        from multimodalsimilar_tpu.parallel import sp as sp_mod
         mesh = self.mesh
 
         class _Scoped:
             def __call__(self, *args, **kw):
-                before = sp_mod.applied_count()
-                with sp_mod.active(mesh):
+                before = scope_mod.applied_count()
+                with scope_mod.active(mesh):
                     out = fn(*args, **kw)
-                if check_applied and sp_mod.applied_count() == before \
+                if check_applied and scope_mod.applied_count() == before \
                         and not getattr(self, "_sp_checked", False):
                     raise ValueError(
-                        "TrainerConfig.sequence_parallel is on but the "
-                        "model applied no sequence-parallel constraints — "
-                        "build the model with sequence_parallel=True in "
-                        "its BertConfig (cli does this automatically)")
+                        f"TrainerConfig.{flag} is on but the model applied "
+                        f"no {flag} behavior — build the model with "
+                        f"{model_flag} in its BertConfig (cli does this "
+                        f"automatically)")
                 self._sp_checked = True
                 return out
 
             def lower(self, *args, **kw):   # AOT analysis path
-                before = sp_mod.applied_count()
-                with sp_mod.active(mesh):
+                before = scope_mod.applied_count()
+                with scope_mod.active(mesh):
                     out = fn.lower(*args, **kw)
-                if sp_mod.applied_count() > before:
+                if scope_mod.applied_count() > before:
                     # traced here — a later __call__ hits the executable
                     # cache without re-tracing; don't false-alarm it
                     self._sp_checked = True
@@ -487,7 +513,7 @@ class Trainer:
         abstract ShapeDtypeStructs with the production placements without
         materializing reference-scale state. ``state`` may hold arrays OR
         ShapeDtypeStructs (only .ndim/.shape are read)."""
-        from jax.sharding import NamedSharding
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
         from multimodalsimilar_tpu.parallel.tp import tp_shardable
 
@@ -495,7 +521,8 @@ class Trainer:
         repl = replicated(self.mesh)
         want_heads = self.config.model_parallel_heads and model_n > 1
         want_tp = self.config.tensor_parallel and model_n > 1
-        if not want_heads and not want_tp:
+        want_pp = self.config.pipeline_parallel and model_n > 1
+        if not want_heads and not want_tp and not want_pp:
             return jax.tree_util.tree_map(lambda _: repl, state)
         cs = MeshRules(self.mesh).class_sharded
 
@@ -506,9 +533,30 @@ class Trainer:
                 tp_spec, ok = tp_shardable(path, x, model_n)
                 if ok:
                     return NamedSharding(self.mesh, tp_spec)
+            if want_pp and self._pp_stacked(path, x):
+                # stacked layer tree (params AND its Adam-moment mirrors):
+                # stage-sharded on the leading [L] axis — the PP memory win
+                if x.shape[0] % model_n != 0:
+                    raise ValueError(
+                        f"pipeline_parallel: stacked layer leaf "
+                        f"{jax.tree_util.keystr(path)} has {x.shape[0]} "
+                        f"layers, not divisible by the mesh model axis "
+                        f"({model_n} stages) — pick a stage count dividing "
+                        f"num_layers")
+                pspec = P(MODEL_AXIS, *([None] * (x.ndim - 1)))
+                return NamedSharding(self.mesh, pspec)
             return repl
 
         return jax.tree_util.tree_map_with_path(spec, state)
+
+    @staticmethod
+    def _pp_stacked(path, x) -> bool:
+        """Is this leaf part of a pipeline-parallel stacked layer tree
+        (models/bert.py PipelinedBertLayers — path contains 'pp_layers')?"""
+        if getattr(x, "ndim", 0) < 1:
+            return False
+        return any(str(getattr(k, "key", getattr(k, "name", k)))
+                   == "pp_layers" for k in path)
 
     def _place_state(self, state: TrainState) -> TrainState:
         """Put the state on the mesh: everything replicated except — with
@@ -522,6 +570,15 @@ class Trainer:
         shardings = self.state_shardings(state)
         want_heads = self.config.model_parallel_heads and model_n > 1
         want_tp = self.config.tensor_parallel and model_n > 1
+        want_pp = self.config.pipeline_parallel and model_n > 1
+        if want_pp and not any(
+                self._pp_stacked(p, x) for p, x in
+                jax.tree_util.tree_flatten_with_path(state)[0]):
+            raise ValueError(
+                "pipeline_parallel is on but the state holds no stacked "
+                "layer tree (pp_layers) — build the model with "
+                "pipeline_parallel=True in its BertConfig (cli does this "
+                "automatically)")
         if not want_heads and not want_tp:
             return jax.device_put(state, shardings)
         if want_tp:
