@@ -23,6 +23,7 @@ CASES = {
     "train_nlp_v2.yaml": ["train", "nlp", "--data", "x"],
     "train_nlp_v2_dist.yaml": ["train", "nlp", "--data", "x"],
     "train_nlp_large_tp.yaml": ["train", "nlp", "--data", "x"],
+    "train_nlp_large_pp.yaml": ["train", "nlp", "--data", "x"],
     "train_multilabel_v3.yaml": ["train", "multilabel", "--data", "x"],
     "train_cv_daodian.yaml": ["train", "cv", "--data", "x",
                               "--img_root", "x"],

@@ -24,7 +24,7 @@ CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(
 TRAIN_MODE = {
     "train_nlp_796": "nlp", "train_nlp_daodian": "nlp",
     "train_nlp_v2": "nlp", "train_nlp_v2_dist": "nlp",
-    "train_nlp_large_tp": "nlp",
+    "train_nlp_large_tp": "nlp", "train_nlp_large_pp": "nlp",
     "train_multilabel_v3": "multilabel",
     "train_cv_daodian": "cv", "train_cv_timm": "cv",
     "train_multimodal": "multimodal", "train_pair": "pair",
