@@ -1822,10 +1822,17 @@ def cmd_eval(args):
         # graft params/batch_stats from the raw restore: eval needs no
         # optimizer state, and a template built with one optimizer cannot
         # restore checkpoints from another (--optimizer adamp,
-        # --grad_accum, or import-checkpoint outputs)
+        # --grad_accum, or import-checkpoint outputs). Re-place onto the
+        # eval mesh explicitly: a raw restore keeps the SAVED placement
+        # (import-checkpoint writes single-device arrays), and mixing it
+        # with the mesh-placed step/margin is a jit device error.
+        from multimodalsimilar_tpu.parallel.mesh import replicated
+        repl = replicated(mesh)
         state = state.replace(
-            params=restored["params"],
-            batch_stats=restored.get("batch_stats") or state.batch_stats)
+            params=jax.device_put(restored["params"], repl),
+            batch_stats=(jax.device_put(restored["batch_stats"], repl)
+                         if restored.get("batch_stats")
+                         else state.batch_stats))
     # drop_remainder=False: evaluate the WHOLE split (matching trainer.fit's
     # in-loop eval), not just the full batches
     metrics = trainer.evaluate(state, src.batches(args.batch_size,
@@ -1877,6 +1884,11 @@ def cmd_import_checkpoint(args):
                 sd, bert_cfg, EfficientNetConfig.variant(args.backbone))
     else:
         raise SystemExit(f"unknown kind {args.kind}")
+    if getattr(args, "pipeline_parallel", 0):
+        # write the stacked (pp_layers) layout so `train --resume` /
+        # warm starts with --pipeline_parallel restore structurally
+        from multimodalsimilar_tpu.models.bert import stack_tree
+        params = stack_tree(params)
     ckpt = CheckpointManager(args.out)
     # same fail-fast discipline as Trainer.fit: importing step 0 into a
     # directory holding a previous run's LATER steps would be silently
@@ -2420,6 +2432,13 @@ def build_parser() -> argparse.ArgumentParser:
                      help="clear an already-populated --out dir (without "
                           "this, importing into one fails fast — existing "
                           "later steps would shadow the imported weights)")
+    imp.add_argument("--pipeline_parallel", type=int, default=0,
+                     metavar="M",
+                     help="write the BERT tower in the pipeline-parallel "
+                          "stacked layout (pp_layers) so the imported "
+                          "weights warm-start `train ... "
+                          "--pipeline_parallel` runs (M is accepted for "
+                          "symmetry with train; any value > 0 stacks)")
     imp.set_defaults(fn=cmd_import_checkpoint)
 
     exp = sub.add_parser("export-checkpoint", allow_abbrev=False)

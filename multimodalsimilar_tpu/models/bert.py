@@ -235,6 +235,21 @@ def unstack_layer_params(params: dict) -> dict:
     return out
 
 
+def stack_tree(tree):
+    """Recursively convert every sequential ``layer_<i>`` block in a param
+    pytree into the pipeline-parallel stacked layout (inverse of
+    ``unstack_tree``; layer count inferred from the keys) — lets
+    reference/HF imports warm-start ``--pipeline_parallel`` training.
+    No-op on trees without ``layer_<i>`` nodes."""
+    if isinstance(tree, dict):
+        n = sum(1 for k in tree if k.startswith("layer_"))
+        if n:
+            tree = stack_layer_params(tree, n)
+        return {k: (v if k == "pp_layers" else stack_tree(v))
+                for k, v in tree.items()}
+    return tree
+
+
 def unstack_tree(tree):
     """Recursively convert every pipeline-parallel stacked layer tree in a
     param pytree back to the sequential ``layer_<i>`` layout — lets the

@@ -344,3 +344,65 @@ def test_cli_train_nlp_pipeline_parallel(tmp_path):
           "--dt", "2026-08-16"])
     import pandas as pd
     assert len(pd.read_parquet(table)) == n
+
+
+def test_cli_import_checkpoint_pipeline_parallel(tmp_path, capsys):
+    """`import-checkpoint --pipeline_parallel` writes the stacked layout:
+    reference torch weights warm-start PP training, and the imported
+    checkpoint drives eval via the same auto-detection as trained ones."""
+    import json
+    import os
+
+    import pandas as pd
+    import torch
+    import torch.nn as nn_t
+    from transformers import BertConfig as HFBertConfig, BertModel
+
+    from multimodalsimilar_tpu.cli import main
+    from multimodalsimilar_tpu.models.bert import BertConfig
+
+    cfg = BertConfig.tiny()
+    hf = HFBertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_act="gelu", attn_implementation="eager")
+
+    class TorchNlp(nn_t.Module):
+        def __init__(self):
+            super().__init__()
+            self.ptm = BertModel(hf)
+            self.classifier = nn_t.Module()
+            self.classifier.weight = nn_t.Parameter(
+                torch.randn(4, cfg.hidden_size))
+
+    torch.manual_seed(0)
+    sd_path = str(tmp_path / "ref.pt")
+    torch.save(TorchNlp().state_dict(), sd_path)
+    ckpt = str(tmp_path / "ckpt")
+    main(["import-checkpoint", "--kind", "nlp", "--state_dict", sd_path,
+          "--out", ckpt, "--bert_preset", "tiny",
+          "--pipeline_parallel", "2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["imported"] == "nlp"
+
+    # the stacked layout is what landed on disk (metadata detection)
+    from multimodalsimilar_tpu.cli import _ckpt_has_pp
+    assert _ckpt_has_pp(ckpt)
+
+    # eval consumes it with no pipeline flags (auto-detect + fallback scan)
+    n = 32
+    df = pd.DataFrame({
+        "spu_name": [f"{'甲乙丙丁'[i % 4] * 3}商品{i}" for i in range(n)],
+        "labels": [i % 4 for i in range(n)]})
+    data = str(tmp_path / "d.csv")
+    df.to_csv(data, index=False)
+    vocab = str(tmp_path / "vocab.txt")
+    with open(vocab, "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+                          + list("甲乙丙丁商品0123456789")))
+    main(["eval", "--data", data, "--tokenizer", vocab,
+          "--checkpoint", ckpt, "--max_length", "12", "--batch_size", "16"])
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "acc" in metrics
