@@ -139,8 +139,6 @@ def gpipe(layer_fn: Callable, stacked_params, x, consts, rng,
     """
     if _MESH is None:
         return sequential_scan(layer_fn, stacked_params, x, consts, rng)
-    global _APPLIED
-    _APPLIED += 1
     mesh = _MESH
     n_stages = mesh.shape[MODEL_AXIS]
     m = int(n_microbatches)
@@ -151,6 +149,17 @@ def gpipe(layer_fn: Callable, stacked_params, x, consts, rng,
         raise ValueError(
             f"pipeline_parallel: {n_layers} layers not divisible by the "
             f"mesh model axis ({n_stages} stages)")
+    data_n = mesh.shape.get(DATA_AXIS, 1)
+    if x.shape[0] % (data_n * m) != 0:
+        # a partial batch (in-loop eval with drop_remainder=False, tail of
+        # an odd split) can't ride the schedule: the batch must split over
+        # the data axis AND into M equal microbatches. Run it sequentially
+        # — a shape-specialized trace anyway, correct on the stage-sharded
+        # stack (GSPMD gathers each layer as the scan needs it), and train
+        # steps never hit this (batch sources pad to static shapes).
+        return sequential_scan(layer_fn, stacked_params, x, consts, rng)
+    global _APPLIED
+    _APPLIED += 1
 
     bspec = P(DATA_AXIS)
 

@@ -80,10 +80,16 @@ def test_gpipe_validation():
     with pp.active(mesh), pytest.raises(ValueError, match="not divisible"):
         pp.gpipe(_toy_layer, stacked, x, c, jax.random.key(0), 2)
     stacked, x, c = _toy_problem(L=8, B=8)
-    with pp.active(mesh), pytest.raises(ValueError, match="microbatch"):
-        # per-chip batch 8/2=4 not divisible by 3 microbatches
-        jax.jit(lambda s, x, c: pp.gpipe(_toy_layer, s, x, c,
-                                         jax.random.key(0), 3))(stacked, x, c)
+    # per-chip batch 8/2=4 not divisible by 3 microbatches: rides the
+    # sequential fallback (partial eval batches must not crash)
+    with pp.active(mesh):
+        out = jax.jit(lambda s, x, c: pp.gpipe(
+            _toy_layer, s, x, c, jax.random.key(0), 3))(stacked, x, c)
+    ref = pp.sequential_scan(_toy_layer, stacked, x, c, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6,
+                               atol=1e-6)
+    with pp.active(mesh), pytest.raises(ValueError, match="pp_microbatches"):
+        pp.gpipe(_toy_layer, stacked, x, c, jax.random.key(0), 0)
     with pytest.raises(ValueError, match="model axis"):
         with pp.active(create_mesh(jax.devices(), data=8, model=1)):
             pass
@@ -406,3 +412,29 @@ def test_cli_import_checkpoint_pipeline_parallel(tmp_path, capsys):
           "--checkpoint", ckpt, "--max_length", "12", "--batch_size", "16"])
     metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "acc" in metrics
+
+
+def test_pipeline_parallel_eval_partial_batch_falls_back():
+    """In-loop eval sees partial batches (drop_remainder=False); shapes
+    that can't split over data x microbatches must ride the sequential
+    fallback instead of crashing the scoped eval step."""
+    from multimodalsimilar_tpu.models.bert import BertConfig
+    from multimodalsimilar_tpu.parallel.mesh import shard_batch
+
+    mesh = create_mesh(jax.devices(), data=4, model=2)
+    cfg = BertConfig.tiny(num_layers=4, pipeline_parallel=True,
+                          pp_microbatches=2, hidden_dropout=0.0,
+                          attention_dropout=0.0)
+    tr = _trainer(mesh, cfg, pipeline_parallel=True)
+    rng = np.random.default_rng(0)
+    state = tr.init_state_from_device_batch(
+        shard_batch(mesh, _ml_batch(rng, B=16)))
+    # full batch: pipelined path
+    full = tr._eval_step(state, shard_batch(mesh, _ml_batch(rng, B=16)))
+    # partial batches: 12 splits over data(4) but not into 2 microbatches
+    # per chip... (12/4=3 % 2 != 0); 10 doesn't even split over data
+    for b in (12, 10):
+        partial = tr._eval_step(state, shard_batch(mesh, _ml_batch(rng,
+                                                                   B=b)))
+        assert np.isfinite(float(partial["acc"])), b
+    assert np.isfinite(float(full["acc"]))
