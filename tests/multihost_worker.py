@@ -141,9 +141,63 @@ def main(pid: int, coordinator: str):
     assert abs(tp_vals[0] - losses[0]) < 1e-3 * max(abs(losses[0]), 1), \
         (tp_vals[0], losses[0])
 
+    # -- pipeline parallelism on the same 2-process run: stages
+    # INTRA-process (the model axis pairs adjacent local devices), so the
+    # GPipe ppermutes stay in-process while the DP gradient all-reduce
+    # crosses processes — all in one program under jax.distributed. The
+    # first-step loss must agree across processes AND match a plain DP
+    # step from the SAME bridged weights (dropout off: the two paths fold
+    # dropout keys differently, so parity is defined dropout-free).
+    from multimodalsimilar_tpu.models.bert import stack_layer_params
+    from multimodalsimilar_tpu.train.trainer import TrainState
+    import jax.numpy as jnp
+
+    cfg_nd = BertConfig.tiny(hidden_dropout=0.0, attention_dropout=0.0)
+    dp_model_nd = NlpMultilabelClassifier(
+        cfg_nd, lv1_labels=8, lv2_labels=16, tag_labels=64,
+        policy=DTypePolicy.full_precision())
+    dp_tr_nd = Trainer(multilabel_arcface_task(dp_model_nd), tx, mesh,
+                       TrainerConfig(log_every=10**9))
+    dp_state_nd = dp_tr_nd.init_state_from_device_batch(device_batch)
+    host_params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x.addressable_data(0)), dp_state_nd.params)
+    _, dp_nd_metrics = dp_tr_nd._train_step(dp_state_nd, device_batch,
+                                            jax.random.key(1))
+    dp_nd_loss = float(np.asarray(
+        dp_nd_metrics["loss"].addressable_data(0)))
+
+    mesh_pp = create_mesh(data=4, model=2)
+    cfg_pp = BertConfig.tiny(hidden_dropout=0.0, attention_dropout=0.0,
+                             pipeline_parallel=True, pp_microbatches=2)
+    pp_model = NlpMultilabelClassifier(
+        cfg_pp, lv1_labels=8, lv2_labels=16, tag_labels=64,
+        policy=DTypePolicy.full_precision())
+    pp_trainer = Trainer(
+        multilabel_arcface_task(pp_model), tx, mesh_pp,
+        TrainerConfig(log_every=10**9, model_parallel_heads=True,
+                      pipeline_parallel=True))
+    params_pp = dict(host_params)
+    params_pp["tower"] = dict(host_params["tower"])
+    params_pp["tower"]["encoder"] = stack_layer_params(
+        host_params["tower"]["encoder"], cfg_pp.num_layers)
+    pp_state = pp_trainer._place_state(TrainState(
+        step=jnp.zeros((), jnp.int32), params=params_pp, batch_stats={},
+        opt_state=pp_trainer.tx.init(params_pp),
+        margin=jnp.asarray(0.4, jnp.float32)))
+    pp_batch = shard_batch(mesh_pp, {k: v[pid * half:(pid + 1) * half]
+                                     for k, v in batch.items()})
+    pp_state, pp_metrics = pp_trainer._train_step(pp_state, pp_batch,
+                                                  jax.random.key(1))
+    pp_local = float(np.asarray(pp_metrics["loss"].addressable_data(0)))
+    pp_vals = np.asarray(multihost_utils.process_allgather(
+        np.float32(pp_local)))
+    assert pp_vals[0] == pp_vals[1], pp_vals
+    assert abs(pp_vals[0] - dp_nd_loss) < 1e-3 * max(abs(dp_nd_loss), 1), \
+        (pp_vals[0], dp_nd_loss)
+
     print(f"RESULT pid={pid} step={step} "
           f"losses={losses[0]:.6f},{losses[1]:.6f} knn={knn_digest} "
-          f"tp_sp_loss={tp_vals[0]:.6f}",
+          f"tp_sp_loss={tp_vals[0]:.6f} pp_loss={pp_vals[0]:.6f}",
           flush=True)
 
 
