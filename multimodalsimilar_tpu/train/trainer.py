@@ -187,11 +187,19 @@ class Trainer:
                     out = fn(*args, **kw)
                 if check_applied and scope_mod.applied_count() == before \
                         and not getattr(self, "_sp_checked", False):
+                    hint = ""
+                    if flag == "pipeline_parallel":
+                        hint = (
+                            "; if it already is, the per-chip batch likely "
+                            "failed to split into pp_microbatches equal "
+                            "microbatches (batch_size must divide by "
+                            "data_axis * pp_microbatches) and the step rode "
+                            "the sequential fallback")
                     raise ValueError(
                         f"TrainerConfig.{flag} is on but the model applied "
                         f"no {flag} behavior — build the model with "
                         f"{model_flag} in its BertConfig (cli does this "
-                        f"automatically)")
+                        f"automatically){hint}")
                 self._sp_checked = True
                 return out
 

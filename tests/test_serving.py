@@ -601,7 +601,7 @@ def test_multimodal_fused_serving_wires_and_matches(serve_mm_cli,
 
     import multimodalsimilar_tpu.cli as cli
     _, host_service, imgs, texts, base_args = serve_mm_cli
-    monkeypatch.setattr(cli, "_knn_backend_mesh",
+    monkeypatch.setattr(cli.serve, "_knn_backend_mesh",
                         lambda a: ("xla", None, None))
     args = copy.deepcopy(base_args)
     args.max_batch = 8        # <= batch_size: wires the fused path
@@ -1256,7 +1256,7 @@ def test_cli_serve_cv_wires_fused_path(tmp_path, monkeypatch):
     import cv2
 
     import multimodalsimilar_tpu.cli as cli
-    monkeypatch.setattr(cli, "_knn_backend_mesh",
+    monkeypatch.setattr(cli.serve, "_knn_backend_mesh",
                         lambda a: ("xla", None, None))
     root = tmp_path / "imgs"
     rng = np.random.default_rng(7)
@@ -1391,7 +1391,7 @@ def test_cli_serve_update_overflow_refuses(tmp_path, monkeypatch):
 
     import multimodalsimilar_tpu.cli as cli
     from multimodalsimilar_tpu.retrieval import knn
-    monkeypatch.setattr(cli, "_knn_backend_mesh",
+    monkeypatch.setattr(cli.serve, "_knn_backend_mesh",
                         lambda a: ("xla", None, None))
     # plan_search pads the cached corpus to a BLOCK multiple (thousands of
     # rows even for a tiny corpus) and the traced true_n absorbs appends
@@ -1434,7 +1434,7 @@ def test_cli_serve_wires_fused_path(tmp_path, monkeypatch):
     env's 8-device CPU mesh makes the engine sharded, which correctly
     disables fusion — so pin the mesh-less case explicitly.)"""
     import multimodalsimilar_tpu.cli as cli
-    monkeypatch.setattr(cli, "_knn_backend_mesh",
+    monkeypatch.setattr(cli.serve, "_knn_backend_mesh",
                         lambda a: ("xla", None, None))
     df = pd.DataFrame({
         "spu_sn": [f"sku{i}" for i in range(8)],
@@ -2028,7 +2028,7 @@ def test_warm_serve_service_compiles_fallback_tower(tmp_path, monkeypatch):
     from multimodalsimilar_tpu.cli import (_build_serve_service,
                                            _warm_serve_service,
                                            build_parser)
-    monkeypatch.setattr(cli, "_knn_backend_mesh",
+    monkeypatch.setattr(cli.serve, "_knn_backend_mesh",
                         lambda a: ("xla", None, None))
     df = pd.DataFrame({
         "spu_sn": [f"sku{i}" for i in range(8)],

@@ -865,7 +865,8 @@ def test_sequence_parallel_detects_model_not_opted_in():
     rng = np.random.default_rng(0)
     db = shard_batch(mesh, _ml_batch(rng))
     state = trainer.init_state_from_device_batch(db)
-    with pytest.raises(ValueError, match="sequence-parallel constraints"):
+    with pytest.raises(ValueError,
+                       match="applied no sequence_parallel behavior"):
         trainer._train_step(state, db, jax.random.key(0))
 
 
