@@ -345,7 +345,8 @@ def build_parser() -> argparse.ArgumentParser:
     srv = sub.add_parser("serve", allow_abbrev=False)
     srv.add_argument("--config")
     srv.add_argument("--tower", default="bert",
-                     choices=["bert", "cv", "multimodal", "fasttext"],
+                     choices=["bert", "cv", "multimodal", "fasttext",
+                              "daodian"],
                      help="bert: text queries ({'text': ...}); cv: image "
                           "queries ({'image_b64'|'image_path': ...}) "
                           "against the EfficientNet/ViT tower (the online "
@@ -353,7 +354,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "text+image pairs, un-normalized L2 like "
                           "multimodal_infer; fasttext: text queries on "
                           "fastText sentence vectors (the daodian text "
-                          "side)")
+                          "side); daodian: BOTH production arms hot — one "
+                          "request returns the nightly job's merged "
+                          "cv-first-then-fastText list per key "
+                          "(daodian_infer.py:361-392)")
     srv.add_argument("--data", required=True,
                      help="corpus table (csv/parquet/hive://db.table)")
     srv.add_argument("--key_col", default="spu_sn")
@@ -430,8 +434,24 @@ def build_parser() -> argparse.ArgumentParser:
                           "(pipelines/embcache.py)")
     # --tower fasttext option
     srv.add_argument("--fasttext_model",
-                     help="pickled FastTextClassifier (--tower fasttext; "
-                          "train one with: cli train fasttext)")
+                     help="pickled FastTextClassifier (--tower fasttext "
+                          "and --tower daodian's text arm; train one "
+                          "with: cli train fasttext)")
+    # --tower daodian options (the merged production job online)
+    srv.add_argument("--area_col", default="area_id",
+                     help="daodian: per-area retrieval column "
+                          "(daodian_infer.py:361)")
+    srv.add_argument("--sku_col", default="sku",
+                     help="daodian: goods_sku column naming the image "
+                          "folder for the CV arm")
+    srv.add_argument("--cv_checkpoint", default=None,
+                     help="daodian: orbax checkpoint for the CV arm's "
+                          "tower")
+    srv.add_argument("--cv_num_labels", type=int, default=4181,
+                     help="daodian: CV checkpoint head width "
+                          "(cv_classifier_train_daodian.py:190)")
+    srv.add_argument("--text_only", action="store_true",
+                     help="daodian: explicitly serve without the CV arm")
     srv.set_defaults(fn=cmd_serve)
 
     ckv = sub.add_parser("copy-kv", allow_abbrev=False)

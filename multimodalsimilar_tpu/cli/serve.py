@@ -589,11 +589,99 @@ def _warm_serve_service(service, args):
             service.engine.search(service.k,
                                   queries=np.zeros((m, d), np.float32))
 
+def _build_daodian_service(args):
+    """DaodianService for ``serve --tower daodian``: BOTH production arms
+    hot (fastText sentence vectors + the CV tower's cached embeddings) so
+    one request returns the nightly job's merged per-key answer online
+    (daodian_infer.py:361-392)."""
+    from multimodalsimilar_tpu.cli.similar import _sku_to_spusn
+    from multimodalsimilar_tpu.data.datasets import read_table
+    from multimodalsimilar_tpu.data.text import gen_title
+    from multimodalsimilar_tpu.pipelines.daodian_serving import DaodianService
+
+    df = read_table(args.data)
+    if not len(df):
+        raise SystemExit("--data table is empty — nothing to serve")
+    if "title" not in df.columns:
+        df["title"] = df.apply(gen_title, axis=1)
+    ft = _load_fasttext(args)
+
+    def embed_titles(titles):
+        return ft.get_sentence_vector(list(titles))
+
+    embed_query_image = None
+    if args.cv_checkpoint:
+        import numpy as np
+
+        from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
+        model, variables = _load_cv_tower(args, args.cv_checkpoint,
+                                          args.cv_num_labels)
+        emb = ImageEmbedder(
+            model, variables, image_size=args.image_size,
+            cache_path_for_key=lambda k: os.path.join(
+                args.img_root, str(k), "emb.txt"),
+            cache=_emb_cache(args), emb_dim=args.fc_dim)
+
+        def embed_skus(area_df):
+            return _sku_to_spusn(area_df, emb, args)
+
+        def embed_query_image(image):
+            return emb.embed_batch(np.asarray(image)[None])[0]
+    else:
+        # same explicit-degrade discipline as `similar daodian`
+        if not args.text_only:
+            raise SystemExit(
+                "serve --tower daodian: no --cv_checkpoint given. The "
+                "production job merges CV and text neighbors; pass "
+                "--text_only to deliberately serve the fastText side "
+                "alone.")
+        print("serve daodian: --text_only — CV arm disabled",
+              file=sys.stderr)
+
+        def embed_skus(area_df):
+            return {}
+
+    backend, _, approx = _knn_backend_mesh(args)
+    # per-area engines are small — always single-chip (mesh-less), like
+    # the batch job's per-area loop
+    return DaodianService(
+        df, embed_titles, embed_skus, embed_query_image=embed_query_image,
+        area_col=args.area_col, key_col=args.key_col,
+        backend=backend, approx_recall=approx)
+
+
+def _serve_daodian(args):
+    import time as _time
+
+    from multimodalsimilar_tpu.pipelines.daodian_serving import (
+        make_daodian_server)
+    t0 = _time.perf_counter()
+    service = _build_daodian_service(args)
+    service.warm()
+    print(f"daodian indexes warm: {service.n} rows, "
+          f"{len(service.areas)} areas in "
+          f"{_time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    httpd = make_daodian_server(service, args.host, args.port,
+                                image_size=args.image_size)
+    host, port = httpd.server_address[:2]
+    print(json.dumps({"serving": f"http://{host}:{port}",
+                      "corpus": service.n,
+                      "areas": len(service.areas)}), flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+
+
 def cmd_serve(args):
     """Online similarity daemon — the capability the reference's
     precomputed Redis KV can't give (a query NOT in last night's batch).
     Micro-batched HTTP serving; see pipelines/serving.py."""
     from multimodalsimilar_tpu.pipelines.serving import make_server
+    if args.tower == "daodian":
+        return _serve_daodian(args)
     service, n = _build_serve_service(args)
     _warm_serve_service(service, args)
     httpd = make_server(service, args.host, args.port)

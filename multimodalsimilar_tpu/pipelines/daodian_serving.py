@@ -1,0 +1,366 @@
+"""Online merged daodian serving — both retrieval arms hot in one daemon.
+
+The nightly batch job publishes, per area, the cv-first-then-fastText
+merged neighbor list per spu_sn (daodian_infer.py:361-392). The serving
+daemon's per-tower modes (serve --tower cv / fasttext) answer each arm
+separately; this service holds BOTH arms hot — the fastText sentence-vector
+table and the CV tower's cached embeddings — and answers one request with
+the production-shaped merged list:
+
+* ``{"key": spu_sn}``  -> exactly what the nightly job would have published
+  for that key (same engines, depths, thresholds, category rules and merge,
+  via the SAME code path: pipelines.similar.build_area_index /
+  area_merged_map — pinned equal in tests/test_daodian_serving.py).
+* ``{"title", "lv1", "lv2", "area_id"[, "image_b64"]}`` -> the merged
+  answer for an UNSEEN query under the same rules (the capability the
+  precomputed Redis KV can't give).
+* ``POST /update`` upserts corpus rows online (the intraday analogue of the
+  next morning's batch); affected areas lazily rebuild their index.
+
+v1 semantics only (no --date_keyed/--dt_col): the v2 date-window variants
+key their OUTPUT by date for the nightly cron chain — an online daemon
+always answers for the live corpus (daodian_infer_v2_today.py is exactly
+v1 minus dt filtering).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from multimodalsimilar_tpu.pipelines.similar import (DaodianAreaIndex,
+                                                     area_merged_map,
+                                                     build_area_index)
+
+
+class DaodianService:
+    """Per-area hot indexes + lazily cached merged maps.
+
+    ``embed_titles(list[str]) -> [N, 100]`` is the fastText arm;
+    ``embed_skus(area_df) -> {key: vec}`` the CV arm's corpus embedder
+    (cache-backed multi-image mean, may miss keys without images) — the
+    exact contracts daodian_similar_job takes. ``embed_query_image``
+    (optional) embeds ONE decoded uint8 image for ad-hoc image queries.
+    """
+
+    def __init__(self, df: pd.DataFrame,
+                 embed_titles: Callable[[Sequence[str]], np.ndarray],
+                 embed_skus: Callable[[pd.DataFrame], Dict[str, np.ndarray]],
+                 embed_query_image: Optional[Callable] = None,
+                 area_col: str = "area_id", key_col: str = "spu_sn",
+                 title_col: str = "title",
+                 lv1_col: str = "first_level_category_id",
+                 lv2_col: str = "second_level_category_id",
+                 nlp_score_th: float = -0.6, cv_score_th: float = 0.15,
+                 ann_cnt_nlp: int = 100, ann_cnt_cv: int = 26,
+                 backend: str = "xla",
+                 approx_recall: Optional[float] = None):
+        for col in (area_col, key_col, title_col, lv1_col, lv2_col):
+            if col not in df.columns:
+                raise ValueError(f"column {col!r} not in the corpus table "
+                                 f"(has: {list(df.columns)})")
+        self._cols = dict(key_col=key_col, title_col=title_col,
+                          lv1_col=lv1_col, lv2_col=lv2_col)
+        self._area_col = area_col
+        self._params = dict(nlp_score_th=nlp_score_th,
+                            cv_score_th=cv_score_th,
+                            ann_cnt_nlp=ann_cnt_nlp, ann_cnt_cv=ann_cnt_cv,
+                            backend=backend, approx_recall=approx_recall)
+        self._embed_titles = embed_titles
+        self._embed_skus = embed_skus
+        self._embed_query_image = embed_query_image
+        self._areas: Dict[str, pd.DataFrame] = {
+            str(a): df[df[area_col] == a].reset_index(drop=True)
+            for a in df[area_col].unique()}
+        self._index: Dict[str, DaodianAreaIndex] = {}
+        self._merged: Dict[str, Dict[str, List[str]]] = {}
+        # one lock around index (re)builds and searches: engines and the
+        # lazy caches are not thread-safe, and the ThreadingHTTPServer
+        # handles each connection on its own thread
+        self._lock = threading.RLock()
+
+    # -- corpus state -------------------------------------------------------
+
+    @property
+    def n(self) -> int:
+        return sum(len(a) for a in self._areas.values())
+
+    @property
+    def areas(self) -> List[str]:
+        return sorted(self._areas)
+
+    def _index_for(self, area_id: str) -> DaodianAreaIndex:
+        idx = self._index.get(area_id)
+        if idx is None:
+            area = self._areas[area_id]
+            idx = build_area_index(area, self._embed_titles,
+                                   self._embed_skus(area),
+                                   **self._cols, **self._params)
+            self._index[area_id] = idx
+        return idx
+
+    def _merged_for(self, area_id: str) -> Dict[str, List[str]]:
+        m = self._merged.get(area_id)
+        if m is None:
+            m = area_merged_map(self._index_for(area_id))
+            self._merged[area_id] = m
+        return m
+
+    def warm(self) -> None:
+        """Build every area's index + merged map before accepting traffic
+        (first-request latency would otherwise include the area's whole
+        embed + search)."""
+        with self._lock:
+            for a in self._areas:
+                self._merged_for(a)
+
+    def _area_of_key(self, key: str,
+                     area_id: Optional[str]) -> Optional[str]:
+        key_col = self._cols["key_col"]
+        cands = [area_id] if area_id is not None else self.areas
+        for a in cands:
+            df = self._areas.get(str(a))
+            if df is not None and (df[key_col].astype(str) == key).any():
+                return str(a)
+        return None
+
+    # -- queries ------------------------------------------------------------
+
+    def similar_key(self, key: str,
+                    area_id: Optional[str] = None) -> dict:
+        """The production-shaped answer for a corpus key: the merged
+        neighbor list the nightly job would publish (equality pinned in
+        tests). Raises KeyError for an unknown key."""
+        key = str(key)
+        with self._lock:
+            a = self._area_of_key(key, area_id)
+            if a is None:
+                raise KeyError(key)
+            merged = self._merged_for(a)
+            return {"key": key, "area_id": a,
+                    "neighbors": [str(x) for x in merged.get(key, [])]}
+
+    def _filter_ranked(self, scores, idx, engine, category,
+                       score_th, cap) -> List[dict]:
+        """The batch filters' semantics for ONE external query: strict
+        score > th, same-category vs the request's value, dedup by key,
+        cap (filters.py applies the same rules corpus-row-wise)."""
+        out, seen = [], set()
+        keys = engine.keys
+        cats = engine.categories
+        for s, i in zip(np.asarray(scores).ravel().tolist(),
+                        np.asarray(idx).ravel().tolist()):
+            if cap is not None and len(out) >= cap:
+                break
+            if i < 0 or i >= len(keys):
+                continue
+            if score_th is not None and not (s > score_th):
+                continue
+            if cats is not None and str(cats[i]) != str(category):
+                continue
+            k = str(keys[i])
+            if k in seen:
+                continue
+            seen.add(k)
+            out.append({"key": k, "score": float(s)})
+        return out
+
+    def similar_query(self, title: str, lv1, lv2, area_id: str,
+                      image: Optional[np.ndarray] = None) -> dict:
+        """Ad-hoc merged answer for an UNSEEN query under the same rules:
+        text arm vs the area's corpus (same-lv1, th, cap), cv arm when an
+        image is supplied and the CV arm is hot (same-lv2, th, k=26),
+        merged cv-first like the job."""
+        area_id = str(area_id)
+        with self._lock:
+            if area_id not in self._areas:
+                raise KeyError(f"unknown area_id {area_id!r} "
+                               f"(have: {self.areas})")
+            index = self._index_for(area_id)
+            p = self._params
+            tvec = np.asarray(self._embed_titles([str(title)]), np.float32)
+            ts, ti = index.text_engine.search(index.k_text, queries=tvec)
+            text_ranked = self._filter_ranked(
+                ts, ti, index.text_engine, lv1, p["nlp_score_th"],
+                p["ann_cnt_nlp"] + 1)
+            cv_ranked: List[dict] = []
+            if image is not None:
+                if self._embed_query_image is None:
+                    raise ValueError(
+                        "image query but the CV arm is not loaded "
+                        "(--text_only or no --cv_checkpoint)")
+                if index.cv_engine is not None:
+                    ivec = np.asarray(self._embed_query_image(image),
+                                      np.float32).reshape(1, -1)
+                    cs, ci = index.cv_engine.search(index.k_cv,
+                                                    queries=ivec)
+                    cv_ranked = self._filter_ranked(
+                        cs, ci, index.cv_engine, lv2, p["cv_score_th"],
+                        None)
+            merged, seen = [], set()
+            for item in cv_ranked + text_ranked:    # cv-first merge
+                if item["key"] in seen:
+                    continue
+                seen.add(item["key"])
+                merged.append(item)
+            return {"area_id": area_id, "neighbors": merged,
+                    "cv_neighbors": len(cv_ranked),
+                    "text_neighbors": len(text_ranked)}
+
+    # -- updates ------------------------------------------------------------
+
+    def update(self, items: Sequence[dict]) -> dict:
+        """Upsert corpus rows (the intraday analogue of tomorrow's batch
+        pull): each item carries the corpus columns ({key, area_id, title,
+        lv1, lv2}, plus any the table had). Known keys get their row
+        replaced; new keys append. Affected areas drop their cached index
+        and rebuild lazily — the fastText arm re-embeds the area (a host
+        table mean, cheap), the CV arm re-runs embed_skus where the
+        embedder's cache makes old keys free."""
+        key_col = self._cols["key_col"]
+        need = [key_col, "area_id", self._cols["title_col"],
+                self._cols["lv1_col"], self._cols["lv2_col"]]
+        rows_by_area: Dict[str, List[dict]] = {}
+        for it in items:
+            missing = [c for c in need
+                       if c not in it and not (c == "area_id"
+                                               and self._area_col in it)]
+            if missing:
+                raise ValueError(f"update item missing {missing} "
+                                 f"(need {need})")
+            a = str(it.get("area_id", it.get(self._area_col)))
+            rows_by_area.setdefault(a, []).append(it)
+        with self._lock:
+            for a, rows in rows_by_area.items():
+                base = self._areas.get(a)
+                add = pd.DataFrame(rows).rename(
+                    columns={"area_id": self._area_col})
+                if self._area_col not in add.columns:
+                    add[self._area_col] = a
+                if base is None:
+                    base = add.iloc[:0]
+                # replace known keys, append new ones (engine.update's
+                # upsert discipline, at the DataFrame layer)
+                new_keys = set(add[key_col].astype(str))
+                kept = base[~base[key_col].astype(str).isin(new_keys)]
+                cols = list(base.columns) if len(base.columns) else \
+                    list(add.columns)
+                for c in cols:
+                    if c not in add.columns:
+                        add[c] = None
+                merged_df = pd.concat([kept, add[cols]],
+                                      ignore_index=True)
+                self._areas[a] = merged_df
+                self._index.pop(a, None)
+                self._merged.pop(a, None)
+            return {"updated": len(items),
+                    "areas_invalidated": sorted(rows_by_area),
+                    "corpus": self.n}
+
+
+# -- HTTP ------------------------------------------------------------------
+
+
+class _DaodianHandler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    timeout = 120
+
+    def log_message(self, fmt, *args):
+        pass
+
+    def _reply(self, code: int, payload: dict):
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            self.send_header("Connection", "close")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            svc = self.server.service
+            self._reply(200, {"ok": True, "corpus": svc.n,
+                              "areas": svc.areas})
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def _decode_image(self, req):
+        if req.get("image_b64") is None and req.get("image_path") is None:
+            return None
+        from multimodalsimilar_tpu.pipelines.serving import ImageQueryParser
+        return ImageQueryParser(self.server.image_size).one(req)
+
+    def do_POST(self):
+        if self.headers.get("Transfer-Encoding"):
+            self.close_connection = True
+            return self._reply(411, {"error": "Content-Length required"})
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+        except Exception as e:
+            self.close_connection = True
+            return self._reply(400, {"error": f"bad json: {e}"})
+        svc = self.server.service
+        try:
+            if self.path == "/similar":
+                if "key" in req:
+                    try:
+                        return self._reply(200, svc.similar_key(
+                            str(req["key"]), req.get("area_id")))
+                    except KeyError:
+                        return self._reply(404, {
+                            "error": f"key {req['key']!r} not in the "
+                                     "corpus — ad-hoc queries need "
+                                     "title/lv1/lv2/area_id"})
+                need = ["title", "lv1", "lv2", "area_id"]
+                missing = [c for c in need if req.get(c) is None]
+                if missing:
+                    return self._reply(400, {
+                        "error": f"need 'key' (corpus lookup) or "
+                                 f"{need} (ad-hoc query); missing "
+                                 f"{missing}"})
+                try:
+                    img = self._decode_image(req)
+                except ValueError as e:
+                    return self._reply(400, {"error": str(e)})
+                try:
+                    return self._reply(200, svc.similar_query(
+                        req["title"], req["lv1"], req["lv2"],
+                        req["area_id"], image=img))
+                except KeyError as e:
+                    return self._reply(404, {"error": str(e.args[0])})
+                except ValueError as e:
+                    return self._reply(400, {"error": str(e)})
+            if self.path == "/update":
+                items = req.get("items")
+                if not isinstance(items, list) or not items:
+                    return self._reply(400, {
+                        "error": "need 'items': [{key, area_id, title, "
+                                 "lv1..., lv2...}, ...]"})
+                try:
+                    return self._reply(200, svc.update(items))
+                except ValueError as e:
+                    return self._reply(400, {"error": str(e)})
+            return self._reply(404, {"error": f"unknown path {self.path}"})
+        except Exception as e:   # a failed request must not kill the server
+            return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+class _DaodianServer(ThreadingHTTPServer):
+    request_queue_size = 128
+
+
+def make_daodian_server(service: DaodianService, host: str = "127.0.0.1",
+                        port: int = 0,
+                        image_size: int = 512) -> ThreadingHTTPServer:
+    httpd = _DaodianServer((host, port), _DaodianHandler)
+    httpd.service = service
+    httpd.image_size = image_size
+    return httpd

@@ -18,6 +18,7 @@ the SimilarityEngine:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -29,6 +30,103 @@ from multimodalsimilar_tpu.pipelines.sinks import KVSink
 
 WEEK = 7 * 24 * 3600
 DAY_AND_HALF = int(1.5 * 24 * 3600)
+
+
+def norm_dt(v) -> str:
+    """'2026-08-16', '20260816', or date objects all compare equal — the
+    reference mixes raw SQL dt values with compacted key dates
+    (daodian_infer_v2_recent_days.py:242 vs :342); comparing them verbatim
+    would silently filter every neighbor out."""
+    return "".join(ch for ch in str(v) if ch.isdigit())
+
+
+@dataclasses.dataclass
+class DaodianAreaIndex:
+    """One area's hot retrieval state — built identically by the batch job
+    (daodian_similar_job) and the online daemon (pipelines/daodian_serving),
+    so the two can never drift on engines, depths, or filter rules."""
+    area: pd.DataFrame                      # the area's rows, reset index
+    text_engine: SimilarityEngine           # fastText sentence vectors
+    k_text: int
+    text_rules: FilterRules
+    cv_rows: pd.DataFrame                   # rows with a CV embedding
+    cv_engine: Optional[SimilarityEngine]   # None when no row has one
+    k_cv: int
+    cv_rules: Optional[FilterRules]
+
+
+def build_area_index(
+    area: pd.DataFrame,
+    embed_titles: Callable[[Sequence[str]], np.ndarray],
+    sku_embs: Dict[str, np.ndarray],
+    key_col: str = "spu_sn",
+    title_col: str = "title",
+    lv1_col: str = "first_level_category_id",
+    lv2_col: str = "second_level_category_id",
+    nlp_score_th: float = -0.6,
+    cv_score_th: float = 0.15,
+    ann_cnt_nlp: int = 100,
+    ann_cnt_cv: int = 26,
+    dt_col: Optional[str] = None,
+    require_dt: Optional[str] = None,       # already norm_dt'd
+    recent_days: int = 7,
+    mesh=None,
+    backend: str = "xla",
+    approx_recall: Optional[float] = None,
+) -> DaodianAreaIndex:
+    """Both arms' engines + the reference variant's retrieval depths/rules
+    for ONE area (daodian_infer.py:361-375; see daodian_similar_job's
+    docstring for the v1/v2 depth semantics)."""
+    windowed = bool(require_dt and dt_col)
+    text_emb = embed_titles(area[title_col].astype(str).tolist())
+    rules_kw = dict(require_dt=require_dt) if windowed else {}
+    if windowed:
+        k_text = max(1, min(len(area), len(area) // recent_days))
+    else:
+        k_text = len(area)
+    text_engine = SimilarityEngine(
+        text_emb, area[key_col].tolist(), area[lv1_col].tolist(),
+        dts=([norm_dt(v) for v in area[dt_col]] if dt_col else None),
+        metric="ip", normalize=True, mesh=mesh, backend=backend,
+        approx_recall=approx_recall)
+    # +1: the reference appends, then breaks once len > ann_cnt
+    text_rules = FilterRules(score_threshold=nlp_score_th,
+                             same_category=True,
+                             max_neighbors=ann_cnt_nlp + 1, **rules_kw)
+    have = [k in sku_embs for k in area[key_col]]
+    cv_rows = area[have].reset_index(drop=True)
+    cv_engine = cv_rules = None
+    k_cv = 0
+    if len(cv_rows):
+        if windowed:
+            k_cv = max(1, min(len(cv_rows), len(cv_rows) // recent_days))
+            cv_cap = ann_cnt_cv + 1
+        else:
+            k_cv = min(ann_cnt_cv, len(cv_rows))
+            cv_cap = None        # v1 CV loop never breaks
+        cv_emb = np.stack([sku_embs[k] for k in cv_rows[key_col]])
+        cv_engine = SimilarityEngine(
+            cv_emb, cv_rows[key_col].tolist(), cv_rows[lv2_col].tolist(),
+            dts=([norm_dt(v) for v in cv_rows[dt_col]]
+                 if dt_col else None),
+            metric="ip", normalize=True, mesh=mesh, backend=backend,
+            approx_recall=approx_recall)
+        cv_rules = FilterRules(score_threshold=cv_score_th,
+                               same_category=True, max_neighbors=cv_cap,
+                               **rules_kw)
+    return DaodianAreaIndex(area=area, text_engine=text_engine,
+                            k_text=k_text, text_rules=text_rules,
+                            cv_rows=cv_rows, cv_engine=cv_engine,
+                            k_cv=k_cv, cv_rules=cv_rules)
+
+
+def area_merged_map(index: DaodianAreaIndex) -> Dict[str, List[str]]:
+    """The area's production answer: cv-first-then-text merged neighbor
+    map (daodian_infer.py:368-375)."""
+    nlp_map = index.text_engine.similar_map(index.k_text, index.text_rules)
+    cv_map = (index.cv_engine.similar_map(index.k_cv, index.cv_rules)
+              if index.cv_engine is not None else {})
+    return SimilarityEngine.merge(cv_map, nlp_map)
 
 
 def write_neighbor_map(sink: KVSink, neighbor_map: Dict[str, List[str]],
@@ -133,62 +231,18 @@ def daodian_similar_job(
         ttl_seconds = DAY_AND_HALF if date_key else WEEK
     require_dt = target_dt if target_dt is not None else date_key
     windowed = bool(require_dt and dt_col)
-
-    def norm_dt(v):
-        """'2026-08-16', '20260816', or date objects all compare equal —
-        the reference mixes raw SQL dt values with compacted key dates
-        (daodian_infer_v2_recent_days.py:242 vs :342); comparing them
-        verbatim would silently filter every neighbor out."""
-        return "".join(ch for ch in str(v) if ch.isdigit())
-
     require_dt = norm_dt(require_dt) if windowed else require_dt
     for area_id in df[area_col].unique():
         area = df[df[area_col] == area_id].reset_index(drop=True)
-        # text side: sentence vectors over gen_title'd rows
-        text_emb = embed_titles(area[title_col].astype(str).tolist())
-        rules_kw = dict(require_dt=require_dt) if windowed else {}
-        if windowed:
-            k_text = max(1, min(len(area), len(area) // recent_days))
-        else:
-            k_text = len(area)
-        text_engine = SimilarityEngine(
-            text_emb, area[key_col].tolist(), area[lv1_col].tolist(),
-            dts=([norm_dt(v) for v in area[dt_col]] if dt_col else None),
-            metric="ip", normalize=True, mesh=mesh, backend=backend,
+        index = build_area_index(
+            area, embed_titles, embed_skus(area), key_col=key_col,
+            title_col=title_col, lv1_col=lv1_col, lv2_col=lv2_col,
+            nlp_score_th=nlp_score_th, cv_score_th=cv_score_th,
+            ann_cnt_nlp=ann_cnt_nlp, ann_cnt_cv=ann_cnt_cv,
+            dt_col=dt_col, require_dt=require_dt if windowed else None,
+            recent_days=recent_days, mesh=mesh, backend=backend,
             approx_recall=approx_recall)
-        # +1: the reference appends, then breaks once len > ann_cnt
-        nlp_map = text_engine.similar_map(
-            k_text,
-            FilterRules(score_threshold=nlp_score_th, same_category=True,
-                        max_neighbors=ann_cnt_nlp + 1, **rules_kw))
-        # image side: cached multi-image mean embeddings
-        sku_embs = embed_skus(area)
-        have = [k in sku_embs for k in area[key_col]]
-        cv_rows = area[have].reset_index(drop=True)
-        if len(cv_rows):
-            if windowed:
-                k_cv = max(1, min(len(cv_rows),
-                                  len(cv_rows) // recent_days))
-                cv_cap = ann_cnt_cv + 1
-            else:
-                k_cv = min(ann_cnt_cv, len(cv_rows))
-                cv_cap = None        # v1 CV loop never breaks
-            cv_emb = np.stack([sku_embs[k] for k in cv_rows[key_col]])
-            cv_engine = SimilarityEngine(
-                cv_emb, cv_rows[key_col].tolist(),
-                cv_rows[lv2_col].tolist(),
-                dts=([norm_dt(v) for v in cv_rows[dt_col]]
-                     if dt_col else None),
-                metric="ip", normalize=True, mesh=mesh, backend=backend,
-                approx_recall=approx_recall)
-            cv_map = cv_engine.similar_map(
-                k_cv,
-                FilterRules(score_threshold=cv_score_th,
-                            same_category=True, max_neighbors=cv_cap,
-                            **rules_kw))
-        else:
-            cv_map = {}
-        merged = SimilarityEngine.merge(cv_map, nlp_map)
+        merged = area_merged_map(index)
         merged_all.update(merged)
         write_neighbor_map(sink, merged, ttl_seconds, key_fn)
     return merged_all

@@ -44,6 +44,7 @@ CASES = {
     "serve_cv.yaml": ["serve", "--data", "x"],
     "serve_multimodal.yaml": ["serve", "--data", "x"],
     "serve_fasttext.yaml": ["serve", "--data", "x"],
+    "serve_daodian.yaml": ["serve", "--data", "x"],
 }
 
 

@@ -24,7 +24,7 @@ CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(
 SERVING = ["similar_nlp", "similar_daodian_v1",
            "similar_daodian_v2_recent_days", "embed_bulk",
            "embed_incremental_bert", "serve", "serve_cv",
-           "serve_fasttext", "serve_multimodal"]
+           "serve_fasttext", "serve_multimodal", "serve_daodian"]
 
 
 @pytest.fixture(scope="module")
@@ -288,6 +288,72 @@ def test_serve_multimodal_config(artifacts):
         check_service=check_service)
     assert n == 24 and isinstance(res["neighbors"], list)
     assert all(g["key"] != "0" for g in res["neighbors"])
+
+
+def test_serve_daodian_config(artifacts):
+    """serve_daodian.yaml over real HTTP: both arms hot, the per-key
+    merged answer equals the batch job's on the same corpus."""
+    import threading
+    import urllib.request
+
+    from multimodalsimilar_tpu.cli import (_apply_yaml_config,
+                                           _inject_yaml_argv, build_parser)
+    from multimodalsimilar_tpu.cli.serve import _build_daodian_service
+    from multimodalsimilar_tpu.pipelines.daodian_serving import (
+        make_daodian_server)
+
+    cfg = os.path.join(CONFIG_DIR, "serve_daodian.yaml")
+    argv = ["serve", "--config", cfg, "--data", artifacts["data"],
+            "--fasttext_model", artifacts["ft"],
+            "--cv_checkpoint", artifacts["cv_ckpt"],
+            "--img_root", artifacts["img_root"],
+            "--backbone", "tiny", "--image_size", "16", "--fc_dim", "8",
+            "--cv_num_labels", "3", "--emb_cache", "", "--port", "0"]
+    parser = build_parser()
+    argv = _inject_yaml_argv(argv, parser)
+    args = parser.parse_args(argv)
+    _apply_yaml_config(args, argv)
+    assert args.tower == "daodian"           # from the YAML
+    assert args.area_col == "area_id"
+    service = _build_daodian_service(args)
+    service.warm()
+    # the job's own answer on the same corpus/arms (text arm identical;
+    # cv arm shares the ImageEmbedder's emb.txt cache written at build)
+    import pickle as _pickle
+
+    from multimodalsimilar_tpu.cli.similar import _sku_to_spusn
+    from multimodalsimilar_tpu.pipelines.similar import daodian_similar_job
+    from multimodalsimilar_tpu.pipelines.sinks import InMemoryKVSink
+    with open(artifacts["ft"], "rb") as f:
+        ft = _pickle.load(f)
+    from multimodalsimilar_tpu.cli.embedders import _load_cv_tower
+    model, variables = _load_cv_tower(args, artifacts["cv_ckpt"], 3)
+    from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
+    emb = ImageEmbedder(model, variables, image_size=16,
+                        cache_path_for_key=lambda k: os.path.join(
+                            artifacts["img_root"], str(k), "emb.txt"),
+                        emb_dim=8)
+    df = pd.read_csv(artifacts["data"])
+    expected = daodian_similar_job(
+        df, lambda tt: ft.get_sentence_vector(list(tt)),
+        lambda a: _sku_to_spusn(a, emb, args), InMemoryKVSink())
+    httpd = make_daodian_server(service, port=0, image_size=16)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        for key in df["spu_sn"].head(6):
+            req = urllib.request.Request(
+                base + "/similar",
+                data=json.dumps({"key": str(key)}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=60) as r:
+                got = json.loads(r.read())
+            assert got["neighbors"] == \
+                [str(x) for x in expected.get(str(key), [])], key
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
 
 
 def test_all_serving_configs_covered():
