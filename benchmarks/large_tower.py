@@ -176,7 +176,16 @@ def probe(points, preset="large", bf16_grads=False):
     for point in points:
         b, s = (int(x) for x in point.split(":"))
         for remat in (False, True):
-            c = _lower_train(preset, remat, b, s, bf16_grads).compile()
+            try:
+                c = _lower_train(preset, remat, b, s, bf16_grads).compile()
+            except Exception as e:
+                # keep probing: one OOM point must not kill the sweep
+                print(json.dumps({
+                    "mode": "probe", "preset": preset, "batch": b,
+                    "seq": s, "remat": remat, "bf16_grads": bf16_grads,
+                    "compile_failed": f"{type(e).__name__}",
+                    "detail": str(e).split("\n")[0][:200]}), flush=True)
+                continue
             m = c.memory_analysis()
             ca = c.cost_analysis()
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
@@ -243,7 +252,13 @@ if __name__ == "__main__":
     elif mode == "serve":
         serve_sweep()
     elif mode == "train":
+        if "rematonly" in args:
+            variants = (True,)
+        elif "noremat" in args:
+            variants = (False,)
+        else:
+            variants = (False, True)
         train_sweep(pts or ["128:128", "256:128", "256:48"],
-                    bf16_grads=bf16)
+                    remat_variants=variants, bf16_grads=bf16)
     else:
         raise SystemExit(f"unknown mode {mode}")

@@ -88,3 +88,64 @@ def test_native_encoder_matches_python_incl_unicode_space():
         pytest.skip("native packer unavailable on this host")
     np.testing.assert_array_equal(ids_n, ids_p)
     np.testing.assert_array_equal(mask_n, mask_p)
+
+
+def test_sparse_update_matches_dense_sgd_oracle():
+    """Round 4: train_supervised's sparse scatter-add embedding update is
+    BIT-level math with the dense-gradient SGD it replaced (the SGD
+    update is linear in the gradient, and .at[].add accumulates
+    duplicate ids exactly like the dense scatter). Oracle: the old dense
+    step, restated inline, driven over the same batch order."""
+    import jax
+    import numpy as np
+    import optax
+
+    from multimodalsimilar_tpu.models.fasttext import (
+        FastTextVocab, init_params, logits_fn, train_supervised)
+
+    texts = ["苹果 水果 甜", "香蕉 水果", "牛奶 乳品 鲜", "酸奶 乳品",
+             "苹果 甜", "牛奶 鲜"] * 6
+    labels = [0, 0, 1, 1, 0, 1] * 6
+    dim, epochs, lr, bs, mt = 6, 3, 0.1, 8, 8
+
+    model = train_supervised(texts, labels, dim=dim, lr=lr, epochs=epochs,
+                             word_ngrams=2, bucket=64, batch_size=bs,
+                             max_tokens=mt, seed=3)
+
+    # dense oracle with the exact same data pipeline and batch order
+    vocab = FastTextVocab.build(texts, 64, 1)
+    label_list = sorted(set(labels))
+    y = np.asarray([label_list.index(l) for l in labels], np.int32)
+    ids, mask = vocab.encode_batch(texts, mt, 2)
+    params = init_params(jax.random.key(3), vocab.size, dim,
+                         len(label_list))
+    n = len(texts)
+    spe = max(n // bs, 1)
+    sched = optax.linear_schedule(lr, 0.0, epochs * spe)
+    tx = optax.sgd(sched)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def dense_step(params, opt_state, bi, bm, by):
+        def loss_fn(p):
+            lg = logits_fn(p, bi, bm)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                lg, by).mean()
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state
+
+    rng = np.random.default_rng(3)
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        for s in range(spe):
+            sel = order[s * bs:(s + 1) * bs]
+            params, opt_state = dense_step(
+                params, opt_state, ids[sel], mask[sel], y[sel])
+
+    np.testing.assert_allclose(np.asarray(model.params["input"]),
+                               np.asarray(params["input"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(model.params["output"]),
+                               np.asarray(params["output"]),
+                               rtol=1e-5, atol=1e-6)
