@@ -10,9 +10,15 @@ job (daodian_infer.py:214,352). This reproduces that capability natively:
 * model = embedding-bag mean over token ids -> linear softmax head,
 * ``sentence_vector`` = mean of per-token vectors each L2-normalized
   (fastText's get_sentence_vector semantics),
-* training = the whole epoch loop is one jitted scan-free loop of dense
-  steps on TPU (at dim 100 the embedding matmul is tiny; batching beats
-  fastText's one-example SGD by orders of magnitude).
+* training = batched jitted SGD steps with a SPARSE embedding update
+  (grads land as a scatter-add of the gathered rows — bit-identical to
+  dense SGD, ~100x less memory traffic at fastText's default bucket=2M).
+  Measured at the reference config (PERF.md "fastText component"):
+  74.5k tokens/s on this host's ONE core (≈ C++ fastText's published
+  per-thread rate) and 175k tokens/s through the TPU relay (bounded by
+  per-step dispatch, not compute — fastText-style SGD is a host-scale
+  workload; the TPU path exists so the component shares the stack, not
+  because the chip is the right tool for dim-100 bags).
 
 This is capability parity, not bit parity: fastText's asynchronous hogwild
 SGD is nondeterministic, so the contract is matched accuracy on labeled data
