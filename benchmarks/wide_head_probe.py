@@ -148,9 +148,13 @@ def time_points(classes_list, fused_variants=(False, True), iters=6):
 
 
 if __name__ == "__main__":
+    args = sys.argv[1:]
+    if "cpu" in args:     # virtual-mesh runs (the sitecustomize pre-reads
+        import jax        # JAX_PLATFORMS, so the env var alone is too late)
+        jax.config.update("jax_platforms", "cpu")
+        args = [a for a in args if a != "cpu"]
     from multimodalsimilar_tpu.cli import _enable_compile_cache
     _enable_compile_cache()
-    args = sys.argv[1:]
     mode = args[0] if args else "probe"
     cs = [int(a) for a in args[1:] if a.isdigit()] or CLASSES
     if mode == "probe":

@@ -794,7 +794,7 @@ def test_sequence_parallel_train_step_matches_replicated():
                         _sp_cfg(sequence_parallel=True),
                         tensor_parallel=True, sequence_parallel=True)
     # the Trainer scopes the SP mesh per call — nothing may leak out
-    assert sp.applied_count() > 0 and sp._MESH is None
+    assert sp.applied_count() > 0 and sp._mesh() is None
     np.testing.assert_allclose(losses_s, losses_r, rtol=1e-4)
     for a, b in zip(jax.tree_util.tree_leaves(g_r),
                     jax.tree_util.tree_leaves(g_s)):
@@ -831,7 +831,7 @@ def test_sequence_parallel_hlo_and_memory():
     tp = compiled(_sp_cfg(**cfg_kw), tensor_parallel=True)
     tp_sp = compiled(_sp_cfg(sequence_parallel=True, **cfg_kw),
                      tensor_parallel=True, sequence_parallel=True)
-    assert sp._MESH is None   # lower() must scope, not leak
+    assert sp._mesh() is None   # lower() must scope, not leak
     hlo_tp, hlo_sp = tp.as_text(), tp_sp.as_text()
     assert hlo_sp.count(" all-reduce") < hlo_tp.count(" all-reduce")
     assert hlo_sp.count(" all-gather") > hlo_tp.count(" all-gather")
@@ -895,7 +895,7 @@ def test_cli_sequence_parallel(tmp_path):
           "--eval_every", "1000000", "--save_every", "1000000",
           "--log_every", "1000000"])
     assert (out / "ckpt").is_dir()
-    assert sp._MESH is None   # nothing leaked out of the run
+    assert sp._mesh() is None   # nothing leaked out of the run
 
 
 def test_cli_sequence_parallel_requires_tensor_parallel(tmp_path):
