@@ -91,8 +91,12 @@ def _decode_rate(jpegs, image_size, seconds=4.0):
 
 
 def main():
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1)   # kill -USR1 <pid> dumps stacks
     tower = sys.argv[1] if len(sys.argv) > 1 else "cv"
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    max_batch = int(sys.argv[3]) if len(sys.argv) > 3 else MAX_BATCH
     assert tower in ("cv", "multimodal")
     from multimodalsimilar_tpu.cli import (_build_serve_service,
                                            _enable_compile_cache,
@@ -124,7 +128,7 @@ def main():
             "--img_root", os.path.join(tmp, "none"),  # all keys hit table
             "--backbone", "efficientnet_b4", "--image_size",
             str(image_size), "--fc_dim", "512",
-            "--batch_size", str(MAX_BATCH), "--max_batch", str(MAX_BATCH),
+            "--batch_size", str(max_batch), "--max_batch", str(max_batch),
             "--emb_table", table, "--k", "13"]
     if tower == "cv":
         argv += ["--score_th=-2"]     # random vectors sit under the 0.15
@@ -166,6 +170,7 @@ def main():
     else:
         inproc_queries = decoded
     for c in LEVELS:
+        print(json.dumps({"mode": "inproc", "level_start": c}), flush=True)
         before = service.stats
         r = _closed_loop(lambda q: service.similar(q), inproc_queries, c,
                          _requests_for(c))
@@ -204,6 +209,8 @@ def main():
         json.loads(body)
 
     for c in LEVELS:
+        print(json.dumps({"mode": "http_b64", "level_start": c}),
+              flush=True)
         before = service.stats
         r = _closed_loop(http_call, list(range(512)), c,
                          _requests_for(c))

@@ -101,7 +101,13 @@ class TextEmbedder:
 
         run = jax.jit(tower)
         self.tower_fn = tower   # uncompiled: composable into fused programs
-        self._variables = variables
+        # device_put ONCE: host-resident param trees (fold_cv_classifier
+        # returns host numpy; some restores too) would otherwise re-upload
+        # per CALL — 76 MB of B4 weights ≈ 1.6 s/batch through the relay,
+        # measured as a flat ~2 s/request collapse of the whole image
+        # serving path (benchmarks/serving_cv_microprobe.py, round 4).
+        # No-op for already-on-device trees.
+        self._variables = jax.device_put(variables)
         self._run = lambda *a: run(self._variables, *a)
 
     def embed_device(self, texts: Sequence[str], pad_to: int = None):
@@ -240,7 +246,13 @@ class ImageEmbedder:
 
         run = jax.jit(tower)
         self.tower_fn = tower   # uncompiled: composable into fused programs
-        self._variables = variables
+        # device_put ONCE: host-resident param trees (fold_cv_classifier
+        # returns host numpy; some restores too) would otherwise re-upload
+        # per CALL — 76 MB of B4 weights ≈ 1.6 s/batch through the relay,
+        # measured as a flat ~2 s/request collapse of the whole image
+        # serving path (benchmarks/serving_cv_microprobe.py, round 4).
+        # No-op for already-on-device trees.
+        self._variables = jax.device_put(variables)
         self._run = lambda *a: run(self._variables, *a)
 
     def _pad_image_batch(self, images, pad: int) -> np.ndarray:
@@ -442,7 +454,13 @@ class MultimodalEmbedder:
 
         run = jax.jit(tower)
         self.tower_fn = tower   # uncompiled: composable into fused programs
-        self._variables = variables
+        # device_put ONCE: host-resident param trees (fold_cv_classifier
+        # returns host numpy; some restores too) would otherwise re-upload
+        # per CALL — 76 MB of B4 weights ≈ 1.6 s/batch through the relay,
+        # measured as a flat ~2 s/request collapse of the whole image
+        # serving path (benchmarks/serving_cv_microprobe.py, round 4).
+        # No-op for already-on-device trees.
+        self._variables = jax.device_put(variables)
         self._run = lambda *a: run(self._variables, *a)
 
     def _pad_pair_batch(self, pairs, pad: int):
