@@ -108,7 +108,10 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix=f"serving_load_{tower}_")
     image_size = 512 if tower == "cv" else 380
-    dim = 512 if tower == "cv" else 2560
+    # multimodal fused dim = fc_dim (cv neck) + 768 (text) at the
+    # CLI default fc_dim=512; the reference 2560 uses the raw 1792
+    # b4 features instead of a neck
+    dim = 512 if tower == "cv" else 1280
     data = os.path.join(tmp, "catalog.csv")
     pd.DataFrame({
         "spu_sn": [f"sku{i}" for i in range(rows)],
@@ -253,7 +256,8 @@ def _make_mm_checkpoint(path, image_size):
     img = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
 
     def init(ids, img):
-        return model.init({"params": jax.random.key(0)}, ids, img,
+        # signature: (images, input_ids, ...) — models/multimodal.py:64
+        return model.init({"params": jax.random.key(0)}, img, ids,
                           label=jnp.zeros(1, jnp.int32))
 
     variables = jax.jit(init)(ids, img)
