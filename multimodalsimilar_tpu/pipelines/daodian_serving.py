@@ -74,11 +74,21 @@ class DaodianService:
         self._embed_titles = embed_titles
         self._embed_skus = embed_skus
         self._embed_query_image = embed_query_image
+        # keys serve as STRINGS end-to-end (the KV layer strs them too,
+        # write_neighbor_map) — normalizing the column here keeps the
+        # merged maps' keys and the request's str key identical even for
+        # numeric spu_sn columns (pandas reads ids as int64; review
+        # finding: int-keyed maps made every lookup miss silently)
+        df = df.copy()
+        df[key_col] = df[key_col].astype(str)
         self._areas: Dict[str, pd.DataFrame] = {
             str(a): df[df[area_col] == a].reset_index(drop=True)
             for a in df[area_col].unique()}
         self._index: Dict[str, DaodianAreaIndex] = {}
         self._merged: Dict[str, Dict[str, List[str]]] = {}
+        self._key_area: Dict[str, str] = {
+            k: a for a, adf in self._areas.items()
+            for k in adf[key_col]}
         # one lock around index (re)builds and searches: engines and the
         # lazy caches are not thread-safe, and the ThreadingHTTPServer
         # handles each connection on its own thread
@@ -88,11 +98,13 @@ class DaodianService:
 
     @property
     def n(self) -> int:
-        return sum(len(a) for a in self._areas.values())
+        with self._lock:   # /healthz races /update's dict mutation
+            return sum(len(a) for a in self._areas.values())
 
     @property
     def areas(self) -> List[str]:
-        return sorted(self._areas)
+        with self._lock:
+            return sorted(self._areas)
 
     def _index_for(self, area_id: str) -> DaodianAreaIndex:
         idx = self._index.get(area_id)
@@ -121,13 +133,15 @@ class DaodianService:
 
     def _area_of_key(self, key: str,
                      area_id: Optional[str]) -> Optional[str]:
-        key_col = self._cols["key_col"]
-        cands = [area_id] if area_id is not None else self.areas
-        for a in cands:
-            df = self._areas.get(str(a))
-            if df is not None and (df[key_col].astype(str) == key).any():
-                return str(a)
-        return None
+        # O(1) via the maintained key->area map (review finding: a
+        # per-request O(corpus) pandas scan under the service lock
+        # serialized every other request behind it)
+        a = self._key_area.get(key)
+        if a is None:
+            return None
+        if area_id is not None and str(area_id) != a:
+            return None
+        return a
 
     # -- queries ------------------------------------------------------------
 
@@ -236,18 +250,32 @@ class DaodianService:
             a = str(it.get("area_id", it.get(self._area_col)))
             rows_by_area.setdefault(a, []).append(it)
         with self._lock:
+            invalidated = set(rows_by_area)
+            # a known key upserted into a DIFFERENT area must leave its
+            # old area (review finding: only the target area deduped, so
+            # the stale row kept answering from the old area)
+            for a, rows in rows_by_area.items():
+                for it in rows:
+                    old = self._key_area.get(str(it[key_col]))
+                    if old is not None and old != a:
+                        odf = self._areas[old]
+                        self._areas[old] = odf[
+                            odf[key_col] != str(it[key_col])
+                        ].reset_index(drop=True)
+                        invalidated.add(old)
             for a, rows in rows_by_area.items():
                 base = self._areas.get(a)
                 add = pd.DataFrame(rows).rename(
                     columns={"area_id": self._area_col})
+                add[key_col] = add[key_col].astype(str)
                 if self._area_col not in add.columns:
                     add[self._area_col] = a
                 if base is None:
                     base = add.iloc[:0]
                 # replace known keys, append new ones (engine.update's
                 # upsert discipline, at the DataFrame layer)
-                new_keys = set(add[key_col].astype(str))
-                kept = base[~base[key_col].astype(str).isin(new_keys)]
+                new_keys = set(add[key_col])
+                kept = base[~base[key_col].isin(new_keys)]
                 cols = list(base.columns) if len(base.columns) else \
                     list(add.columns)
                 for c in cols:
@@ -256,10 +284,13 @@ class DaodianService:
                 merged_df = pd.concat([kept, add[cols]],
                                       ignore_index=True)
                 self._areas[a] = merged_df
+                for k in new_keys:
+                    self._key_area[k] = a
+            for a in invalidated:
                 self._index.pop(a, None)
                 self._merged.pop(a, None)
             return {"updated": len(items),
-                    "areas_invalidated": sorted(rows_by_area),
+                    "areas_invalidated": sorted(invalidated),
                     "corpus": self.n}
 
 
@@ -284,12 +315,15 @@ class _DaodianHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
-        if self.path == "/healthz":
-            svc = self.server.service
-            self._reply(200, {"ok": True, "corpus": svc.n,
-                              "areas": svc.areas})
-        else:
-            self._reply(404, {"error": f"unknown path {self.path}"})
+        try:
+            if self.path == "/healthz":
+                svc = self.server.service
+                self._reply(200, {"ok": True, "corpus": svc.n,
+                                  "areas": svc.areas})
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+        except Exception as e:   # the health probe must answer, not die
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     def _decode_image(self, req):
         if req.get("image_b64") is None and req.get("image_path") is None:

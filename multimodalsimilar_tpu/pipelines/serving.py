@@ -47,22 +47,17 @@ key dedup preserving rank, optional self-key exclusion, cap at k.
 from __future__ import annotations
 
 import json
-import queue
 import threading
-import time
-from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
-_CLOSE = object()
-_UNSET = object()
-
-
 from multimodalsimilar_tpu.pipelines.microbatch import (  # noqa: F401
     _CLOSE, DeferredBatch, ImageQueryParser, MicroBatcher,
     MultimodalQueryParser, TextQueryParser)
+
+_UNSET = object()
 
 
 class SimilarityService:

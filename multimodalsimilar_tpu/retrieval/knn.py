@@ -109,19 +109,26 @@ def hbm_budget_bytes() -> float:
     memory accounting per (query_chunk, block) point.
     """
     import os
+    import sys
     gb = os.environ.get("MMS_KNN_HBM_BUDGET_GB")
     if gb:
-        return float(gb) * 1e9
+        return float(gb) * 1e9      # malformed values crash loudly
     frac = os.environ.get("MMS_KNN_HBM_FRACTION")
     if frac:
+        f = float(frac)             # same loud-crash discipline: a typo'd
+        # override silently sizing for 8 GB is the exact failure mode the
+        # knob exists to remove (review finding)
         try:
             import jax
             stats = jax.local_devices()[0].memory_stats() or {}
             limit = stats.get("bytes_limit")
-            if limit:
-                return float(frac) * float(limit)
         except Exception:
-            pass
+            limit = None
+        if limit:
+            return f * float(limit)
+        print("MMS_KNN_HBM_FRACTION set but the backend reports no "
+              "bytes_limit — falling back to the 8 GB default",
+              file=sys.stderr)
     return 8.0e9
 
 

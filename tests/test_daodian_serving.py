@@ -326,3 +326,46 @@ def test_cli_serve_daodian_requires_cv_or_text_only(tmp_path):
          "--fasttext_model", ft_path])
     with pytest.raises(SystemExit, match="cv_checkpoint"):
         _build_daodian_service(args)
+
+
+def test_daodian_service_numeric_keys_match_batch_job():
+    """Review finding (round 4): pandas reads numeric spu_sn as int64 —
+    the merged maps' keys and the request's str key must still match (the
+    original code returned empty neighbors for EVERY key on an int-keyed
+    corpus)."""
+    df = _corpus()
+    df["spu_sn"] = [101, 102, 201, 202, 301, 302, 303]   # int64 keys
+    df["sku"] = df["sku"].astype(int)
+    embed_titles = _embed_titles_factory()
+    embed_skus = _sku_embs_factory()
+    expected = daodian_similar_job(df, embed_titles, embed_skus,
+                                   InMemoryKVSink())
+    svc = DaodianService(df, embed_titles, embed_skus)
+    svc.warm()
+    hits = 0
+    for key in df["spu_sn"]:
+        got = svc.similar_key(key)            # int request key strs fine
+        assert got["neighbors"] == [str(x) for x in expected.get(key, [])]
+        hits += bool(got["neighbors"])
+    assert hits > 0                            # non-vacuous
+
+
+def test_daodian_service_update_moves_key_across_areas():
+    """Review finding (round 4): upserting a known key with a DIFFERENT
+    area must remove the stale row from its old area (not leave the key
+    answering from both)."""
+    df = _corpus()
+    svc = DaodianService(df, _embed_titles_factory(), _sku_embs_factory())
+    n0 = svc.n
+    out = svc.update([{
+        "spu_sn": "a1", "area_id": "2", "sku": "10",
+        "title": "可乐 饮料",
+        "first_level_category_id": 7, "second_level_category_id": 71}])
+    assert svc.n == n0                      # moved, not duplicated
+    assert set(out["areas_invalidated"]) == {"1", "2"}
+    got = svc.similar_key("a1")
+    assert got["area_id"] == "2"
+    assert "c1" in got["neighbors"]         # answers from the NEW area
+    # the old area no longer lists a1 as anyone's neighbor
+    for key in ("a2", "b1", "b2"):
+        assert "a1" not in svc.similar_key(key)["neighbors"]
