@@ -140,7 +140,10 @@ def main():
     import tempfile
 
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    warehouse = len(sys.argv) > 2 and sys.argv[2] == "warehouse"
+    warehouse = "warehouse" in sys.argv[2:]
+    # 'large' runs the reference's HEADLINE backbone through the daemon
+    # (roberta-wwm-ext-large; round-4 VERDICT #1's online complement)
+    preset = "large" if "large" in sys.argv[2:] else "base"
     from multimodalsimilar_tpu.cli import (_build_serve_service,
                                            _enable_compile_cache,
                                            _warm_serve_service,
@@ -161,7 +164,7 @@ def main():
             "--category_col", "lv1", "--max_length", "64",
             # the production text tower (nlp_infer.py's roberta-wwm-ext),
             # not the parser's tiny default — fresh weights, same FLOPs
-            "--bert_preset", "base",
+            "--bert_preset", preset,
             "--batch_size", str(MAX_BATCH), "--max_batch", str(MAX_BATCH),
             "--max_wait_ms", str(MAX_WAIT_MS), "--k", "13"]
     if warehouse:

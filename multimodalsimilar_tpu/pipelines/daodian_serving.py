@@ -86,9 +86,13 @@ class DaodianService:
             for a in df[area_col].unique()}
         self._index: Dict[str, DaodianAreaIndex] = {}
         self._merged: Dict[str, Dict[str, List[str]]] = {}
-        self._key_area: Dict[str, str] = {
-            k: a for a, adf in self._areas.items()
-            for k in adf[key_col]}
+        # a key may legitimately list in SEVERAL areas (the batch job's
+        # per-area loop answers it per area) — the map holds the set
+        self._key_areas: Dict[str, set] = {}
+        for a, adf in self._areas.items():
+            for k in adf[key_col]:
+                self._key_areas.setdefault(k, set()).add(a)
+        self._n = sum(len(a) for a in self._areas.values())
         # one lock around index (re)builds and searches: engines and the
         # lazy caches are not thread-safe, and the ThreadingHTTPServer
         # handles each connection on its own thread
@@ -98,13 +102,16 @@ class DaodianService:
 
     @property
     def n(self) -> int:
-        with self._lock:   # /healthz races /update's dict mutation
-            return sum(len(a) for a in self._areas.values())
+        # lock-FREE on purpose: /healthz must answer while a lazy area
+        # rebuild holds the lock for a whole embed (self-review finding —
+        # a blocked liveness probe gets a healthy server killed). int
+        # reads are atomic under the GIL; _n is maintained by update().
+        return self._n
 
     @property
     def areas(self) -> List[str]:
-        with self._lock:
-            return sorted(self._areas)
+        # list(dict) is a single C-level op (no mid-resize iteration)
+        return sorted(list(self._areas))
 
     def _index_for(self, area_id: str) -> DaodianAreaIndex:
         idx = self._index.get(area_id)
@@ -133,15 +140,17 @@ class DaodianService:
 
     def _area_of_key(self, key: str,
                      area_id: Optional[str]) -> Optional[str]:
-        # O(1) via the maintained key->area map (review finding: a
+        # O(1) via the maintained key->areas map (review finding: a
         # per-request O(corpus) pandas scan under the service lock
         # serialized every other request behind it)
-        a = self._key_area.get(key)
-        if a is None:
+        areas = self._key_areas.get(key)
+        if not areas:
             return None
-        if area_id is not None and str(area_id) != a:
-            return None
-        return a
+        if area_id is not None:
+            return str(area_id) if str(area_id) in areas else None
+        # no area given and the key lists in several: first sorted area,
+        # matching the old per-area scan order
+        return min(areas)
 
     # -- queries ------------------------------------------------------------
 
@@ -231,15 +240,24 @@ class DaodianService:
     def update(self, items: Sequence[dict]) -> dict:
         """Upsert corpus rows (the intraday analogue of tomorrow's batch
         pull): each item carries the corpus columns ({key, area_id, title,
-        lv1, lv2}, plus any the table had). Known keys get their row
-        replaced; new keys append. Affected areas drop their cached index
-        and rebuild lazily — the fastText arm re-embeds the area (a host
-        table mean, cheap), the CV arm re-runs embed_skus where the
-        embedder's cache makes old keys free."""
+        lv1, lv2}, plus any the table had).
+
+        The upsert unit is the **(area, key) ROW** — a spu may
+        legitimately list in several areas (the batch job's per-area SQL
+        pull does), so an item replaces the key's row in ITS area and
+        appends otherwise; listings in other areas are untouched (a
+        departed listing disappears with the next nightly rebuild, like
+        every other corpus deletion — the daemon is additive by design).
+        Items apply in order, each computed fully before any state is
+        assigned; duplicate (area, key) items in one batch: last wins.
+        Affected areas drop their cached index and rebuild lazily — the
+        fastText arm re-embeds the area (a host table mean, cheap), the
+        CV arm re-runs embed_skus where the embedder's cache makes old
+        keys free."""
         key_col = self._cols["key_col"]
         need = [key_col, "area_id", self._cols["title_col"],
                 self._cols["lv1_col"], self._cols["lv2_col"]]
-        rows_by_area: Dict[str, List[dict]] = {}
+        parsed = []
         for it in items:
             missing = [c for c in need
                        if c not in it and not (c == "area_id"
@@ -247,45 +265,36 @@ class DaodianService:
             if missing:
                 raise ValueError(f"update item missing {missing} "
                                  f"(need {need})")
-            a = str(it.get("area_id", it.get(self._area_col)))
-            rows_by_area.setdefault(a, []).append(it)
+            parsed.append((str(it.get("area_id", it.get(self._area_col))),
+                           str(it[key_col]), it))
         with self._lock:
-            invalidated = set(rows_by_area)
-            # a known key upserted into a DIFFERENT area must leave its
-            # old area (review finding: only the target area deduped, so
-            # the stale row kept answering from the old area)
-            for a, rows in rows_by_area.items():
-                for it in rows:
-                    old = self._key_area.get(str(it[key_col]))
-                    if old is not None and old != a:
-                        odf = self._areas[old]
-                        self._areas[old] = odf[
-                            odf[key_col] != str(it[key_col])
-                        ].reset_index(drop=True)
-                        invalidated.add(old)
-            for a, rows in rows_by_area.items():
+            invalidated = set()
+            # per-item, in order (last wins, like the micro-batcher's
+            # update discipline): each item is computed fully BEFORE any
+            # state is assigned, so a pandas error mid-batch leaves prior
+            # items applied and the failing one untouched — never a
+            # half-moved row (self-review finding)
+            for a, key, it in parsed:
                 base = self._areas.get(a)
-                add = pd.DataFrame(rows).rename(
+                row = pd.DataFrame([it]).rename(
                     columns={"area_id": self._area_col})
-                add[key_col] = add[key_col].astype(str)
-                if self._area_col not in add.columns:
-                    add[self._area_col] = a
+                row[key_col] = row[key_col].astype(str)
+                if self._area_col not in row.columns:
+                    row[self._area_col] = a
                 if base is None:
-                    base = add.iloc[:0]
-                # replace known keys, append new ones (engine.update's
-                # upsert discipline, at the DataFrame layer)
-                new_keys = set(add[key_col])
-                kept = base[~base[key_col].isin(new_keys)]
+                    base = row.iloc[:0]
+                kept = base[base[key_col] != key]
                 cols = list(base.columns) if len(base.columns) else \
-                    list(add.columns)
+                    list(row.columns)
                 for c in cols:
-                    if c not in add.columns:
-                        add[c] = None
-                merged_df = pd.concat([kept, add[cols]],
-                                      ignore_index=True)
-                self._areas[a] = merged_df
-                for k in new_keys:
-                    self._key_area[k] = a
+                    if c not in row.columns:
+                        row[c] = None
+                new_df = pd.concat([kept, row[cols]], ignore_index=True)
+                # all computed — assign
+                self._n += len(new_df) - len(base)
+                self._areas[a] = new_df
+                self._key_areas.setdefault(key, set()).add(a)
+                invalidated.add(a)
             for a in invalidated:
                 self._index.pop(a, None)
                 self._merged.pop(a, None)
@@ -315,15 +324,15 @@ class _DaodianHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
-        try:
-            if self.path == "/healthz":
-                svc = self.server.service
-                self._reply(200, {"ok": True, "corpus": svc.n,
-                                  "areas": svc.areas})
-            else:
-                self._reply(404, {"error": f"unknown path {self.path}"})
-        except Exception as e:   # the health probe must answer, not die
-            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+        if self.path != "/healthz":
+            return self._reply(404, {"error": f"unknown path {self.path}"})
+        svc = self.server.service
+        try:   # gather OUTSIDE _reply: a failed write must not trigger a
+            # second status line on the kept-alive socket (self-review)
+            payload = {"ok": True, "corpus": svc.n, "areas": svc.areas}
+        except Exception as e:
+            return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+        self._reply(200, payload)
 
     def _decode_image(self, req):
         if req.get("image_b64") is None and req.get("image_path") is None:

