@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def main(n=32768, max_length=80, batch=256):
+def main(n=32768, max_length=80, batch=256, preset="base"):
     from multimodalsimilar_tpu.cli import _enable_compile_cache
     _enable_compile_cache()
     import jax
@@ -45,7 +45,9 @@ def main(n=32768, max_length=80, batch=256):
     texts = [titles[i] for i in rng.integers(0, len(titles), size=n)]
 
     tok = TextTokenizer.from_corpus(titles)
-    cfg = BertConfig.roberta_wwm_ext()
+    make = {"base": BertConfig.roberta_wwm_ext,
+            "large": BertConfig.roberta_wwm_ext_large}[preset]
+    cfg = make()
     model = NlpTextClassifier(cfg, num_labels=10205,
                               policy=DTypePolicy.inference())
     sample = tok(["x"], max_length)
@@ -88,4 +90,7 @@ def main(n=32768, max_length=80, batch=256):
 
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]))
+    args = sys.argv[1:]
+    preset = "large" if "large" in args else "base"
+    nums = [int(a) for a in args if a.isdigit()]
+    main(*nums, preset=preset)
