@@ -18,7 +18,6 @@ def cmd_eval(args):
     from multimodalsimilar_tpu.data.datasets import (
         TextClassificationSource, read_table)
     from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
-    from multimodalsimilar_tpu.parallel.mesh import create_mesh
     from multimodalsimilar_tpu.train.optim import dual_group_adamw
     from multimodalsimilar_tpu.train.tasks import text_arcface_task
     from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig

@@ -91,7 +91,6 @@ def cmd_similar_multimodal(args):
 
 def cmd_similar_daodian(args):
     """daodian_infer capability: per-area fastText + CV merge, KV write."""
-    import pickle
     import numpy as np
     from multimodalsimilar_tpu.data.datasets import read_table
     from multimodalsimilar_tpu.data.text import gen_title

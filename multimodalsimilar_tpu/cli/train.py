@@ -402,7 +402,6 @@ def cmd_train_multimodal(args):
                          "ignore it")
     from multimodalsimilar_tpu.data.datasets import (
         MultimodalSource, read_table)
-    from multimodalsimilar_tpu.data.tokenizer import TextTokenizer
     from multimodalsimilar_tpu.models.multimodal import MultimodalClassifier
     from multimodalsimilar_tpu.models.vision import backbone_config
     from multimodalsimilar_tpu.train.tasks import multimodal_arcface_task
