@@ -93,10 +93,18 @@ class DaodianService:
             for k in adf[key_col]:
                 self._key_areas.setdefault(k, set()).add(a)
         self._n = sum(len(a) for a in self._areas.values())
-        # one lock around index (re)builds and searches: engines and the
-        # lazy caches are not thread-safe, and the ThreadingHTTPServer
-        # handles each connection on its own thread
+        self._version: Dict[str, int] = {}
+        # _lock guards corpus STATE (dfs, caches, maps) and is held only
+        # for dict/DataFrame work — never across an embed. Area builds
+        # (a full fastText+CV embed + self-search, ~tens of seconds at
+        # production scale) run OUTSIDE it on a snapshot and re-validate
+        # the area's version before caching, so one rebuilding area never
+        # stalls readers of the others (measured 26.7 s post-update first
+        # hit at 20k x 4 areas, benchmarks/daodian_daemon_bench.py).
+        # _build_lock serializes builds: concurrent first-hits on the
+        # same cold area would otherwise duplicate the whole embed.
         self._lock = threading.RLock()
+        self._build_lock = threading.Lock()
 
     # -- corpus state -------------------------------------------------------
 
@@ -113,30 +121,41 @@ class DaodianService:
         # list(dict) is a single C-level op (no mid-resize iteration)
         return sorted(list(self._areas))
 
-    def _index_for(self, area_id: str) -> DaodianAreaIndex:
-        idx = self._index.get(area_id)
-        if idx is None:
-            area = self._areas[area_id]
+    def _get_or_build(self, area_id: str
+                      ) -> tuple[DaodianAreaIndex, Dict[str, List[str]]]:
+        """(index, merged map) for the area — cached, or built OUTSIDE
+        the state lock from a snapshot. The result is always consistent
+        with the snapshot this request saw; it is cached only if the
+        area hasn't changed meanwhile (version check)."""
+        with self._lock:
+            idx = self._index.get(area_id)
+            m = self._merged.get(area_id)
+            if idx is not None and m is not None:
+                return idx, m
+        with self._build_lock:      # one build at a time (thundering herd)
+            with self._lock:
+                idx = self._index.get(area_id)
+                m = self._merged.get(area_id)
+                if idx is not None and m is not None:
+                    return idx, m   # built while we waited
+                area = self._areas[area_id]
+                ver = self._version.get(area_id, 0)
             idx = build_area_index(area, self._embed_titles,
                                    self._embed_skus(area),
                                    **self._cols, **self._params)
-            self._index[area_id] = idx
-        return idx
-
-    def _merged_for(self, area_id: str) -> Dict[str, List[str]]:
-        m = self._merged.get(area_id)
-        if m is None:
-            m = area_merged_map(self._index_for(area_id))
-            self._merged[area_id] = m
-        return m
+            m = area_merged_map(idx)
+            with self._lock:
+                if self._version.get(area_id, 0) == ver:
+                    self._index[area_id] = idx
+                    self._merged[area_id] = m
+            return idx, m
 
     def warm(self) -> None:
         """Build every area's index + merged map before accepting traffic
         (first-request latency would otherwise include the area's whole
         embed + search)."""
-        with self._lock:
-            for a in self._areas:
-                self._merged_for(a)
+        for a in self.areas:
+            self._get_or_build(a)
 
     def _area_of_key(self, key: str,
                      area_id: Optional[str]) -> Optional[str]:
@@ -164,9 +183,9 @@ class DaodianService:
             a = self._area_of_key(key, area_id)
             if a is None:
                 raise KeyError(key)
-            merged = self._merged_for(a)
-            return {"key": key, "area_id": a,
-                    "neighbors": [str(x) for x in merged.get(key, [])]}
+        _, merged = self._get_or_build(a)
+        return {"key": key, "area_id": a,
+                "neighbors": [str(x) for x in merged.get(key, [])]}
 
     def _filter_ranked(self, scores, idx, engine, category,
                        score_th, cap) -> List[dict]:
@@ -204,40 +223,41 @@ class DaodianService:
             if area_id not in self._areas:
                 raise KeyError(f"unknown area_id {area_id!r} "
                                f"(have: {self.areas})")
-            index = self._index_for(area_id)
-            p = self._params
-            tvec = np.asarray(self._embed_titles([str(title)]), np.float32)
-            ts, ti = index.text_engine.search(index.k_text, queries=tvec)
-            text_ranked = self._filter_ranked(
-                ts, ti, index.text_engine, lv1, p["nlp_score_th"],
-                p["ann_cnt_nlp"] + 1)
-            cv_ranked: List[dict] = []
-            if image is not None:
-                if self._embed_query_image is None:
-                    raise ValueError(
-                        "image query but the CV arm is not loaded "
-                        "(--text_only or no --cv_checkpoint)")
-                if index.cv_engine is not None:
-                    ivec = np.asarray(self._embed_query_image(image),
-                                      np.float32).reshape(1, -1)
-                    cs, ci = index.cv_engine.search(index.k_cv,
-                                                    queries=ivec)
-                    cv_ranked = self._filter_ranked(
-                        cs, ci, index.cv_engine, lv2, p["cv_score_th"],
-                        None)
-            merged, seen = [], set()
-            for item in cv_ranked + text_ranked:    # cv-first merge
-                if item["key"] in seen:
-                    continue
-                seen.add(item["key"])
-                merged.append(item)
-            return {"area_id": area_id, "neighbors": merged,
-                    "cv_neighbors": len(cv_ranked),
-                    "text_neighbors": len(text_ranked)}
+        index, _ = self._get_or_build(area_id)
+        p = self._params
+        tvec = np.asarray(self._embed_titles([str(title)]), np.float32)
+        ts, ti = index.text_engine.search(index.k_text, queries=tvec)
+        text_ranked = self._filter_ranked(
+            ts, ti, index.text_engine, lv1, p["nlp_score_th"],
+            p["ann_cnt_nlp"] + 1)
+        cv_ranked: List[dict] = []
+        if image is not None:
+            if self._embed_query_image is None:
+                raise ValueError(
+                    "image query but the CV arm is not loaded "
+                    "(--text_only or no --cv_checkpoint)")
+            if index.cv_engine is not None:
+                ivec = np.asarray(self._embed_query_image(image),
+                                  np.float32).reshape(1, -1)
+                cs, ci = index.cv_engine.search(index.k_cv,
+                                                queries=ivec)
+                cv_ranked = self._filter_ranked(
+                    cs, ci, index.cv_engine, lv2, p["cv_score_th"],
+                    None)
+        merged, seen = [], set()
+        for item in cv_ranked + text_ranked:    # cv-first merge
+            if item["key"] in seen:
+                continue
+            seen.add(item["key"])
+            merged.append(item)
+        return {"area_id": area_id, "neighbors": merged,
+                "cv_neighbors": len(cv_ranked),
+                "text_neighbors": len(text_ranked)}
 
     # -- updates ------------------------------------------------------------
 
-    def update(self, items: Sequence[dict]) -> dict:
+    def update(self, items: Sequence[dict], rebuild: bool = True
+               ) -> dict:
         """Upsert corpus rows (the intraday analogue of tomorrow's batch
         pull): each item carries the corpus columns ({key, area_id, title,
         lv1, lv2}, plus any the table had).
@@ -250,10 +270,13 @@ class DaodianService:
         every other corpus deletion — the daemon is additive by design).
         Items apply in order, each computed fully before any state is
         assigned; duplicate (area, key) items in one batch: last wins.
-        Affected areas drop their cached index and rebuild lazily — the
-        fastText arm re-embeds the area (a host table mean, cheap), the
-        CV arm re-runs embed_skus where the embedder's cache makes old
-        keys free."""
+        Affected areas drop their cached index; with ``rebuild`` (the
+        default) the update call itself re-indexes them after releasing
+        the state lock — the updater pays, readers stay fast and other
+        areas are never blocked. ``rebuild=False`` defers to the next
+        reader (HTTP: ``"rebuild": false``). The fastText arm re-embeds
+        the area (a host table mean, cheap); the CV arm re-runs
+        embed_skus where the embedder's cache makes old keys free."""
         key_col = self._cols["key_col"]
         need = [key_col, "area_id", self._cols["title_col"],
                 self._cols["lv1_col"], self._cols["lv2_col"]]
@@ -296,11 +319,20 @@ class DaodianService:
                 self._key_areas.setdefault(key, set()).add(a)
                 invalidated.add(a)
             for a in invalidated:
+                self._version[a] = self._version.get(a, 0) + 1
                 self._index.pop(a, None)
                 self._merged.pop(a, None)
-            return {"updated": len(items),
-                    "areas_invalidated": sorted(invalidated),
-                    "corpus": self.n}
+            out = {"updated": len(items),
+                   "areas_invalidated": sorted(invalidated),
+                   "corpus": self.n}
+        if rebuild:
+            # the UPDATER pays the re-index (outside the state lock, so
+            # readers of other areas never stall) and leaves the caches
+            # hot — without this, a random reader's next hit on the area
+            # paid the whole rebuild (26.7 s at 20k x 4 areas, measured)
+            for a in sorted(invalidated):
+                self._get_or_build(a)
+        return out
 
 
 # -- HTTP ------------------------------------------------------------------
@@ -388,7 +420,8 @@ class _DaodianHandler(BaseHTTPRequestHandler):
                         "error": "need 'items': [{key, area_id, title, "
                                  "lv1..., lv2...}, ...]"})
                 try:
-                    return self._reply(200, svc.update(items))
+                    return self._reply(200, svc.update(
+                        items, rebuild=bool(req.get("rebuild", True))))
                 except ValueError as e:
                     return self._reply(400, {"error": str(e)})
             return self._reply(404, {"error": f"unknown path {self.path}"})

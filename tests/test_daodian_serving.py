@@ -405,3 +405,46 @@ def test_daodian_service_same_key_two_areas_one_batch():
     assert (a1["spu_sn"] == "z1").sum() == 1
     assert a1.loc[a1["spu_sn"] == "z1", "title"].iloc[0] == "苹果 鲜果"
     assert svc.similar_key("z1", area_id="2")["area_id"] == "2"
+
+
+def test_daodian_rebuild_does_not_block_other_areas():
+    """Round 4 (measured 26.7 s post-update first hit): area builds run
+    OUTSIDE the state lock — while area 1 rebuilds (slow embed), readers
+    of area 2 answer from their warm cache immediately."""
+    import time
+
+    gate = threading.Event()
+    base_embed = _embed_titles_factory()
+    slow_areas = {"on": False}
+
+    def slow_embed(titles):
+        if slow_areas["on"] and len(titles) > 1:   # area-corpus embeds
+            gate.wait(timeout=30)
+        return base_embed(titles)
+
+    svc = DaodianService(_corpus(), slow_embed, _sku_embs_factory())
+    svc.warm()                          # fast: gate off
+    slow_areas["on"] = True
+    svc.update([{"spu_sn": "a9", "area_id": "1", "sku": "19",
+                 "title": "苹果 水果", "first_level_category_id": 5,
+                 "second_level_category_id": 51}], rebuild=False)
+
+    results = {}
+
+    def hit_area1():
+        t0 = time.perf_counter()
+        results["a1"] = svc.similar_key("a1")
+        results["a1_s"] = time.perf_counter() - t0
+
+    t = threading.Thread(target=hit_area1)
+    t.start()
+    time.sleep(0.3)                     # let the rebuild start + block
+    t0 = time.perf_counter()
+    got = svc.similar_key("c1")         # area 2: warm cache, must not wait
+    dt = time.perf_counter() - t0
+    assert dt < 1.0, f"area-2 read stalled {dt:.1f}s behind area-1 rebuild"
+    assert got["neighbors"]
+    gate.set()
+    t.join(timeout=30)
+    assert "a9" in results["a1"]["neighbors"]     # rebuild landed
+    assert results["a1_s"] > 0.25                 # it really was blocked
