@@ -8,7 +8,9 @@ This measures the two costs that matter operationally:
   compute, held hot) — run on the real chip;
 * steady-state /similar {"key"} lookups over real HTTP (closed loop) —
   pure host work, the daemon's serving ceiling;
-* one /update + re-query: the lazy area re-index paid by the next hit.
+* one /update each way: rebuild=True (the re-index cost inside the
+  update call itself — the updater pays, the next hit is warm) and
+  rebuild=False (deferred — the next reader's first hit pays it).
 
 Run on the TPU:  python benchmarks/daodian_daemon_bench.py [rows] [areas]
 """
@@ -25,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-from serving_load import _closed_loop  # noqa: E402
+from serving_load import _closed_loop, make_http_client  # noqa: E402
 
 
 def main(rows=20_000, areas=4):
@@ -69,42 +71,39 @@ def main(rows=20_000, areas=4):
     httpd = make_daodian_server(svc, port=0)
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
-    import http.client
-    tls = threading.local()
     keys = [f"s{int(i)}" for i in rng.integers(0, rows, 512)]
-
-    def call(key):
-        conn = getattr(tls, "conn", None)
-        if conn is None:
-            conn = http.client.HTTPConnection("127.0.0.1", port,
-                                              timeout=120)
-            tls.conn = conn
-        try:
-            conn.request("POST", "/similar",
-                         body=json.dumps({"key": key}),
-                         headers={"Content-Type": "application/json"})
-            r = conn.getresponse()
-            body = r.read()
-        except Exception:
-            tls.conn = None
-            conn.close()
-            raise
-        if r.status != 200:
-            raise RuntimeError(f"HTTP {r.status}: {body[:120]!r}")
+    call = make_http_client(port, lambda key: {"key": key})
 
     for c in (1, 16, 64):
         r = _closed_loop(call, keys, c, max(512, 16 * c))
         print(json.dumps({"mode": "key_lookup", "concurrency": c, **r}),
               flush=True)
 
-    # lazy re-index cost after one upsert (the next hit on that area pays
-    # the area's whole rebuild)
-    svc.update([{"spu_sn": "sNEW", "area_id": "0", "sku": "999999",
-                 "title": titles[0], "first_level_category_id": 0,
-                 "second_level_category_id": 0}])
+    # cost accounting after one upsert: rebuild=True moves the area's
+    # whole re-index INTO the update call (updater pays; timed here —
+    # the cost did not vanish, it moved), and the next reader hit is
+    # then cache-warm
+    item = {"spu_sn": "sNEW", "area_id": "0", "sku": "999999",
+            "title": titles[0], "first_level_category_id": 0,
+            "second_level_category_id": 0}
+    t0 = time.perf_counter()
+    svc.update([item])
+    update_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     svc.similar_key("sNEW")
-    print(json.dumps({"post_update_first_hit_s":
+    print(json.dumps({"update_rebuild_s": round(update_s, 2),
+                      "post_update_first_hit_s":
+                      round(time.perf_counter() - t0, 2)}), flush=True)
+    # rebuild=False defers the re-index to the next reader: that first
+    # hit pays the area's whole rebuild
+    item["title"] = titles[1]
+    t0 = time.perf_counter()
+    svc.update([item], rebuild=False)
+    update_defer_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    svc.similar_key("sNEW")
+    print(json.dumps({"update_deferred_s": round(update_defer_s, 3),
+                      "deferred_first_hit_s":
                       round(time.perf_counter() - t0, 2)}), flush=True)
     httpd.shutdown()
     httpd.server_close()

@@ -68,6 +68,39 @@ def _make_corpus(path, rows):
     return titles
 
 
+def make_http_client(port, make_body, path="/similar",
+                     host="127.0.0.1", timeout=120):
+    """Thread-local keep-alive POST client (one persistent HTTP/1.1
+    connection per worker thread — ThreadingHTTPServer spawns a thread
+    per CONNECTION, so connection-per-request doubles as thread churn
+    on this 1-CPU host). ``make_body(q) -> dict`` builds the JSON
+    payload. Raises on non-200 (http.client never raises on HTTP
+    errors — a 500 counted as a successful latency would hide a broken
+    server) and validates the response body parses as JSON."""
+    import http.client
+    tls = threading.local()
+
+    def call(q):
+        conn = getattr(tls, "conn", None)
+        if conn is None:
+            conn = http.client.HTTPConnection(host, port, timeout=timeout)
+            tls.conn = conn
+        try:
+            conn.request("POST", path, body=json.dumps(make_body(q)),
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            data = resp.read()
+        except Exception:
+            tls.conn = None
+            conn.close()
+            raise
+        if resp.status != 200:
+            raise RuntimeError(f"HTTP {resp.status}: {data[:200]!r}")
+        return json.loads(data)
+
+    return call
+
+
 def _closed_loop(call, queries, concurrency, n_requests):
     """``concurrency`` threads each issue requests back-to-back until
     ``n_requests`` total have completed; per-request latencies recorded.
@@ -246,32 +279,10 @@ def main():
     # (one persistent connection per worker — the server speaks HTTP/1.1,
     # and ThreadingHTTPServer spawns a thread per CONNECTION, so
     # connection-per-request doubled as thread churn on this 1-CPU host)
-    import http.client
     httpd = make_server(service, "127.0.0.1", 0)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     port = httpd.server_address[1]
-    tls = threading.local()
-
-    def http_call(q):
-        conn = getattr(tls, "conn", None)
-        if conn is None:
-            conn = http.client.HTTPConnection("127.0.0.1", port,
-                                              timeout=120)
-            tls.conn = conn
-        try:
-            conn.request("POST", "/similar", body=json.dumps({"text": q}),
-                         headers={"Content-Type": "application/json"})
-            resp = conn.getresponse()
-            data = resp.read()
-        except Exception:
-            tls.conn = None
-            conn.close()
-            raise
-        # http.client never raises on HTTP errors (urllib did): a 500
-        # counted as a successful latency would hide a broken server
-        if resp.status != 200:
-            raise RuntimeError(f"HTTP {resp.status}: {data[:200]!r}")
-        json.loads(data)
+    http_call = make_http_client(port, lambda q: {"text": q})
 
     for c in (16,):
         before = service.stats

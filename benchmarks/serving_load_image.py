@@ -37,7 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-from serving_load import _closed_loop, _level_stats, _requests_for  # noqa: E402
+from serving_load import (_closed_loop, _level_stats,  # noqa: E402
+                          _requests_for, make_http_client)
 from serving_roofline import pool_probe  # noqa: E402
 
 LEVELS = (1, 4, 16, 64)
@@ -182,34 +183,18 @@ def main():
               flush=True)
 
     # real HTTP with base64 payloads: + handler-thread decode
-    import http.client
     httpd = make_server(service, "127.0.0.1", 0)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     port = httpd.server_address[1]
     b64s = [base64.b64encode(r).decode() for r in jpegs]
-    tls = threading.local()
 
-    def http_call(i):
-        conn = getattr(tls, "conn", None)
-        if conn is None:
-            conn = http.client.HTTPConnection("127.0.0.1", port,
-                                              timeout=300)
-            tls.conn = conn
+    def _body(i):
         payload = {"image_b64": b64s[i % len(b64s)]}
         if tower == "multimodal":
             payload["text"] = f"商品 查询{i}"
-        try:
-            conn.request("POST", "/similar", body=json.dumps(payload),
-                         headers={"Content-Type": "application/json"})
-            resp = conn.getresponse()
-            body = resp.read()
-        except Exception:
-            tls.conn = None
-            conn.close()
-            raise
-        if resp.status != 200:
-            raise RuntimeError(f"HTTP {resp.status}: {body[:200]!r}")
-        json.loads(body)
+        return payload
+
+    http_call = make_http_client(port, _body, timeout=300)
 
     for c in LEVELS:
         print(json.dumps({"mode": "http_b64", "level_start": c}),

@@ -46,6 +46,13 @@ class DaodianService:
     (cache-backed multi-image mean, may miss keys without images) — the
     exact contracts daodian_similar_job takes. ``embed_query_image``
     (optional) embeds ONE decoded uint8 image for ad-hoc image queries.
+
+    Thread safety: the embed callables MAY be invoked concurrently — an
+    ad-hoc query's embed can overlap another area's (or, after an
+    /update, the same area's) rebuild embed, which runs outside the
+    state lock by design. Jitted JAX functions and the shipped
+    embedders satisfy this; wrap a stateful host-side embedder (shared
+    RNG, mutable cache dict) in its own lock before passing it in.
     """
 
     def __init__(self, df: pd.DataFrame,
@@ -101,10 +108,13 @@ class DaodianService:
         # the area's version before caching, so one rebuilding area never
         # stalls readers of the others (measured 26.7 s post-update first
         # hit at 20k x 4 areas, benchmarks/daodian_daemon_bench.py).
-        # _build_lock serializes builds: concurrent first-hits on the
-        # same cold area would otherwise duplicate the whole embed.
+        # _build_locks serialize builds PER AREA: concurrent first-hits
+        # on the same cold area would otherwise duplicate the whole
+        # embed, while a slow rebuild of one area must not stall the
+        # first hit on a different cold area (review finding: a single
+        # global build lock did exactly that).
         self._lock = threading.RLock()
-        self._build_lock = threading.Lock()
+        self._build_locks: Dict[str, threading.Lock] = {}
 
     # -- corpus state -------------------------------------------------------
 
@@ -121,33 +131,51 @@ class DaodianService:
         # list(dict) is a single C-level op (no mid-resize iteration)
         return sorted(list(self._areas))
 
-    def _get_or_build(self, area_id: str
-                      ) -> tuple[DaodianAreaIndex, Dict[str, List[str]]]:
+    def _get_or_build(self, area_id: str, need_merged: bool = True
+                      ) -> tuple[DaodianAreaIndex,
+                                 Optional[Dict[str, List[str]]]]:
         """(index, merged map) for the area — cached, or built OUTSIDE
         the state lock from a snapshot. The result is always consistent
         with the snapshot this request saw; it is cached only if the
-        area hasn't changed meanwhile (version check)."""
-        with self._lock:
+        area hasn't changed meanwhile (version check).
+
+        ``need_merged=False`` (ad-hoc queries) builds/returns only the
+        engines: the merged map is the full both-arm whole-area
+        self-search — the dominant build cost — and an ad-hoc-query-only
+        deployment never reads it (review finding: eagerly merging made
+        the first similar_query pay for a map nothing consumes)."""
+        def _cached():
             idx = self._index.get(area_id)
             m = self._merged.get(area_id)
-            if idx is not None and m is not None:
+            if idx is not None and (m is not None or not need_merged):
                 return idx, m
-        with self._build_lock:      # one build at a time (thundering herd)
+            return None
+        with self._lock:
+            hit = _cached()
+            if hit is not None:
+                return hit
+            # per-area lock (thundering herd on ONE area; others build
+            # concurrently)
+            block = self._build_locks.setdefault(area_id,
+                                                 threading.Lock())
+        with block:
             with self._lock:
-                idx = self._index.get(area_id)
-                m = self._merged.get(area_id)
-                if idx is not None and m is not None:
-                    return idx, m   # built while we waited
+                hit = _cached()
+                if hit is not None:
+                    return hit      # built while we waited
+                idx = self._index.get(area_id)   # engines may be hot
                 area = self._areas[area_id]
                 ver = self._version.get(area_id, 0)
-            idx = build_area_index(area, self._embed_titles,
-                                   self._embed_skus(area),
-                                   **self._cols, **self._params)
-            m = area_merged_map(idx)
+            if idx is None:
+                idx = build_area_index(area, self._embed_titles,
+                                       self._embed_skus(area),
+                                       **self._cols, **self._params)
+            m = area_merged_map(idx) if need_merged else None
             with self._lock:
                 if self._version.get(area_id, 0) == ver:
                     self._index[area_id] = idx
-                    self._merged[area_id] = m
+                    if m is not None:
+                        self._merged[area_id] = m
             return idx, m
 
     def warm(self) -> None:
@@ -223,7 +251,7 @@ class DaodianService:
             if area_id not in self._areas:
                 raise KeyError(f"unknown area_id {area_id!r} "
                                f"(have: {self.areas})")
-        index, _ = self._get_or_build(area_id)
+        index, _ = self._get_or_build(area_id, need_merged=False)
         p = self._params
         tvec = np.asarray(self._embed_titles([str(title)]), np.float32)
         ts, ti = index.text_engine.search(index.k_text, queries=tvec)
@@ -274,7 +302,10 @@ class DaodianService:
         default) the update call itself re-indexes them after releasing
         the state lock — the updater pays, readers stay fast and other
         areas are never blocked. ``rebuild=False`` defers to the next
-        reader (HTTP: ``"rebuild": false``). The fastText arm re-embeds
+        reader (HTTP: ``"rebuild": false``). The upsert commits before
+        any re-index: a failed area rebuild is reported under
+        ``"rebuild_errors"`` (the area rebuilds on its next read)
+        rather than failing the already-applied update. The fastText arm re-embeds
         the area (a host table mean, cheap); the CV arm re-runs
         embed_skus where the embedder's cache makes old keys free."""
         key_col = self._cols["key_col"]
@@ -329,9 +360,22 @@ class DaodianService:
             # the UPDATER pays the re-index (outside the state lock, so
             # readers of other areas never stall) and leaves the caches
             # hot — without this, a random reader's next hit on the area
-            # paid the whole rebuild (26.7 s at 20k x 4 areas, measured)
+            # paid the whole rebuild (26.7 s at 20k x 4 areas, measured).
+            # The upsert above is already COMMITTED: a rebuild failure
+            # (transient embed/relay error) must not fail the request or
+            # abandon the remaining areas — it is reported per area and
+            # the cache stays invalidated, so the next reader retries
+            # (review finding: one failing area raised out of update(),
+            # the handler replied 500 for a committed upsert, and the
+            # other invalidated areas were never pre-warmed).
+            errors = {}
             for a in sorted(invalidated):
-                self._get_or_build(a)
+                try:
+                    self._get_or_build(a)
+                except Exception as e:   # noqa: BLE001 — reported, not lost
+                    errors[a] = f"{type(e).__name__}: {e}"
+            if errors:
+                out["rebuild_errors"] = errors
         return out
 
 
@@ -419,9 +463,16 @@ class _DaodianHandler(BaseHTTPRequestHandler):
                     return self._reply(400, {
                         "error": "need 'items': [{key, area_id, title, "
                                  "lv1..., lv2...}, ...]"})
+                rb = req.get("rebuild", True)
+                if not isinstance(rb, bool):
+                    # bool("false") is True — a string here silently
+                    # turned the documented fast deferred path into the
+                    # multi-second blocking rebuild (review finding)
+                    return self._reply(400, {
+                        "error": "'rebuild' must be JSON true/false, "
+                                 f"got {rb!r}"})
                 try:
-                    return self._reply(200, svc.update(
-                        items, rebuild=bool(req.get("rebuild", True))))
+                    return self._reply(200, svc.update(items, rebuild=rb))
                 except ValueError as e:
                     return self._reply(400, {"error": str(e)})
             return self._reply(404, {"error": f"unknown path {self.path}"})

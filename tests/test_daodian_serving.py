@@ -414,11 +414,13 @@ def test_daodian_rebuild_does_not_block_other_areas():
     import time
 
     gate = threading.Event()
+    started = threading.Event()
     base_embed = _embed_titles_factory()
     slow_areas = {"on": False}
 
     def slow_embed(titles):
         if slow_areas["on"] and len(titles) > 1:   # area-corpus embeds
+            started.set()               # rebuild reached its embed
             gate.wait(timeout=30)
         return base_embed(titles)
 
@@ -432,19 +434,147 @@ def test_daodian_rebuild_does_not_block_other_areas():
     results = {}
 
     def hit_area1():
-        t0 = time.perf_counter()
         results["a1"] = svc.similar_key("a1")
-        results["a1_s"] = time.perf_counter() - t0
 
     t = threading.Thread(target=hit_area1)
     t.start()
-    time.sleep(0.3)                     # let the rebuild start + block
+    # sync on the rebuild actually reaching its embed (a sleep here
+    # flaked on the one-slow-CPU host — review finding)
+    assert started.wait(timeout=30), "area-1 rebuild never started"
     t0 = time.perf_counter()
     got = svc.similar_key("c1")         # area 2: warm cache, must not wait
     dt = time.perf_counter() - t0
     assert dt < 1.0, f"area-2 read stalled {dt:.1f}s behind area-1 rebuild"
     assert got["neighbors"]
+    assert "a1" not in results          # area-1 rebuild still gated
     gate.set()
     t.join(timeout=30)
     assert "a9" in results["a1"]["neighbors"]     # rebuild landed
-    assert results["a1_s"] > 0.25                 # it really was blocked
+
+
+def test_daodian_cold_areas_build_concurrently():
+    """Round 4 review: builds are serialized PER AREA — while area 1's
+    build is blocked inside its embed, a cold area 2 builds to
+    completion (a single global build lock stalled it)."""
+    import time
+
+    gate = threading.Event()
+    started = threading.Event()
+    base_embed = _embed_titles_factory()
+    embed_lock = threading.Lock()       # factories aren't thread-safe
+
+    def slow_embed(titles):
+        with embed_lock:
+            out = base_embed(titles)
+        if any("苹果" in str(t) for t in titles):   # area 1 only
+            started.set()
+            gate.wait(timeout=30)
+        return out
+
+    base_skus = _sku_embs_factory()
+
+    def embed_skus(area_df):
+        with embed_lock:
+            return base_skus(area_df)
+
+    svc = DaodianService(_corpus(), slow_embed, embed_skus)
+    results = {}
+
+    def hit_area1():
+        results["a1"] = svc.similar_key("a1")   # cold: builds area 1
+
+    t = threading.Thread(target=hit_area1)
+    t.start()
+    assert started.wait(timeout=30), "area-1 build never started"
+    t0 = time.perf_counter()
+    got = svc.similar_key("c1")         # cold area 2: builds NOW
+    dt = time.perf_counter() - t0
+    assert "a1" not in results          # area-1 build still gated
+    assert got["neighbors"]
+    assert dt < 10, f"cold area-2 build waited {dt:.1f}s on area 1's"
+    gate.set()
+    t.join(timeout=30)
+    assert results["a1"]["neighbors"]
+
+
+def test_daodian_adhoc_query_builds_engines_only():
+    """Round 4 review: an ad-hoc query builds only the area's engines —
+    the merged map (the whole-area self-search, the dominant build
+    cost) is deferred until a per-key lookup needs it, and that lookup
+    reuses the cached engines instead of re-embedding."""
+    calls = {"skus": 0}
+    base_skus = _sku_embs_factory()
+
+    def counting_skus(area_df):
+        calls["skus"] += 1
+        return base_skus(area_df)
+
+    svc = DaodianService(_corpus(), _embed_titles_factory(),
+                         counting_skus)
+    out = svc.similar_query("苹果 水果", 5, 51, "1")
+    assert out["neighbors"]
+    assert svc._merged == {}            # no merged map was computed
+    assert calls["skus"] == 1
+    # the per-key path completes the merged map WITHOUT a re-embed
+    got = svc.similar_key("a1")
+    assert got["neighbors"]
+    assert "1" in svc._merged
+    assert calls["skus"] == 1
+
+
+def test_daodian_update_rebuild_failure_reports_and_commits():
+    """Round 4 review: the upsert commits BEFORE the rebuild — a failing
+    area rebuild is reported per area (not a raised error for an
+    already-applied update), the other invalidated areas still
+    pre-warm, and the failed area heals on its next read."""
+    embed_titles = _embed_titles_factory()
+    broken = {"on": False}
+
+    def flaky_embed(titles):
+        if broken["on"] and any("苹果" in str(t) for t in titles):
+            raise RuntimeError("relay died")    # area 1's corpus only
+        return embed_titles(titles)
+
+    svc = DaodianService(_corpus(), flaky_embed, _sku_embs_factory())
+    svc.warm()
+    n0 = svc.n
+    broken["on"] = True
+    out = svc.update([
+        {"spu_sn": "a9", "area_id": "1", "sku": "19",
+         "title": "苹果 水果", "first_level_category_id": 5,
+         "second_level_category_id": 51},
+        {"spu_sn": "c9", "area_id": "2", "sku": "29",
+         "title": "果汁 饮料", "first_level_category_id": 7,
+         "second_level_category_id": 72}])
+    assert out["updated"] == 2 and svc.n == n0 + 2   # committed
+    assert sorted(out["areas_invalidated"]) == ["1", "2"]
+    assert list(out["rebuild_errors"]) == ["1"]
+    assert "relay died" in out["rebuild_errors"]["1"]
+    assert "2" in svc._merged           # area 2 still pre-warmed
+    assert "1" not in svc._index        # area 1 stays invalidated...
+    broken["on"] = False
+    assert "a9" in svc.similar_key("a1")["neighbors"]   # ...and heals
+
+
+def test_daodian_http_rebuild_flag_must_be_bool():
+    """bool("false") is True — a JSON string for 'rebuild' must 400, not
+    silently run the blocking rebuild (round 4 review)."""
+    svc = DaodianService(_corpus(), _embed_titles_factory(),
+                         _sku_embs_factory())
+    httpd = make_daodian_server(svc, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        item = {"spu_sn": "a9", "area_id": "1", "sku": "19",
+                "title": "苹果 水果", "first_level_category_id": 5,
+                "second_level_category_id": 51}
+        code, body = _post(f"http://127.0.0.1:{port}/update",
+                           {"items": [item], "rebuild": "false"})
+        assert code == 400 and "rebuild" in body["error"]
+        code, body = _post(f"http://127.0.0.1:{port}/update",
+                           {"items": [item], "rebuild": False})
+        assert code == 200 and body["updated"] == 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
