@@ -168,6 +168,30 @@ def logits_fn(params: Dict, ids: jnp.ndarray, mask: jnp.ndarray
     return hidden_mean(params, ids, mask) @ params["output"].T
 
 
+# Inference entry points are jitted (ONE program per shape instead of an
+# eager op chain) and called on BUCKETED batch shapes (_pad_to_bucket):
+# the daodian paths embed per-area corpora whose sizes all differ and
+# drift (+1 per online upsert) — per-exact-shape programs meant every
+# area size change recompiled (measured 7.4 s vs 0.12 s for the same
+# rebuild with warm programs, benchmarks/daodian_daemon_bench.py).
+_hidden_mean_jit = jax.jit(hidden_mean)
+_logits_jit = jax.jit(logits_fn)
+
+
+def _pad_to_bucket(ids: np.ndarray, mask: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad the batch axis to a pow2 bucket (>=32). Pad rows are all-mask-
+    zero: hidden_mean's denominator clamps at 1, so they compute zeros
+    and the caller slices them off — results are bit-identical to the
+    unpadded call."""
+    n = ids.shape[0]
+    b = max(32, 1 << (n - 1).bit_length())
+    if b == n:
+        return ids, mask
+    pad = ((0, b - n), (0, 0))
+    return np.pad(ids, pad), np.pad(mask, pad)
+
+
 def sentence_vector(params: Dict, ids: jnp.ndarray, mask: jnp.ndarray
                     ) -> jnp.ndarray:
     """fastText getSentenceVector's UNSUPERVISED branch: average of
@@ -193,14 +217,33 @@ class FastTextClassifier:
     word_ngrams: int = 2
     max_tokens: int = 64
 
+    def __post_init__(self):
+        # device-resident ONCE: a pickled model restores host numpy
+        # params, and a host-resident 2M x 100 table re-uploads ~80 MB
+        # per jitted call (the fold_cv_classifier trap, CLAUDE.md).
+        # No-op when params are already device arrays.
+        self.params = jax.device_put(self.params)
+
+    def __setstate__(self, state):
+        # pickle bypasses __init__/__post_init__
+        self.__dict__.update(state)
+        self.params = jax.device_put(self.params)
+
     def _encode(self, texts: Sequence[str]):
+        """Bucket-padded [B', L] ids/mask (B' = pow2 >= len(texts)) —
+        the jitted forward compiles once per bucket, not once per exact
+        corpus size (see _pad_to_bucket). Callers slice to len(texts)."""
         ids, mask = self.vocab.encode_batch(texts, self.max_tokens,
                                             self.word_ngrams)
+        ids, mask = _pad_to_bucket(np.asarray(ids), np.asarray(mask))
         return jnp.asarray(ids), jnp.asarray(mask)
 
     def predict(self, texts: Sequence[str]) -> np.ndarray:
+        if not len(texts):
+            return np.zeros((0,), np.int64)
         ids, mask = self._encode(texts)
-        return np.asarray(jnp.argmax(logits_fn(self.params, ids, mask), -1))
+        logits = np.asarray(_logits_jit(self.params, ids, mask))
+        return logits[: len(texts)].argmax(-1)
 
     def predict_labels(self, texts: Sequence[str]) -> List:
         return [self.labels[i] for i in self.predict(texts)]
@@ -211,8 +254,11 @@ class FastTextClassifier:
         fasttext.cc takes this branch for model==sup, the model the
         serving path loads (daodian_infer.py:214,352). The per-token-unit
         variant is the unsupervised branch (see sentence_vector)."""
+        if not len(texts):
+            return np.zeros((0, self.dim), np.float32)
         ids, mask = self._encode(texts)
-        return np.asarray(hidden_mean(self.params, ids, mask))
+        out = np.asarray(_hidden_mean_jit(self.params, ids, mask))
+        return out[: len(texts)]
 
     def test(self, texts: Sequence[str], labels: Sequence) -> Tuple[int,
                                                                     float,

@@ -16,6 +16,7 @@ mirroring (but batching) the reference's per-job FAISS usage:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import sys
 import time
@@ -450,9 +451,65 @@ class SimilarityEngine:
 
     def similar_map(self, k: int, rules: FilterRules
                     ) -> Dict[object, List[object]]:
+        if (rules.same_category and self.categories is not None
+                and self.n > 0 and k >= self.n
+                and self.backend == "xla" and self.approx_recall is None
+                and (self.mesh is None
+                     or self.mesh.shape.get(DATA_AXIS, 1) == 1)):
+            return self._grouped_self_similar_map(rules)
         scores, idx = self.search(k)
         return filter_neighbors(scores, idx, self.keys, self.categories,
                                 rules, dts=self.dts)
+
+    def _grouped_self_similar_map(self, rules: FilterRules
+                                  ) -> Dict[object, List[object]]:
+        """FULL-ranking self-search (k >= n) under a same-category rule,
+        evaluated per category GROUP — the daodian text arm's operating
+        point (k = len(area), daodian_infer.py:230-246).
+
+        Every rule is within-row and the category rule keeps only the
+        query's own group, so the global ranking restricted to a group
+        IS the group's own ranking (top_k ties break by index, and
+        group-relative index order is monotone in global order): the
+        result equals the full [n, n] search + filter, row by row, while
+        the top-k work drops from O(n^2 * k) to sum over groups of
+        O(n_c^2 * n_c) — measured 12.8 s -> well under a second per
+        5k-row area (PERF.md "Daodian daemon"). Duplicate-key queries
+        keep last-global-row-wins via the positional stitch."""
+        import pandas as pd
+
+        from multimodalsimilar_tpu.retrieval.knn import plan_query_chunk
+        codes, _ = pd.factorize(np.asarray(self.categories, dtype=object))
+        dts = np.asarray(self.dts, dtype=object) \
+            if self.dts is not None else None
+        sub_rules = dataclasses.replace(rules, same_category=False)
+        per_row: List[List[object]] = [[] for _ in range(self.n)]
+        keys_arr = np.asarray(self.keys, dtype=object)
+        for code in np.unique(codes):
+            rows = np.nonzero(codes == code)[0]
+            if code < 0:
+                continue    # NaN categories never match anything
+            sub = self._emb[rows]
+            n_c = len(rows)
+            sub_dev = jax.numpy.asarray(sub)
+            chunk = min(self.QUERY_CHUNK,
+                        plan_query_chunk(n_c, sub.shape[1], n_c))
+            lists: List[List[object]] = []
+            for s in range(0, n_c, chunk):
+                v, i = knn_search(sub_dev,
+                                  jax.numpy.asarray(sub[s: s + chunk]),
+                                  n_c, self.metric)
+                lists.extend(filter_neighbors(
+                    np.asarray(v), np.asarray(i), keys_arr[rows],
+                    categories=None, rules=sub_rules,
+                    query_rows=np.arange(s, s + len(v)),
+                    dts=dts[rows] if dts is not None else None,
+                    return_lists=True))
+            for r, lst in zip(rows, lists):
+                per_row[r] = lst
+        # dict assembly in global row order: duplicate query keys keep
+        # the full path's last-row-wins
+        return {keys_arr[r]: per_row[r] for r in range(self.n)}
 
     @staticmethod
     def merge(primary: Dict, secondary: Dict, cap: Optional[int] = None):

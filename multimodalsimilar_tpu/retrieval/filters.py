@@ -55,10 +55,15 @@ def filter_neighbors(
     rules: FilterRules = FilterRules(),
     query_rows: Optional[np.ndarray] = None,   # corpus row of each query
     dts: Optional[Sequence] = None,
+    return_lists: bool = False,
 ) -> Dict[object, List[object]]:
     """Return {query_key: [neighbor_keys ranked]} under the rules.
 
     ``query_rows`` defaults to arange (self-search, the reference's usage).
+    ``return_lists=True`` returns the per-QUERY lists positionally instead
+    of the keyed dict — callers that stitch partial results (the grouped
+    self-search) need row identity, which the dict loses for duplicate
+    query keys.
     """
     keys = np.asarray(keys, dtype=object)
     n = len(keys)
@@ -148,9 +153,12 @@ def filter_neighbors(
     rows = rows[keep]
     neighbor_keys = keys[cand[keep]]
 
-    out: Dict[object, List[object]] = {}
     starts = np.searchsorted(rows, np.arange(q))
     ends = np.searchsorted(rows, np.arange(q), side="right")
+    if return_lists:
+        return [list(neighbor_keys[starts[qi]:ends[qi]])
+                for qi in range(q)]
+    out: Dict[object, List[object]] = {}
     for qi in range(q):
         # duplicate query keys: the last row wins, like the loop it replaced
         out[keys[query_rows[qi]]] = list(neighbor_keys[starts[qi]:ends[qi]])

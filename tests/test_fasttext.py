@@ -149,3 +149,56 @@ def test_sparse_update_matches_dense_sgd_oracle():
     np.testing.assert_allclose(np.asarray(model.params["output"]),
                                np.asarray(params["output"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_inference_batch_bucketing_is_exact_and_shape_stable():
+    """Round 4: get_sentence_vector/predict pad the batch to pow2
+    buckets (jitted forward compiles once per bucket, not once per
+    exact corpus size — daodian areas all differ and grow +1 per
+    online upsert). Pad rows are sliced off: results bit-equal across
+    batch sizes, and encode shapes are identical within a bucket."""
+    from multimodalsimilar_tpu.models.fasttext import _pad_to_bucket
+
+    rng = np.random.default_rng(1)
+    words = [f"词{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, 3)) for _ in range(70)]
+    model = train_supervised(texts, [i % 3 for i in range(70)],
+                             dim=8, epochs=2, bucket=500)
+    full = model.get_sentence_vector(texts)
+    assert full.shape == (70, 8)
+    # slices of every size reproduce the full run's rows bit-exactly
+    for n in (1, 31, 32, 33, 64, 70):
+        out = model.get_sentence_vector(texts[:n])
+        assert out.shape == (n, 8)
+        np.testing.assert_array_equal(out, full[:n])
+        assert model.predict(texts[:n]).tolist() == \
+            model.predict(texts)[:n].tolist()
+    # shape stability: one padded shape per bucket
+    shapes = set()
+    for n in (33, 40, 64):
+        ids, mask = model._encode(texts[:n])
+        shapes.add(ids.shape)
+    assert shapes == {(64, model.max_tokens)}
+    # empty batch
+    assert model.get_sentence_vector([]).shape == (0, 8)
+    assert model.predict([]).shape == (0,)
+    # helper edge: n=1 pads to the floor bucket
+    ids, mask = _pad_to_bucket(np.ones((1, 4), np.int32),
+                               np.ones((1, 4), np.float32))
+    assert ids.shape == (32, 4) and mask[1:].sum() == 0
+
+
+def test_pickle_roundtrip_restores_device_params():
+    """A pickled model's params must come back device-resident (host
+    numpy tables re-upload ~80 MB per call through the relay)."""
+    import pickle
+
+    import jax
+
+    model = train_supervised(["苹果 香蕉", "可乐 雪碧"], ["a", "b"],
+                             dim=4, epochs=1, bucket=100)
+    clone = pickle.loads(pickle.dumps(model))
+    assert isinstance(clone.params["input"], jax.Array)
+    np.testing.assert_array_equal(
+        clone.get_sentence_vector(["苹果 香蕉"]),
+        model.get_sentence_vector(["苹果 香蕉"]))

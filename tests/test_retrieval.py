@@ -768,3 +768,88 @@ def test_hbm_budget_env_overrides(monkeypatch):
     monkeypatch.delenv("MMS_KNN_HBM_BUDGET_GB")
     monkeypatch.setenv("MMS_KNN_HBM_FRACTION", "0.75")
     assert knn.hbm_budget_bytes() in (8.0e9,) or knn.hbm_budget_bytes() > 0
+
+
+def _ungrouped_similar_map(eng, k, rules):
+    """The pre-round-4 full path: one [n, k] self-search + filter."""
+    scores, idx = eng.search(k)
+    return filter_neighbors(scores, idx, eng.keys, eng.categories,
+                            rules, dts=eng.dts)
+
+
+def test_grouped_self_similar_map_equals_full_search(monkeypatch):
+    """The per-category-group evaluation of the full-ranking (k=n)
+    same-category self-search (the daodian text arm) must equal the
+    single [n, n] search + filter row for row — including duplicate
+    keys ACROSS categories (last global row wins), duplicate embeddings
+    (score ties), NaN categories (no neighbors), a group of size 1, and
+    query chunking inside a group."""
+    rng = np.random.default_rng(5)
+    n, d = 90, 12
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb[7] = emb[3]                    # exact duplicate pair, same cat
+    cats = [f"c{i % 4}" for i in range(n)]
+    cats[10] = float("nan")            # NaN category row
+    cats[11] = "solo"                  # group of size 1
+    keys = [f"k{i}" for i in range(n)]
+    keys[20] = keys[50] = "dup"        # same key in DIFFERENT categories
+    for rules in (
+            FilterRules(score_threshold=-0.6, same_category=True,
+                        max_neighbors=5),
+            FilterRules(score_threshold=None, same_category=True,
+                        max_neighbors=None)):
+        eng = SimilarityEngine(emb, keys, categories=cats)
+        got = eng.similar_map(n, rules)
+        want = _ungrouped_similar_map(eng, n, rules)
+        assert got == want
+    # chunked groups: force tiny query chunks through the grouped path
+    monkeypatch.setattr(SimilarityEngine, "QUERY_CHUNK", 8)
+    eng = SimilarityEngine(emb, keys, categories=cats)
+    rules = FilterRules(score_threshold=-0.6, same_category=True,
+                        max_neighbors=5)
+    assert eng.similar_map(n, rules) == _ungrouped_similar_map(
+        eng, n, rules)
+
+
+def test_grouped_self_similar_map_with_dt_rule():
+    """The v2 recent-days dt rule composes with the grouped path (it is
+    a within-row mask, independent of ranking)."""
+    rng = np.random.default_rng(6)
+    n, d = 60, 8
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    cats = [f"c{i % 3}" for i in range(n)]
+    keys = [f"k{i}" for i in range(n)]
+    dts = ["2026-08-19" if i % 2 else "2026-08-20" for i in range(n)]
+    rules = FilterRules(score_threshold=-0.9, same_category=True,
+                        max_neighbors=7, require_dt="2026-08-20")
+    eng = SimilarityEngine(emb, keys, categories=cats, dts=dts)
+    assert eng.similar_map(n, rules) == _ungrouped_similar_map(
+        eng, n, rules)
+
+
+def test_grouped_path_not_taken_for_partial_ranking():
+    """k < n is a PARTIAL global ranking (v2 recent-days k=len//7) —
+    the grouped rewrite is only exact at k >= n, so the engine must
+    keep the full path there."""
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((40, 8)).astype(np.float32)
+    keys = [f"k{i}" for i in range(40)]
+    cats = [f"c{i % 2}" for i in range(40)]
+    eng = SimilarityEngine(emb, keys, categories=cats)
+    called = {"grouped": 0}
+    orig = SimilarityEngine._grouped_self_similar_map
+
+    def spy(self, rules):
+        called["grouped"] += 1
+        return orig(self, rules)
+
+    SimilarityEngine._grouped_self_similar_map = spy
+    try:
+        rules = FilterRules(score_threshold=None, same_category=True,
+                            max_neighbors=3)
+        eng.similar_map(5, rules)               # partial: full path
+        assert called["grouped"] == 0
+        eng.similar_map(40, rules)              # full ranking: grouped
+        assert called["grouped"] == 1
+    finally:
+        SimilarityEngine._grouped_self_similar_map = orig
