@@ -131,15 +131,20 @@ def _ckpt_has_pp(checkpoint_dir) -> bool:
 
 def _bert_config(preset: str, remat: bool = False,
                  sequence_parallel: bool = False,
-                 pipeline_parallel: int = 0):
+                 pipeline_parallel: int = 0,
+                 remat_policy: str = "full", remat_skip: int = 0):
     """``pipeline_parallel`` is the GPipe microbatch count M (0 = off);
     stage count comes from the mesh model axis at run time."""
     from multimodalsimilar_tpu.models.bert import BertConfig
     make = {"tiny": BertConfig.tiny, "base": BertConfig.roberta_wwm_ext,
             "large": BertConfig.roberta_wwm_ext_large}[preset]
+    if (remat_policy != "full" or remat_skip) and not remat:
+        raise SystemExit("--remat_policy/--remat_skip modify --remat; "
+                         "pass --remat too (refusing to silently ignore)")
     return make(remat=remat, sequence_parallel=sequence_parallel,
                 pipeline_parallel=pipeline_parallel > 0,
-                pp_microbatches=max(int(pipeline_parallel), 1))
+                pp_microbatches=max(int(pipeline_parallel), 1),
+                remat_policy=remat_policy, remat_skip=int(remat_skip or 0))
 
 def _seq_buckets(args):
     from multimodalsimilar_tpu.utils.buckets import parse_buckets

@@ -70,6 +70,17 @@ def _add_common_train_flags(p):
     p.add_argument("--remat", action="store_true",
                    help="rematerialize transformer layers in the backward "
                         "pass (less activation HBM, ~+30%% fwd FLOPs)")
+    p.add_argument("--remat_policy", default="full",
+                   choices=["full", "dots"],
+                   help="with --remat: 'dots' saves weight-matmul outputs "
+                        "and recomputes only elementwise/LN/softmax work "
+                        "(cheaper recompute, more activation HBM than "
+                        "'full' per-layer remat)")
+    p.add_argument("--remat_skip", type=int, default=0, metavar="K",
+                   help="with --remat: leave every K-th transformer layer "
+                        "un-rematerialized (0 = remat all) — interpolates "
+                        "memory/recompute between --remat and no remat; "
+                        "standard encoder only")
     p.add_argument("--resume", action="store_true",
                    help="continue from the latest checkpoint in --output")
     p.add_argument("--overwrite", action="store_true",
@@ -237,7 +248,9 @@ def cmd_train_nlp(args):
     model = NlpTextClassifier(_bert_config(args.bert_preset,
                                        remat=args.remat,
                                        sequence_parallel=args.sequence_parallel,
-                                       pipeline_parallel=args.pipeline_parallel),
+                                       pipeline_parallel=args.pipeline_parallel,
+                                       remat_policy=args.remat_policy,
+                                       remat_skip=args.remat_skip),
                               num_labels,
                               arcface=ArcFaceParams(m=args.margin),
                               pool=getattr(args, "pool", "cls"))
@@ -280,7 +293,9 @@ def cmd_train_multilabel(args):
     model = NlpMultilabelClassifier(
         _bert_config(args.bert_preset, remat=args.remat,
                      sequence_parallel=args.sequence_parallel,
-                     pipeline_parallel=args.pipeline_parallel),
+                     pipeline_parallel=args.pipeline_parallel,
+                     remat_policy=args.remat_policy,
+                     remat_skip=args.remat_skip),
         lv1_labels=lv1, lv2_labels=lv2, tag_labels=tag)
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
@@ -311,15 +326,16 @@ def cmd_train_multilabel(args):
                 resume=args.resume)
 
 def cmd_train_cv(args):
-    if args.fused_loss or args.remat \
+    if args.fused_loss or args.remat or args.remat_skip \
+            or args.remat_policy != "full" \
             or getattr(args, "tensor_parallel", False) \
             or getattr(args, "sequence_parallel", False) \
             or getattr(args, "pipeline_parallel", 0):
         raise SystemExit(
-            "train cv: --fused_loss/--remat/--tensor_parallel/"
-            "--sequence_parallel/--pipeline_parallel apply to the "
-            "BERT-tower text recipes; the cv task has none of them — "
-            "refusing to silently ignore them")
+            "train cv: --fused_loss/--remat/--remat_policy/--remat_skip/"
+            "--tensor_parallel/--sequence_parallel/--pipeline_parallel "
+            "apply to the BERT-tower text recipes; the cv task has none "
+            "of them — refusing to silently ignore them")
     from multimodalsimilar_tpu.data.datasets import (
         ImageClassificationSource, read_table)
     from multimodalsimilar_tpu.models.vision import (
@@ -374,7 +390,8 @@ def cmd_train_pair(args):
     model = SiamesePairModel(_bert_config(
         args.bert_preset, remat=args.remat,
         sequence_parallel=args.sequence_parallel,
-        pipeline_parallel=args.pipeline_parallel))
+        pipeline_parallel=args.pipeline_parallel,
+        remat_policy=args.remat_policy, remat_skip=args.remat_skip))
     mesh = _mesh(args)
     steps = max(len(df) // args.batch_size, 1)
     trainer = _trainer(pair_task(model), args, steps, mesh)
@@ -419,7 +436,9 @@ def cmd_train_multimodal(args):
     model = MultimodalClassifier(
         _bert_config(args.bert_preset, remat=args.remat,
                      sequence_parallel=args.sequence_parallel,
-                     pipeline_parallel=args.pipeline_parallel),
+                     pipeline_parallel=args.pipeline_parallel,
+                     remat_policy=args.remat_policy,
+                     remat_skip=args.remat_skip),
         backbone_config(args.backbone),
         num_labels=mm_labels, fc_dim=args.fc_dim)
     mesh = _mesh(args)

@@ -49,6 +49,18 @@ class BertConfig:
     # layer's activations in HBM — enables bigger train batches. Measured
     # sweep in PERF.md (round 2).
     remat: bool = False
+    # Two finer-grained points between full remat (~20% step-time cost at
+    # the large tower) and no remat (cannot compile the flagship batch on
+    # one 16 GB chip — PERF.md "Large tower"):
+    # * remat_policy="dots": jax.checkpoint with
+    #   dots_with_no_batch_dims_saveable — weight-matmul outputs are SAVED,
+    #   only elementwise/LN/softmax/attention work recomputes. Much cheaper
+    #   recompute, much larger residency than per-layer full remat.
+    # * remat_skip=k: every k-th layer (i % k == 0) is NOT rematerialized —
+    #   memory/recompute interpolates between the extremes. 0 = remat all.
+    #   Standard encoder only (the PP scan body must be layer-uniform).
+    remat_policy: str = "full"
+    remat_skip: int = 0
     # Megatron-style sequence parallelism over the tensor-parallel mesh
     # axis: the residual stream (and the LN/dropout work on it) is sharded
     # along the sequence axis between the TP matmul regions, cutting the
@@ -85,6 +97,19 @@ class BertConfig:
         """hfl/chinese-roberta-wwm-ext-large (readme.md:20)."""
         return cls(hidden_size=1024, num_layers=24, num_heads=16,
                    intermediate_size=4096, **kw)
+
+
+def _remat_policy(cfg: "BertConfig"):
+    """jax.checkpoint policy for the config — None (save nothing, the
+    classic full per-layer remat) or dots_with_no_batch_dims_saveable
+    (weight-matmul outputs saved; only elementwise/LN/softmax/attention
+    batched-matmul work recomputes)."""
+    if cfg.remat_policy == "full":
+        return None
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"remat_policy must be 'full' or 'dots', "
+                     f"got {cfg.remat_policy!r}")
 
 
 def _sp(x, cfg: "BertConfig"):
@@ -206,8 +231,14 @@ class PipelinedBertLayers(nn.Module):
                 {"params": p_l}, h, mb, deterministic,
                 rngs={"dropout": key} if use_dropout else None)
 
+        if cfg.remat_skip:
+            raise ValueError(
+                "remat_skip requires the standard encoder: the pipeline-"
+                "parallel stack runs one uniform scan body per layer, so "
+                "per-layer remat choices cannot apply (use remat_policy "
+                "or drop --pipeline_parallel)")
         if cfg.remat:
-            layer_fn = jax.checkpoint(layer_fn)
+            layer_fn = jax.checkpoint(layer_fn, policy=_remat_policy(cfg))
         return pp.gpipe(layer_fn, stacked, hidden, mask_bias, rng,
                         cfg.pp_microbatches)
 
@@ -306,10 +337,13 @@ class BertEncoderModel(nn.Module):
         else:
             # static_argnums counts self at 0:
             # (h=1, mask_bias=2, deterministic=3)
-            layer_cls = (nn.remat(BertLayer, static_argnums=(3,))
+            layer_cls = (nn.remat(BertLayer, static_argnums=(3,),
+                                  policy=_remat_policy(cfg))
                          if cfg.remat else BertLayer)
             for i in range(cfg.num_layers):
-                h = layer_cls(cfg, pol, name=f"layer_{i}")(
+                cls = (BertLayer if cfg.remat and cfg.remat_skip
+                       and i % cfg.remat_skip == 0 else layer_cls)
+                h = cls(cfg, pol, name=f"layer_{i}")(
                     h, mask_bias, deterministic)
 
         pooled = nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype,

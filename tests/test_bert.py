@@ -123,3 +123,64 @@ def test_inference_policy_parity(pair):
     cos = (out * want).sum(-1) / (np.linalg.norm(out, axis=-1)
                                   * np.linalg.norm(want, axis=-1))
     assert cos.min() > 1 - 1e-3
+
+
+def _train_loss_and_grads(cfg, ids, mask):
+    """Scalar train-style loss + grads for a config (dropout off so the
+    remat variants are bit-comparable)."""
+    model = BertEncoderModel(cfg, DTypePolicy())   # f32 everywhere
+    variables = model.init({"params": jax.random.key(0)}, ids, mask,
+                           deterministic=True)
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, ids, mask,
+                          deterministic=True)
+        return jnp.sum(out["pooler_output"] ** 2)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+        variables["params"])
+    return float(loss), grads
+
+
+def test_remat_variants_match_no_remat():
+    """--remat, --remat_policy dots and --remat_skip K change WHAT is
+    saved for the backward pass, never the math: loss and grads equal
+    the no-remat encoder bit-for-bit (f32, deterministic)."""
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, 100, size=(4, 16)).astype(np.int32))
+    mask = jnp.ones((4, 16), jnp.int32)
+    base = BertConfig.tiny(num_layers=4)
+    ref_loss, ref_grads = _train_loss_and_grads(base, ids, mask)
+    for kw in (dict(remat=True),
+               dict(remat=True, remat_policy="dots"),
+               dict(remat=True, remat_skip=2),
+               dict(remat=True, remat_skip=3, remat_policy="dots")):
+        loss, grads = _train_loss_and_grads(
+            BertConfig.tiny(num_layers=4, **kw), ids, mask)
+        assert loss == ref_loss, kw
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(a, b),
+            grads, ref_grads)
+
+
+def test_remat_skip_refused_under_pipeline_parallel():
+    """The PP scan body is layer-uniform — per-layer remat choices must
+    refuse loudly, not silently apply to no layer."""
+    cfg = BertConfig.tiny(num_layers=2, pipeline_parallel=True,
+                          pp_microbatches=1, remat=True, remat_skip=2)
+    model = BertEncoderModel(cfg, DTypePolicy())
+    ids = jnp.zeros((2, 8), jnp.int32)
+    with pytest.raises(ValueError, match="remat_skip"):
+        model.init({"params": jax.random.key(0)}, ids,
+                   jnp.ones((2, 8), jnp.int32), deterministic=True)
+
+
+def test_remat_knobs_require_remat_cli():
+    from multimodalsimilar_tpu.cli.common import _bert_config
+    with pytest.raises(SystemExit, match="remat"):
+        _bert_config("tiny", remat=False, remat_policy="dots")
+    with pytest.raises(SystemExit, match="remat"):
+        _bert_config("tiny", remat=False, remat_skip=2)
+    cfg = _bert_config("tiny", remat=True, remat_policy="dots",
+                       remat_skip=3)
+    assert cfg.remat_policy == "dots" and cfg.remat_skip == 3
