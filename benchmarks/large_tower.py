@@ -42,11 +42,23 @@ SERVE_BATCHES = [64, 128, 256, 512]
 TOWER_PARAMS = {"base": 102e6, "large": 325e6}
 
 
-def _bert_cfg(preset, remat=False):
+def _bert_cfg(preset, remat=False, **remat_kw):
     from multimodalsimilar_tpu.models.bert import BertConfig
     make = {"base": BertConfig.roberta_wwm_ext,
             "large": BertConfig.roberta_wwm_ext_large}[preset]
-    return make(remat=remat)
+    return make(remat=remat, **remat_kw)
+
+
+# The remat LADDER (round-5 #1): named memory/recompute points between
+# no-remat (cannot compile the flagship b256 s128 on one 16 GB chip) and
+# full per-layer remat (~20% step-time cost at the large tower).
+LADDER = {
+    "none":  dict(remat=False),
+    "skip3": dict(remat=True, remat_skip=3),   # 2/3 of layers remat
+    "skip2": dict(remat=True, remat_skip=2),   # 1/2 of layers remat
+    "dots":  dict(remat=True, remat_policy="dots"),
+    "full":  dict(remat=True),
+}
 
 
 def _serve_fn(preset):
@@ -113,13 +125,13 @@ def serve_sweep(batches=SERVE_BATCHES, repeats=5):
     print(json.dumps({"pool_probe_tflops_end": pool_probe()}), flush=True)
 
 
-def _trainer_for(preset, remat, bf16_grads=False):
+def _trainer_for(preset, remat, bf16_grads=False, **remat_kw):
     from multimodalsimilar_tpu.models.classifiers import NlpTextClassifier
     from multimodalsimilar_tpu.parallel.mesh import create_mesh
     from multimodalsimilar_tpu.train.optim import dual_group_adamw
     from multimodalsimilar_tpu.train.tasks import text_arcface_task
     from multimodalsimilar_tpu.train.trainer import Trainer, TrainerConfig
-    cfg = _bert_cfg(preset, remat=remat)
+    cfg = _bert_cfg(preset, remat=remat, **remat_kw)
     model = NlpTextClassifier(cfg, num_labels=CLASSES)
     mesh = create_mesh()
     trainer = Trainer(
@@ -138,12 +150,12 @@ def _batch_for(mesh, cfg, b, s, rng):
         "labels": rng.integers(0, CLASSES, b).astype(np.int32)})
 
 
-def _lower_train(preset, remat, b, s, bf16_grads=False):
+def _lower_train(preset, remat, b, s, bf16_grads=False, **remat_kw):
     """AOT-lower the real Trainer step at abstract shapes (no execution,
     no param materialization — multichip_projection.py's pattern)."""
     import jax
     from multimodalsimilar_tpu.train.trainer import TrainState
-    trainer, cfg, mesh = _trainer_for(preset, remat, bf16_grads)
+    trainer, cfg, mesh = _trainer_for(preset, remat, bf16_grads, **remat_kw)
     task = trainer.task
     sd = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     batch_sds = {
@@ -239,6 +251,60 @@ def train_sweep(points, preset="large", remat_variants=(False, True),
     print(json.dumps({"pool_probe_tflops_end": pool_probe()}), flush=True)
 
 
+def ladder(points=("128:128", "256:128"), preset="large", iters=4):
+    """The remat LADDER measured end-to-end: per rung, XLA's own memory
+    accounting (compile probe) and — where it compiles — the executed
+    step time. One session, interleaved-per-point, pool probes at both
+    ends (CLAUDE.md discipline)."""
+    import jax
+    print(json.dumps({"pool_probe_tflops": pool_probe()}), flush=True)
+    rng = np.random.default_rng(0)
+    n_params = TOWER_PARAMS[preset]
+    hidden = 1024 if preset == "large" else 768
+    for point in points:
+        b, s = (int(x) for x in point.split(":"))
+        for rung, kw in LADDER.items():
+            row = {"mode": "ladder", "preset": preset, "batch": b,
+                   "seq": s, "rung": rung}
+            try:
+                c = _lower_train(preset, **kw, b=b, s=s).compile()
+                m = c.memory_analysis()
+                row.update(
+                    temp_gb=round(m.temp_size_in_bytes / 2**30, 2),
+                    args_gb=round(m.argument_size_in_bytes / 2**30, 2),
+                    total_gb=round((m.temp_size_in_bytes
+                                    + m.argument_size_in_bytes) / 2**30, 2))
+            except Exception as e:
+                row.update(compile_failed=type(e).__name__,
+                           detail=str(e).split("\n")[0][:160])
+                print(json.dumps(row), flush=True)
+                continue
+            try:
+                trainer, cfg, mesh = _trainer_for(preset, **kw)
+                batch = _batch_for(mesh, cfg, b, s, rng)
+                state = trainer.init_state_from_device_batch(batch)
+                key = jax.random.key(0)
+                for _ in range(2):                     # compile + warm
+                    state, met = trainer._train_step(state, batch, key)
+                np.asarray(met["loss"])
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    state, met = trainer._train_step(state, batch, key)
+                np.asarray(met["loss"])                # honest barrier
+                dt = (time.perf_counter() - t0) / iters
+                flops = 6 * n_params * b * s + 6 * b * hidden * CLASSES
+                row.update(step_ms=round(dt * 1e3, 1),
+                           examples_per_sec=round(b / dt, 1),
+                           mfu_pct_nominal=round(
+                               100 * flops / dt / PEAK_BF16, 1))
+                del trainer, state, batch
+            except Exception as e:
+                row.update(run_failed=type(e).__name__,
+                           detail=str(e).split("\n")[0][:160])
+            print(json.dumps(row), flush=True)
+    print(json.dumps({"pool_probe_tflops_end": pool_probe()}), flush=True)
+
+
 if __name__ == "__main__":
     from multimodalsimilar_tpu.cli import _enable_compile_cache
     _enable_compile_cache()
@@ -260,5 +326,7 @@ if __name__ == "__main__":
             variants = (False, True)
         train_sweep(pts or ["128:128", "256:128", "256:48"],
                     remat_variants=variants, bf16_grads=bf16)
+    elif mode == "ladder":
+        ladder(pts or ("128:128", "256:128"))
     else:
         raise SystemExit(f"unknown mode {mode}")

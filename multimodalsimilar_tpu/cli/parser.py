@@ -452,6 +452,22 @@ def build_parser() -> argparse.ArgumentParser:
                           "(cv_classifier_train_daodian.py:190)")
     srv.add_argument("--text_only", action="store_true",
                      help="daodian: explicitly serve without the CV arm")
+    # the merged tower has TWO thresholds and TWO depths — the generic
+    # --score_th/--k are refused for it (advisor finding: they were
+    # silently ignored); these default to the production constants
+    # (daodian_infer.py:79-82)
+    srv.add_argument("--nlp_score_th", type=float, default=-0.6,
+                     help="daodian: text-arm score threshold "
+                          "(daodian_infer.py:81)")
+    srv.add_argument("--cv_score_th", type=float, default=0.15,
+                     help="daodian: CV-arm score threshold "
+                          "(daodian_infer.py:82)")
+    srv.add_argument("--ann_cnt_nlp", type=int, default=100,
+                     help="daodian: text-arm retrieval depth "
+                          "(daodian_infer.py:80)")
+    srv.add_argument("--ann_cnt_cv", type=int, default=26,
+                     help="daodian: CV-arm retrieval depth "
+                          "(daodian_infer.py:79)")
     srv.set_defaults(fn=cmd_serve)
 
     ckv = sub.add_parser("copy-kv", allow_abbrev=False)

@@ -647,6 +647,8 @@ def _build_daodian_service(args):
     return DaodianService(
         df, embed_titles, embed_skus, embed_query_image=embed_query_image,
         area_col=args.area_col, key_col=args.key_col,
+        nlp_score_th=args.nlp_score_th, cv_score_th=args.cv_score_th,
+        ann_cnt_nlp=args.ann_cnt_nlp, ann_cnt_cv=args.ann_cnt_cv,
         backend=backend, approx_recall=approx)
 
 
@@ -681,6 +683,19 @@ def cmd_serve(args):
     Micro-batched HTTP serving; see pipelines/serving.py."""
     from multimodalsimilar_tpu.pipelines.serving import make_server
     if args.tower == "daodian":
+        # refuse, don't silently ignore (advisor finding): the merged
+        # tower has per-arm thresholds/depths, so the generic single-value
+        # knobs have no meaning here
+        if args.score_th is not None:
+            raise SystemExit(
+                "serve --tower daodian: --score_th is not read by the "
+                "merged tower (it has TWO thresholds) — use "
+                "--nlp_score_th / --cv_score_th")
+        if args.k != 13:
+            raise SystemExit(
+                "serve --tower daodian: --k is not read by the merged "
+                "tower (it has TWO retrieval depths) — use "
+                "--ann_cnt_nlp / --ann_cnt_cv")
         return _serve_daodian(args)
     service, n = _build_serve_service(args)
     _warm_serve_service(service, args)

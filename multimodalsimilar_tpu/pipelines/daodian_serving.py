@@ -38,6 +38,33 @@ from multimodalsimilar_tpu.pipelines.similar import (DaodianAreaIndex,
                                                      build_area_index)
 
 
+def _canon_cat(v):
+    """Canonical comparison form for a category value in the ad-hoc path.
+
+    The batch path (filters.py) factorizes the CORPUS column and compares
+    the query row's own code, so mixed types can't disagree with
+    themselves; an ad-hoc request's category arrives from JSON and must
+    be canonicalized against the corpus value. Rules (advisor finding):
+    numeric values and numeric-looking strings compare BY VALUE — a
+    float64 corpus column (pandas upcasts whenever the column has a NaN
+    hole) holding 7.0 matches a request sending 7 or '7'; NaN/None (and
+    the string 'nan', conservatively) never match anything, matching
+    filters.py's 'NaN never matches' rule."""
+    if v is None:
+        return None
+    if isinstance(v, float) and np.isnan(v):
+        return None
+    try:
+        f = float(v)
+    except (TypeError, ValueError):
+        return str(v)
+    if np.isnan(f):
+        return None
+    if np.isfinite(f) and f == int(f):
+        return str(int(f))
+    return repr(f)
+
+
 class DaodianService:
     """Per-area hot indexes + lazily cached merged maps.
 
@@ -88,8 +115,13 @@ class DaodianService:
         # finding: int-keyed maps made every lookup miss silently)
         df = df.copy()
         df[key_col] = df[key_col].astype(str)
+        # area ids are dict keys here — normalize the COLUMN first so two
+        # raw values that stringify identically (int 5 and '5' in a mixed
+        # object column) land in ONE group instead of the later silently
+        # overwriting the earlier (advisor finding)
+        df[area_col] = df[area_col].astype(str)
         self._areas: Dict[str, pd.DataFrame] = {
-            str(a): df[df[area_col] == a].reset_index(drop=True)
+            a: df[df[area_col] == a].reset_index(drop=True)
             for a in df[area_col].unique()}
         self._index: Dict[str, DaodianAreaIndex] = {}
         self._merged: Dict[str, Dict[str, List[str]]] = {}
@@ -218,11 +250,13 @@ class DaodianService:
     def _filter_ranked(self, scores, idx, engine, category,
                        score_th, cap) -> List[dict]:
         """The batch filters' semantics for ONE external query: strict
-        score > th, same-category vs the request's value, dedup by key,
-        cap (filters.py applies the same rules corpus-row-wise)."""
+        score > th, same-category vs the request's value (value-canonical
+        — see _canon_cat; NaN on either side never matches), dedup by
+        key, cap (filters.py applies the same rules corpus-row-wise)."""
         out, seen = [], set()
         keys = engine.keys
         cats = engine.categories
+        want = _canon_cat(category)
         for s, i in zip(np.asarray(scores).ravel().tolist(),
                         np.asarray(idx).ravel().tolist()):
             if cap is not None and len(out) >= cap:
@@ -231,7 +265,8 @@ class DaodianService:
                 continue
             if score_th is not None and not (s > score_th):
                 continue
-            if cats is not None and str(cats[i]) != str(category):
+            if cats is not None and (want is None
+                                     or _canon_cat(cats[i]) != want):
                 continue
             k = str(keys[i])
             if k in seen:
@@ -333,8 +368,10 @@ class DaodianService:
                 row = pd.DataFrame([it]).rename(
                     columns={"area_id": self._area_col})
                 row[key_col] = row[key_col].astype(str)
-                if self._area_col not in row.columns:
-                    row[self._area_col] = a
+                # canonical str area value, matching the normalized corpus
+                # column (an int 5 from JSON must not re-introduce a mixed
+                # dtype the init normalization just removed)
+                row[self._area_col] = a
                 if base is None:
                     base = row.iloc[:0]
                 kept = base[base[key_col] != key]

@@ -125,42 +125,104 @@ def test_inference_policy_parity(pair):
     assert cos.min() > 1 - 1e-3
 
 
-def _train_loss_and_grads(cfg, ids, mask):
+def _train_loss_and_grads(cfg, ids, mask, params=None, use_jit=True):
     """Scalar train-style loss + grads for a config (dropout off so the
-    remat variants are bit-comparable)."""
+    remat variants are comparable). ``params=None`` inits fresh (seed 0,
+    identical across configs — remat knobs don't touch param shapes)."""
     model = BertEncoderModel(cfg, DTypePolicy())   # f32 everywhere
-    variables = model.init({"params": jax.random.key(0)}, ids, mask,
-                           deterministic=True)
+    if params is None:
+        params = model.init({"params": jax.random.key(0)}, ids, mask,
+                            deterministic=True)["params"]
 
-    def loss_fn(params):
-        out = model.apply({"params": params}, ids, mask,
+    def loss_fn(p):
+        out = model.apply({"params": p}, ids, mask,
                           deterministic=True)
         return jnp.sum(out["pooler_output"] ** 2)
 
-    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
-        variables["params"])
+    f = jax.value_and_grad(loss_fn)
+    if use_jit:
+        loss, grads = jax.jit(f)(params)
+    else:
+        with jax.disable_jit():
+            loss, grads = f(params)
     return float(loss), grads
 
 
-def test_remat_variants_match_no_remat():
+def _flat(tree):
+    return np.concatenate([np.asarray(l, np.float64).ravel()
+                           for l in jax.tree_util.tree_leaves(tree)])
+
+
+_REMAT_VARIANTS = (dict(remat=True),
+                   dict(remat=True, remat_policy="dots"),
+                   dict(remat=True, remat_skip=2),
+                   dict(remat=True, remat_skip=3, remat_policy="dots"))
+
+
+def test_remat_variants_match_no_remat_interpreted():
     """--remat, --remat_policy dots and --remat_skip K change WHAT is
-    saved for the backward pass, never the math: loss and grads equal
-    the no-remat encoder bit-for-bit (f32, deterministic)."""
+    saved for the backward pass, never the math: under disable_jit
+    (where jax.checkpoint evaluates as identity-of-computation) every
+    variant's loss and grads equal the no-remat encoder bit-for-bit."""
     ids = jnp.asarray(np.random.default_rng(0).integers(
         0, 100, size=(4, 16)).astype(np.int32))
     mask = jnp.ones((4, 16), jnp.int32)
     base = BertConfig.tiny(num_layers=4)
-    ref_loss, ref_grads = _train_loss_and_grads(base, ids, mask)
-    for kw in (dict(remat=True),
-               dict(remat=True, remat_policy="dots"),
-               dict(remat=True, remat_skip=2),
-               dict(remat=True, remat_skip=3, remat_policy="dots")):
+    ref_loss, ref_grads = _train_loss_and_grads(base, ids, mask,
+                                                use_jit=False)
+    for kw in _REMAT_VARIANTS:
         loss, grads = _train_loss_and_grads(
-            BertConfig.tiny(num_layers=4, **kw), ids, mask)
+            BertConfig.tiny(num_layers=4, **kw), ids, mask, use_jit=False)
         assert loss == ref_loss, kw
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_array_equal(a, b),
             grads, ref_grads)
+
+
+def test_remat_variants_match_no_remat_jitted():
+    """Jitted remat grads match no-remat within this fixture's own
+    measured order-sensitivity.
+
+    Bit-equality under jit is NOT a property remat can promise: XLA
+    compiles the recomputed forward into the backward with different
+    fusion/association, and this fixture amplifies reassociation —
+    permuting the batch rows (mathematically invariant for a sum loss)
+    moves the NO-REMAT graph's grads by ~0.16 abs / 1.2e-3 l2rel, the
+    same magnitude as the remat deltas; an f64 ground-truth probe shows
+    every remat variant lands as close to the true grads as the
+    no-remat graph does (CPU: remat 2.8e-3 vs interpreted 7.0e-3
+    l2rel; TPU: 6.2-7.9e-3 vs 7.1e-3 no-remat). So the bound here is
+    self-calibrating: remat error ≤ 64× the measured permutation
+    sensitivity (a real wrong-backward bug is orders beyond that), and
+    the interpreted-mode bit-equality above pins the math identity."""
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, 100, size=(4, 16)).astype(np.int32))
+    mask = jnp.ones((4, 16), jnp.int32)
+    base = BertConfig.tiny(num_layers=4)
+    model = BertEncoderModel(base, DTypePolicy())
+    params = model.init({"params": jax.random.key(0)}, ids, mask,
+                        deterministic=True)["params"]
+    ref_loss, ref_grads = _train_loss_and_grads(base, ids, mask, params)
+    ref_flat = _flat(ref_grads)
+
+    # Measure intrinsic order-sensitivity of THIS graph: batch-row
+    # permutation leaves the summed loss/grads mathematically unchanged
+    # but reassociates every reduction.
+    perm = np.array([1, 0, 3, 2])
+    _, perm_grads = _train_loss_and_grads(base, ids[perm], mask[perm],
+                                          params)
+    sens = np.linalg.norm(_flat(perm_grads) - ref_flat)
+    ref_norm = np.linalg.norm(ref_flat)
+    # Floor: never assert tighter than f32 noise even if the perm probe
+    # got lucky on some backend.
+    tol = max(64.0 * sens, 1e-4 * ref_norm)
+
+    for kw in _REMAT_VARIANTS:
+        loss, grads = _train_loss_and_grads(
+            BertConfig.tiny(num_layers=4, **kw), ids, mask, params)
+        assert abs(loss - ref_loss) <= 1e-4 * abs(ref_loss), kw
+        err = np.linalg.norm(_flat(grads) - ref_flat)
+        assert err <= tol, (kw, err, tol, float(sens))
 
 
 def test_remat_skip_refused_under_pipeline_parallel():

@@ -578,3 +578,82 @@ def test_daodian_http_rebuild_flag_must_be_bool():
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_daodian_adhoc_float64_category_matches(tmp_path):
+    """Advisor finding (round 4, medium): a NaN hole upcasts the lv1/lv2
+    column to float64, so str(cats[i]) was '5.0' while a JSON request
+    sending 5 or '5' compared as '5' — every candidate silently failed
+    the same-category rule. Canonical comparison must match 5, '5', 5.0
+    and '5.0'; NaN (either side) never matches — including a literal
+    'nan' request string (filters.py's batch rule)."""
+    df = _corpus()
+    # poke a NaN hole -> float64 category columns ('5' becomes 5.0; the
+    # exact dtype a csv/parquet read of a holey column produces)
+    df.loc[len(df)] = ["1", "z1", "99", "新品 无类目", np.nan, np.nan]
+    for c in ("first_level_category_id", "second_level_category_id"):
+        df[c] = df[c].astype(np.float64)
+    assert df["first_level_category_id"].dtype == np.float64
+    svc = DaodianService(df, _embed_titles_factory(), _sku_embs_factory())
+    for lv1 in (5, "5", 5.0, "5.0"):
+        hit = svc.similar_query("苹果 水果", lv1=lv1, lv2=51, area_id="1")
+        keys = [n["key"] for n in hit["neighbors"]]
+        assert keys and keys[0] == "a1", (lv1, keys)
+    # NaN never matches: the NaN-category corpus row is unreachable even
+    # by sending NaN-ish values
+    for lv1 in (float("nan"), "nan", None):
+        hit = svc.similar_query("新品 无类目", lv1=lv1, lv2=71,
+                                area_id="1")
+        assert [n["key"] for n in hit["neighbors"]] == []
+
+
+def test_daodian_mixed_type_area_column_groups_once():
+    """Advisor finding (round 4, low): int 5 and '5' in a mixed object
+    area column stringify identically — they must land in ONE served
+    group, not silently overwrite each other."""
+    df = _corpus()
+    # area 1 rows split between int 1 and str '1' (object column)
+    df["area_id"] = [1, "1", 1, "1", 2, 2, 2]
+    svc = DaodianService(df, _embed_titles_factory(), _sku_embs_factory())
+    assert svc.n == len(df)
+    assert svc.areas == ["1", "2"]
+    svc.warm()
+    # the a1/a2 similar pair was split across the two raw spellings —
+    # only a single merged group can pair them
+    assert "a2" in svc.similar_key("a1")["neighbors"]
+
+
+def test_cli_serve_daodian_refuses_generic_knobs(tmp_path):
+    """Advisor finding (round 4, low): serve --tower daodian silently
+    ignored --score_th/--k. They must refuse loudly, and the dedicated
+    per-arm knobs must reach the service."""
+    from multimodalsimilar_tpu.cli import build_parser
+    from multimodalsimilar_tpu.cli.serve import (_build_daodian_service,
+                                                 cmd_serve)
+    from multimodalsimilar_tpu.models.fasttext import train_supervised
+
+    df = _corpus()
+    data = str(tmp_path / "skus.csv")
+    df.to_csv(data, index=False)
+    ft = train_supervised(df["title"].tolist(), ["x"] * len(df), dim=4,
+                          epochs=1, bucket=100)
+    ft_path = str(tmp_path / "ft.pkl")
+    with open(ft_path, "wb") as f:
+        pickle.dump(ft, f)
+    base = ["serve", "--tower", "daodian", "--data", data,
+            "--fasttext_model", ft_path, "--text_only"]
+    parser = build_parser()
+    with pytest.raises(SystemExit, match="nlp_score_th"):
+        cmd_serve(parser.parse_args(base + ["--score_th", "0.5"]))
+    with pytest.raises(SystemExit, match="ann_cnt_nlp"):
+        cmd_serve(parser.parse_args(base + ["--k", "20"]))
+    # the dedicated knobs reach the service
+    args = parser.parse_args(base + ["--nlp_score_th", "-0.2",
+                                     "--ann_cnt_nlp", "7",
+                                     "--cv_score_th", "0.3",
+                                     "--ann_cnt_cv", "5"])
+    svc = _build_daodian_service(args)
+    assert svc._params["nlp_score_th"] == -0.2
+    assert svc._params["ann_cnt_nlp"] == 7
+    assert svc._params["cv_score_th"] == 0.3
+    assert svc._params["ann_cnt_cv"] == 5
