@@ -609,7 +609,7 @@ def _build_daodian_service(args):
     def embed_titles(titles):
         return ft.get_sentence_vector(list(titles))
 
-    embed_query_image = None
+    embed_query_image = embed_query_images = None
     if args.cv_checkpoint:
         import numpy as np
 
@@ -627,6 +627,12 @@ def _build_daodian_service(args):
 
         def embed_query_image(image):
             return emb.embed_batch(np.asarray(image)[None])[0]
+
+        def embed_query_images(images):
+            # micro-batched ad-hoc path: one tower call per coalesced
+            # batch (uniform shapes — the HTTP parser resizes)
+            return emb.embed_batch(np.stack([np.asarray(im)
+                                             for im in images]))
     else:
         # same explicit-degrade discipline as `similar daodian`
         if not args.text_only:
@@ -646,10 +652,12 @@ def _build_daodian_service(args):
     # the batch job's per-area loop
     return DaodianService(
         df, embed_titles, embed_skus, embed_query_image=embed_query_image,
+        embed_query_images=embed_query_images,
         area_col=args.area_col, key_col=args.key_col,
         nlp_score_th=args.nlp_score_th, cv_score_th=args.cv_score_th,
         ann_cnt_nlp=args.ann_cnt_nlp, ann_cnt_cv=args.ann_cnt_cv,
-        backend=backend, approx_recall=approx)
+        backend=backend, approx_recall=approx,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
 
 
 def _serve_daodian(args):
@@ -675,6 +683,7 @@ def _serve_daodian(args):
         pass
     finally:
         httpd.server_close()
+        service.close()
 
 
 def cmd_serve(args):

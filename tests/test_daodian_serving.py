@@ -657,3 +657,42 @@ def test_cli_serve_daodian_refuses_generic_knobs(tmp_path):
     assert svc._params["ann_cnt_nlp"] == 7
     assert svc._params["cv_score_th"] == 0.3
     assert svc._params["ann_cnt_cv"] == 5
+
+
+def test_daodian_adhoc_queries_microbatch():
+    """Round-4 VERDICT weak #2: ad-hoc queries embedded batch-1 per
+    request, each paying the sync device round-trip serialized. They now
+    coalesce through MicroBatcher: 4 concurrent queries become one embed
+    call (and every caller still gets ITS OWN correct answer)."""
+    calls = []
+    inner = _embed_titles_factory()
+    record = threading.Event()
+
+    def embed(titles):
+        if record.is_set():
+            calls.append(len(titles))
+        return inner(titles)
+
+    svc = DaodianService(_corpus(), embed, _sku_embs_factory(),
+                         max_batch=4, max_wait_ms=300.0)
+    svc.warm()                       # engines hot: only ad-hoc embeds left
+    record.set()
+    queries = [("苹果 水果", 5, 51, "a1"), ("苹果 鲜果", 5, 51, "a2"),
+               ("牛奶 乳品", 6, 61, "b1"), ("牛奶 盒装", 6, 61, "b2")]
+    results = [None] * len(queries)
+
+    def q(i):
+        t, lv1, lv2, _ = queries[i]
+        results[i] = svc.similar_query(t, lv1=lv1, lv2=lv2, area_id="1")
+
+    ts = [threading.Thread(target=q, args=(i,)) for i in range(len(queries))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    svc.close()
+    for (title, _, _, want), r in zip(queries, results):
+        keys = [n["key"] for n in r["neighbors"]]
+        assert keys and keys[0] == want, (title, keys)
+    assert sum(calls) == len(queries)
+    assert max(calls) > 1            # requests actually coalesced
