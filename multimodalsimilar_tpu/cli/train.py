@@ -81,6 +81,11 @@ def _add_common_train_flags(p):
                         "un-rematerialized (0 = remat all) — interpolates "
                         "memory/recompute between --remat and no remat; "
                         "standard encoder only")
+    p.add_argument("--async_save", action="store_true",
+                   help="periodic checkpoint saves block only for the "
+                        "device->host state copy; the disk write overlaps "
+                        "the next steps (the end-of-run save is always "
+                        "completed durably)")
     p.add_argument("--resume", action="store_true",
                    help="continue from the latest checkpoint in --output")
     p.add_argument("--overwrite", action="store_true",
@@ -202,6 +207,7 @@ def _trainer(task, args, steps_per_epoch, mesh):
         bf16_grad_allreduce=getattr(args, "bf16_grads", False),
         grad_accum=accum,
         overwrite=getattr(args, "overwrite", False),
+        async_save=getattr(args, "async_save", False),
         seed=args.seed)
     os.makedirs(args.output, exist_ok=True)
     return Trainer(task, tx, mesh, cfg)

@@ -17,13 +17,26 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 async_save: bool = False):
+        """``async_save=True`` moves the DISK WRITE off the training
+        path: ``save()`` still blocks until the state is copied out of
+        the device buffers (required — the train step donates them; orbax
+        guarantees exactly this split for async checkpointing), then the
+        serialization/write completes in the background. Call ``wait()``
+        (the Trainer does, at end of fit and before any restore) to
+        ensure the last save is durable."""
         self.directory = os.path.abspath(directory)
+        self.async_save = async_save
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
         self._last_saved = -1
+
+    def wait(self):
+        """Block until any in-flight async save is durable on disk."""
+        self._mgr.wait_until_finished()
 
     def save(self, step: int, state: Any, force: bool = False):
         if step == self._last_saved and not force:
@@ -40,10 +53,13 @@ class CheckpointManager:
         # directory fail fast at fit() start (Trainer raises unless
         # overwrite=True, which calls clear() once, explicitly) — save()
         # itself never infers destructive cleanup of another run's work.
+        # serialize with any in-flight async save before touching steps
+        self._mgr.wait_until_finished()
         if step in (self._mgr.all_steps() or []):
             self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
-        self._mgr.wait_until_finished()
+        if not self.async_save:
+            self._mgr.wait_until_finished()
         self._last_saved = step
 
     def clear(self):
@@ -53,6 +69,7 @@ class CheckpointManager:
             self._mgr.delete(s)
 
     def restore(self, step: Optional[int] = None, template: Any = None):
+        self._mgr.wait_until_finished()   # an in-flight async save first
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None

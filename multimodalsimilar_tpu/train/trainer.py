@@ -111,6 +111,11 @@ class TrainerConfig:
     # nn.DataParallel's per-GPU BN semantics; running stats are averaged
     # across shards).
     bf16_grad_allreduce: bool = False
+    # Async checkpointing: periodic saves block only for the
+    # device->host copy of the state (mandatory — the train step donates
+    # those buffers); the serialization/disk write overlaps the next
+    # steps. The end-of-fit save always completes durably (ckpt.wait()).
+    async_save: bool = False
     seed: int = 0
 
 
@@ -123,7 +128,8 @@ class Trainer:
         self.config = config
         self.logger = MetricLogger(config.metrics_path,
                                    config.tensorboard_dir)
-        self.ckpt = (CheckpointManager(config.checkpoint_dir)
+        self.ckpt = (CheckpointManager(config.checkpoint_dir,
+                                       async_save=config.async_save)
                      if config.checkpoint_dir else None)
         if config.bf16_grad_allreduce and (config.model_parallel_heads
                                            or config.tensor_parallel
@@ -489,6 +495,7 @@ class Trainer:
             jax.profiler.stop_trace()
         if self.ckpt and state is not None:
             self.ckpt.save(step, state, force=True)
+            self.ckpt.wait()   # the end-of-run save must be durable
         return state
 
     def init_state_from_device_batch(
