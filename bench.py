@@ -19,6 +19,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -135,8 +136,24 @@ def bench_image(batch=128, size=380, iters=6, baseline_iters=6):
 
 
 def main():
+    import sys
+
     from multimodalsimilar_tpu.cli import _enable_compile_cache
     _enable_compile_cache()   # startup only; measured loops are post-warmup
+    # Pool-probe context on STDERR (stdout stays exactly one JSON line):
+    # the shared pool drifts 2-100+ TFLOP/s between rounds, so without
+    # this a genuine regression is indistinguishable from a slow window
+    # in BENCH_r*.json (round-4 VERDICT weak #4). 32 chained matmuls —
+    # serving_roofline.pool_probe's recipe.
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        from serving_roofline import pool_probe
+        print(json.dumps({"pool_probe_tflops": pool_probe()}),
+              file=sys.stderr, flush=True)
+    except Exception as e:   # the probe must never break the artifact
+        print(f"pool_probe failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
     text_eps, text_base = bench_text()
     img_eps, img_base = bench_image()
     value = float(np.sqrt(text_eps * img_eps))

@@ -81,6 +81,22 @@ def main(n=50_000, backend=None):
     t_train = time.perf_counter() - t0
     n_test, prec, _ = model.test(texts[:5000], labels[:5000])
 
+    # chain_steps sweep (round-5 VERDICT #5): K SGD steps per jitted
+    # lax.scan program — on TPU the ~7 ms relay dispatch floor per
+    # program dominated the ~5 ms on-chip step; this measures whether
+    # chaining recovers it (CPU: expect ~no change, dispatch is cheap)
+    chain_rows = []
+    for K in (8, 32):
+        t0 = time.perf_counter()
+        m_k = train_supervised(texts, labels, dim=100, lr=0.1, epochs=5,
+                               word_ngrams=2, bucket=2_000_000,
+                               chain_steps=K)
+        dt = time.perf_counter() - t0
+        chain_rows.append({"chain_steps": K, "train_s": round(dt, 2),
+                           "train_tokens_per_s":
+                           round(5 * n_tokens / dt)})
+        del m_k
+
     # serving: sentence vectors over the whole corpus (the daodian text
     # arm's nightly workload, daodian_infer.py:214)
     model.get_sentence_vector(texts[:1024])            # warm/compile
@@ -97,6 +113,7 @@ def main(n=50_000, backend=None):
         "train_tokens_per_s": round(5 * n_tokens / t_train),
         "train_acc": round(prec, 4),
         "sentence_vec_rows_per_s": round(n / t_vec),
+        "chain_sweep": chain_rows,
         "published_cxx_tokens_per_s_20threads": 1_700_000,
     }), flush=True)
 

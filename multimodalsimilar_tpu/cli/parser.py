@@ -105,6 +105,11 @@ def build_parser() -> argparse.ArgumentParser:
     t_ft.add_argument("--dim", type=int, default=100)
     t_ft.add_argument("--lr", type=float, default=0.1)
     t_ft.add_argument("--epochs", type=int, default=5)
+    t_ft.add_argument("--chain_steps", type=int, default=1, metavar="K",
+                      help="run K SGD steps per jitted program "
+                           "(lax.scan): same math, one dispatch per K "
+                           "steps — for the TPU relay's per-program "
+                           "floor; 1 = step-per-program")
     t_ft.set_defaults(fn=cmd_train_fasttext)
 
     emb = sub.add_parser("embed", allow_abbrev=False).add_subparsers(dest="mode", required=True)

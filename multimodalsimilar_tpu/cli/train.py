@@ -470,7 +470,8 @@ def cmd_train_fasttext(args):
     model = train_supervised(df[args.text_col].astype(str).tolist(),
                              df[args.label_col].tolist(), dim=args.dim,
                              lr=args.lr, epochs=args.epochs,
-                             word_ngrams=2)
+                             word_ngrams=2,
+                             chain_steps=getattr(args, "chain_steps", 1))
     import pickle
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "fasttext.pkl"), "wb") as f:

@@ -275,9 +275,18 @@ def train_supervised(texts: Sequence[str], labels: Sequence,
                      dim: int = 100, lr: float = 0.1, epochs: int = 5,
                      word_ngrams: int = 2, bucket: int = 200_000,
                      batch_size: int = 256, max_tokens: int = 64,
-                     min_count: int = 1, seed: int = 0
+                     min_count: int = 1, seed: int = 0,
+                     chain_steps: int = 1
                      ) -> FastTextClassifier:
-    """Supervised training with fastText's linearly-decaying LR."""
+    """Supervised training with fastText's linearly-decaying LR.
+
+    ``chain_steps=K`` runs K consecutive SGD steps as ONE jitted
+    ``lax.scan`` program over pre-stacked batches (iteration-dependent
+    gathers/scatters — nothing hoists): same math in the same order as
+    the python loop, but one dispatch per K steps. Built for the TPU
+    relay's ~7 ms/program floor, which dominates the ~5 ms on-chip step
+    (PERF 'fastText component'); epoch remainders fall back to the
+    single-step program."""
     vocab = FastTextVocab.build(texts, bucket, min_count)
     label_list = sorted(set(labels))
     label_idx = {l: i for i, l in enumerate(label_list)}
@@ -321,13 +330,55 @@ def train_supervised(texts: Sequence[str], labels: Sequence,
         out = out - lr_t * g_out
         return inp, out, loss
 
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def chained(inp, out, step0, bis, bms, bys):
+        def body(carry, xs):
+            inp, out, i = carry
+            bi, bm, by = xs
+            lr_t = sched(i)
+            rows = inp[bi]
+
+            def loss_fn(rows, out):
+                total_v = jnp.sum(rows * bm[:, :, None], axis=1)
+                h = total_v / jnp.maximum(
+                    bm.sum(axis=1, keepdims=True), 1.0)
+                lg = h @ out.T
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    lg, by).mean()
+
+            loss, (g_rows, g_out) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(rows, out)
+            inp = inp.at[bi].add(-lr_t * g_rows)
+            out = out - lr_t * g_out
+            return (inp, out, i + 1), loss
+
+        (inp, out, _), losses = jax.lax.scan(
+            body, (inp, out, step0), (bis, bms, bys))
+        return inp, out, losses
+
     inp, out = params["input"], params["output"]
     rng = np.random.default_rng(seed)
     i = 0
+    K = max(int(chain_steps), 1)
     for _ in range(epochs):
         order = rng.permutation(n)
-        for s in range(steps_per_epoch):
+        s = 0
+        while s < steps_per_epoch:
+            if K > 1 and s + K <= steps_per_epoch:
+                sels = [order[(s + j) * batch_size:
+                              (s + j + 1) * batch_size]
+                        for j in range(K)]
+                if all(len(x) == batch_size for x in sels):
+                    sel = np.stack(sels)
+                    inp, out, _ = chained(
+                        inp, out, jnp.asarray(i, jnp.int32),
+                        jnp.asarray(ids[sel]), jnp.asarray(mask[sel]),
+                        jnp.asarray(y[sel]))
+                    i += K
+                    s += K
+                    continue
             sel = order[s * batch_size:(s + 1) * batch_size]
+            s += 1
             if len(sel) == 0:
                 continue
             inp, out, _ = step(inp, out, jnp.asarray(i, jnp.int32),

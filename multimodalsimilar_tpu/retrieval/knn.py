@@ -112,6 +112,8 @@ def hbm_budget_bytes() -> float:
     import sys
     gb = os.environ.get("MMS_KNN_HBM_BUDGET_GB")
     if gb:
+        if gb.strip().lower() == "auto":
+            return _auto_budget_bytes()
         return float(gb) * 1e9      # malformed values crash loudly
     frac = os.environ.get("MMS_KNN_HBM_FRACTION")
     if frac:
@@ -136,6 +138,107 @@ def hbm_budget_bytes() -> float:
 
 
 _WARNED_NO_LIMIT = False
+_AUTO_BUDGET: "Optional[float]" = None
+
+
+def _auto_probe_bytes(candidate: float) -> float:
+    """AOT-compile the real search body at the point the planner would
+    pick under ``candidate`` for a warehouse shape (1M x 768, q=32768 —
+    benchmarks/knn_memory_probe.py's recipe) and return the compiler's
+    own temp+argument accounting. Compile-only; seconds on TPU."""
+    import jax
+    import jax.numpy as jnp
+    d, k, n, q = 768, 128, 1_000_000, 32768
+    resident = 4.0 * (n * d + q * d)
+    block = min(_default_block_rows(q, budget_bytes=candidate,
+                                    resident_bytes=resident),
+                _next_pow2(n, lo=512))
+    n_pad = n + (-n) % block
+    compiled = _knn_search.lower(
+        jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        jax.ShapeDtypeStruct((q, d), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32), k, "ip", block).compile()
+    mem = compiled.memory_analysis()
+    return float(mem.temp_size_in_bytes + mem.argument_size_in_bytes)
+
+
+def _auto_cache_path() -> str:
+    import os
+    return os.environ.get(
+        "MMS_KNN_AUTO_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "multimodalsimilar_tpu", "knn_auto.json"))
+
+
+def _auto_budget_bytes() -> float:
+    """``MMS_KNN_HBM_BUDGET_GB=auto`` (round-5 VERDICT #7): derive the
+    budget from the device's OWN reported ``bytes_limit`` (x0.5 — the
+    fraction that reproduces the measured-safe 8 GB on a 16 GB v5e) and
+    validate it with ONE AOT compile of the real search body: if the
+    compiler's accounting for the planned point exceeds the candidate,
+    the cost model underestimates on this hardware and the budget shrinks
+    by that ratio so the model plans conservatively. Cached per process
+    AND on disk keyed by (device kind, bytes_limit) so later processes
+    skip the compile. Backends with no reported limit fall back to the
+    measured-safe 8 GB, loudly."""
+    global _AUTO_BUDGET
+    if _AUTO_BUDGET is not None:
+        return _AUTO_BUDGET
+    import json
+    import os
+    import sys
+    kind, limit = None, None
+    try:
+        import jax
+        dev = jax.local_devices()[0]
+        kind = getattr(dev, "device_kind", str(dev))
+        stats = dev.memory_stats() or {}
+        limit = stats.get("bytes_limit")
+    except Exception:
+        pass
+    if not limit:
+        print("MMS_KNN_HBM_BUDGET_GB=auto: backend reports no "
+              "bytes_limit — using the measured-safe 8 GB default",
+              file=sys.stderr)
+        _AUTO_BUDGET = 8.0e9
+        return _AUTO_BUDGET
+    cache_key = f"{kind}:{int(limit)}"
+    path = _auto_cache_path()
+    try:
+        cached = json.load(open(path)).get(cache_key)
+    except Exception:
+        cached = None
+    if cached:
+        _AUTO_BUDGET = float(cached)
+        return _AUTO_BUDGET
+    cand = 0.5 * float(limit)
+    try:
+        used = _auto_probe_bytes(cand)
+        if used > cand:
+            cand = cand * (cand / used)
+        print(f"MMS_KNN_HBM_BUDGET_GB=auto: bytes_limit {limit / 1e9:.1f}"
+              f" GB, probe {used / 1e9:.2f} GB at the planned point -> "
+              f"budget {cand / 1e9:.2f} GB", file=sys.stderr)
+    except Exception as e:
+        cand = min(cand, 8.0e9)
+        print(f"MMS_KNN_HBM_BUDGET_GB=auto: compile probe failed "
+              f"({type(e).__name__}: {e}) — using "
+              f"{cand / 1e9:.1f} GB", file=sys.stderr)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            data = json.load(open(path))
+        except Exception:
+            data = {}
+        data[cache_key] = cand
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass                      # cache is best-effort
+    _AUTO_BUDGET = cand
+    return _AUTO_BUDGET
 
 
 def _default_block_rows(n_queries: int, budget_bytes: Optional[float] = None,

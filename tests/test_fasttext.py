@@ -202,3 +202,25 @@ def test_pickle_roundtrip_restores_device_params():
     np.testing.assert_array_equal(
         clone.get_sentence_vector(["苹果 香蕉"]),
         model.get_sentence_vector(["苹果 香蕉"]))
+
+
+def test_chain_steps_matches_python_loop():
+    """chain_steps=K (one lax.scan program per K SGD steps, built for
+    the relay's per-program dispatch floor) is the SAME math in the same
+    order as the step-per-program loop: final parameters match to f32
+    fusion noise and predictions are identical. Remainder steps (n not
+    divisible by K*batch) exercise the single-step fallback."""
+    rng = np.random.default_rng(3)
+    toks = ["苹果", "香蕉", "可乐", "雪碧", "纸巾", "大米"]
+    texts = [" ".join(rng.choice(toks, 3)) for _ in range(330)]
+    labels = [int(t[0] in "苹香") for t in texts]
+    kw = dict(dim=12, epochs=3, bucket=1000, batch_size=32, seed=7)
+    base = train_supervised(texts, labels, **kw)
+    for K in (4, 7):            # 330//32 = 10 steps/epoch: remainders hit
+        chained = train_supervised(texts, labels, chain_steps=K, **kw)
+        for k in ("input", "output"):
+            np.testing.assert_allclose(
+                np.asarray(chained.params[k]), np.asarray(base.params[k]),
+                rtol=2e-5, atol=2e-6)
+        assert chained.predict_labels(texts[:50]) == \
+            base.predict_labels(texts[:50])

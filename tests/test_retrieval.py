@@ -853,3 +853,65 @@ def test_grouped_path_not_taken_for_partial_ranking():
         assert called["grouped"] == 1
     finally:
         SimilarityEngine._grouped_self_similar_map = orig
+
+
+def test_hbm_budget_auto(monkeypatch, tmp_path):
+    """MMS_KNN_HBM_BUDGET_GB=auto (round-5 VERDICT #7): derives the
+    budget from the device's reported bytes_limit (x0.5), shrinks when
+    the compile probe's accounting exceeds the candidate, caches to disk
+    keyed by (device kind, limit), and falls back to the measured-safe
+    8 GB when no limit is reported (this CPU backend)."""
+    from multimodalsimilar_tpu.retrieval import knn
+
+    cache = str(tmp_path / "auto.json")
+    monkeypatch.setenv("MMS_KNN_AUTO_CACHE", cache)
+    monkeypatch.setenv("MMS_KNN_HBM_BUDGET_GB", "auto")
+    monkeypatch.delenv("MMS_KNN_HBM_FRACTION", raising=False)
+
+    # CPU: no bytes_limit -> 8 GB default (and the process memo holds)
+    monkeypatch.setattr(knn, "_AUTO_BUDGET", None)
+    assert knn.hbm_budget_bytes() == 8.0e9
+    assert knn.hbm_budget_bytes() == 8.0e9
+
+    # a reported limit + a probe that fits -> 0.5 * limit, cached on disk
+    class _Dev:
+        device_kind = "fake-tpu"
+
+        def memory_stats(self):
+            return {"bytes_limit": 16_000_000_000}
+
+    import jax as _jax
+    monkeypatch.setattr(knn, "_AUTO_BUDGET", None)
+    monkeypatch.setattr(_jax, "local_devices", lambda: [_Dev()])
+    monkeypatch.setattr(knn, "_auto_probe_bytes", lambda cand: 6.0e9)
+    assert knn.hbm_budget_bytes() == pytest.approx(8.0e9)
+    import json as _json
+    disk = _json.load(open(cache))
+    assert disk["fake-tpu:16000000000"] == pytest.approx(8.0e9)
+
+    # probe EXCEEDING the candidate shrinks the budget by the ratio
+    monkeypatch.setattr(knn, "_AUTO_BUDGET", None)
+    monkeypatch.setenv("MMS_KNN_AUTO_CACHE", str(tmp_path / "b.json"))
+    monkeypatch.setattr(knn, "_auto_probe_bytes", lambda cand: 10.0e9)
+    got = knn.hbm_budget_bytes()
+    assert got == pytest.approx(8.0e9 * 8.0 / 10.0)
+
+    # the disk cache short-circuits the probe in a fresh process state
+    monkeypatch.setenv("MMS_KNN_AUTO_CACHE", cache)
+    monkeypatch.setattr(knn, "_AUTO_BUDGET", None)
+
+    def _boom(cand):
+        raise AssertionError("probe must not run on a cache hit")
+
+    monkeypatch.setattr(knn, "_auto_probe_bytes", _boom)
+    assert knn.hbm_budget_bytes() == pytest.approx(8.0e9)
+
+    # a probe FAILURE falls back to min(candidate, 8 GB), not a crash
+    monkeypatch.setenv("MMS_KNN_AUTO_CACHE", str(tmp_path / "c.json"))
+    monkeypatch.setattr(knn, "_AUTO_BUDGET", None)
+
+    def _fail(cand):
+        raise RuntimeError("relay down")
+
+    monkeypatch.setattr(knn, "_auto_probe_bytes", _fail)
+    assert knn.hbm_budget_bytes() == 8.0e9
