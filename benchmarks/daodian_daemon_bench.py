@@ -165,8 +165,12 @@ def main(rows=20_000, areas=4, cv=False, workdir=None, tiny=False):
     t0 = time.perf_counter()
     svc.warm()
     warm_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    svc.warm_query_buckets(image_size if cv else None)
     print(json.dumps({"rows": rows, "areas": areas, "cv_arm": bool(cv),
-                      "warm_s": round(warm_s, 1)}), flush=True)
+                      "warm_s": round(warm_s, 1),
+                      "bucket_warm_s":
+                      round(time.perf_counter() - t0, 1)}), flush=True)
 
     if cv:
         # warm AGAIN from a fresh service over the now-populated packed

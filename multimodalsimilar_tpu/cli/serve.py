@@ -668,6 +668,7 @@ def _serve_daodian(args):
     t0 = _time.perf_counter()
     service = _build_daodian_service(args)
     service.warm()
+    service.warm_query_buckets(args.image_size)
     print(f"daodian indexes warm: {service.n} rows, "
           f"{len(service.areas)} areas in "
           f"{_time.perf_counter() - t0:.1f}s", file=sys.stderr)

@@ -230,6 +230,26 @@ class DaodianService:
         for a in self.areas:
             self._get_or_build(a)
 
+    def warm_query_buckets(self, image_size: Optional[int] = None) -> None:
+        """Pre-compile the ad-hoc micro-batch bucket programs (pow2 sizes
+        up to max_batch): text always, the CV arm when ``image_size`` is
+        given and loaded. Without this the first live request at each
+        coalesced batch size pays a fresh tower compile mid-traffic —
+        measured as multi-second p50 spikes in the first concurrency
+        window (daodian_daemon_bench cv, round 5; the per-tower daemon's
+        ladder warming is the same discipline)."""
+        sizes, b = [], 1
+        while b <= self._max_batch:
+            sizes.append(b)
+            b *= 2
+        for n in sizes:
+            self._run_text_batch(["warm"] * n)
+        if image_size and (self._embed_query_images is not None
+                           or self._embed_query_image is not None):
+            img = np.zeros((int(image_size), int(image_size), 3), np.uint8)
+            for n in sizes:
+                self._run_image_batch([img] * n)
+
     # -- ad-hoc embed micro-batching ---------------------------------------
 
     def _batcher(self, name: str, run_batch) -> "MicroBatcher":

@@ -305,9 +305,21 @@ class ImageEmbedder:
             for s in range(0, len(images), B):
                 chunk = images[s: s + B]
                 n = len(chunk)
-                if n < B:
+                # pad partial chunks to the pow2 BUCKET, not the full
+                # batch_size: padding ships real bytes through the relay
+                # uint8 H2D path — a 1-image ad-hoc daodian query padded
+                # to 64@512px shipped 50 MB and measured 2.1 s/query
+                # (round-5 daodian_daemon_bench cv). Pow2 buckets keep
+                # the compiled-program count log2(B) (the fastText /
+                # serving-ladder discipline) while transfer scales with
+                # actual load.
+                pad = 1
+                while pad < n:
+                    pad *= 2
+                pad = min(pad, B)
+                if n < pad:
                     chunk = np.concatenate(
-                        [chunk, np.repeat(chunk[-1:], B - n, axis=0)])
+                        [chunk, np.repeat(chunk[-1:], pad - n, axis=0)])
                 yield (jnp.asarray(chunk),), n
 
         return _stream(batches(), self._run)

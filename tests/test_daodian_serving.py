@@ -696,3 +696,31 @@ def test_daodian_adhoc_queries_microbatch():
         assert keys and keys[0] == want, (title, keys)
     assert sum(calls) == len(queries)
     assert max(calls) > 1            # requests actually coalesced
+
+
+def test_daodian_warm_query_buckets():
+    """warm_query_buckets pre-runs the ad-hoc embed paths at every pow2
+    micro-batch size (round-5 bench finding: the first live request at
+    each coalesced size paid a fresh tower compile mid-traffic)."""
+    text_sizes, img_sizes = [], []
+    inner = _embed_titles_factory()
+
+    def embed_titles(tt):
+        text_sizes.append(len(tt))
+        return inner(tt)
+
+    def embed_images(imgs):
+        img_sizes.append(len(imgs))
+        return np.zeros((len(imgs), 8), np.float32)
+
+    svc = DaodianService(_corpus(), embed_titles, _sku_embs_factory(),
+                         embed_query_images=embed_images, max_batch=8)
+    svc.warm_query_buckets(image_size=16)
+    assert text_sizes == [1, 2, 4, 8]
+    assert img_sizes == [1, 2, 4, 8]
+    svc.close()
+    # no CV arm: only text buckets, and no crash
+    svc2 = DaodianService(_corpus(), inner, _sku_embs_factory(),
+                          max_batch=4)
+    svc2.warm_query_buckets(image_size=16)
+    svc2.close()

@@ -2068,3 +2068,45 @@ def test_warm_serve_service_ladder_matches_buckets(serve_cli):
         out = service._run_batch([{"op": "similar", "query": "苹果"}
                                   for _ in range(n)])
         assert len(out) == n
+
+
+def test_image_embed_batch_buckets_partial_chunks():
+    """embed_batch pads partial chunks to the pow2 BUCKET, not the full
+    batch_size: padding ships real uint8 bytes through the relay, so a
+    1-image ad-hoc query padded to 64@512px shipped 50 MB and measured
+    2.1 s/query (round-5 daodian cv bench). Results must be identical
+    across entry sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsimilar_tpu.models.vision import (CvImageClassifier,
+                                                     backbone_config)
+    from multimodalsimilar_tpu.pipelines.embedders import ImageEmbedder
+
+    model = CvImageClassifier(backbone_config("tiny"), num_labels=3,
+                              fc_dim=8)
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, size=(11, 16, 16, 3)).astype(np.uint8)
+    variables = jax.jit(lambda x: model.init(
+        {"params": jax.random.key(0)}, x,
+        label=jnp.zeros(x.shape[0], jnp.int32)))(jnp.asarray(
+            imgs.astype(np.float32)))
+    emb = ImageEmbedder(model, variables, image_size=16, batch_size=8)
+    shapes = []
+    inner = emb._run
+
+    def spy(chunk):
+        shapes.append(int(chunk.shape[0]))
+        return inner(chunk)
+
+    emb._run = spy
+    full = emb.embed_batch(imgs)           # 11 = 8 + 3 -> pads [8, 4]
+    assert shapes == [8, 4]
+    shapes.clear()
+    one = emb.embed_batch(imgs[:1])        # 1 -> bucket 1, NOT 8
+    assert shapes == [1]
+    shapes.clear()
+    five = emb.embed_batch(imgs[:5])       # 5 -> bucket 8
+    assert shapes == [8]
+    np.testing.assert_allclose(one[0], full[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(five, full[:5], rtol=1e-5, atol=1e-6)
