@@ -55,7 +55,9 @@ def _trainer(preset):
 def main(preset="base", measure_async=True, b=32, s=48, iters=4):
     import jax
 
+    from multimodalsimilar_tpu.cli import _enable_compile_cache
     from multimodalsimilar_tpu.train.checkpoint import CheckpointManager
+    _enable_compile_cache()   # the pack programs cache across processes
     try:
         from benchmarks.large_tower import _batch_for
     except ImportError:

@@ -11,6 +11,7 @@ arbitrary code.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Optional
 
 import orbax.checkpoint as ocp
@@ -37,54 +38,77 @@ def _pack_chunk(leaves):
     return jnp.concatenate([to_bytes(x) for x in leaves])
 
 
-def _snapshot_to_host(state):
-    """Bulk device->host snapshot before handing orbax the tree.
+def _pack_on_device(state):
+    """ON-DEVICE snapshot: bitcast+concat the tree's jax.Array leaves
+    into few large uint8 buffers (~256 MB chunks — extra device memory
+    is bounded per chunk, total ≈ state size until fetched).
 
-    Two relay pathologies measured (round 5, checkpoint_cost.py):
-    orbax/tensorstore serializes DEVICE arrays chunk-wise — a 1.23 GB
-    roberta-base TrainState ran >11 min without completing — and plain
-    per-leaf ``device_get`` pays a ~2 s transfer-setup round-trip per
-    leaf (126 leaves ≈ 266 s despite ~34 MB/s bulk D2H). So the
-    snapshot PACKS leaves on device into few large uint8 buffers
-    (bitcast + concat, jitted; chunked at ~256 MB to bound the extra
-    device memory) and fetches each in one bulk transfer, then splits
-    back into numpy on host. This also IS the async contract's
-    mandatory copy-out (the train step donates the device buffers).
-    Single-process only: multi-host sharded arrays are left to orbax's
-    distributed path (a process can't fetch non-addressable shards)."""
+    Why packing at all (round 5, checkpoint_cost.py on the relay
+    harness): orbax/tensorstore serializes DEVICE arrays chunk-wise — a
+    1.23 GB roberta-base TrainState ran >11 min without completing —
+    and plain per-leaf ``device_get`` pays a ~2 s transfer-setup
+    round-trip per leaf (126 leaves ≈ 266 s despite ~34 MB/s bulk D2H).
+
+    The packed buffers are INDEPENDENT device arrays: the train step's
+    donation of the state leaves cannot touch them (the pack program
+    consumes the leaves before any donated reuse in stream order), so
+    the D2H fetch can run on a background thread while training
+    continues — the caller blocks only for the pack dispatch.
+
+    Returns ``(treedef, out_leaves, chunks)`` where ``chunks`` is a list
+    of ``(members, dev_buf)`` and ``members`` is ``[(leaf_idx, shape,
+    dtype, nbytes, size), ...]``; non-jax leaves pass through in
+    ``out_leaves`` untouched."""
     import jax
-    import numpy as np
-    if jax.process_count() > 1:
-        return state
     leaves, treedef = jax.tree_util.tree_flatten(state)
     dev = [(i, x) for i, x in enumerate(leaves)
            if isinstance(x, jax.Array)]
     out = list(leaves)
-    # greedy chunks by byte budget (an oversized leaf goes alone)
-    chunk, size = [], 0
-    chunks = []
+    groups, group, size = [], [], 0
     for i, x in dev:
-        if chunk and size + x.nbytes > _PACK_CHUNK_BYTES:
-            chunks.append(chunk)
-            chunk, size = [], 0
-        chunk.append((i, x))
+        if group and size + x.nbytes > _PACK_CHUNK_BYTES:
+            groups.append(group)
+            group, size = [], 0
+        group.append((i, x))
         size += x.nbytes
-    if chunk:
-        chunks.append(chunk)
+    if group:
+        groups.append(group)
     global _PACKER
     if _PACKER is None:
         _PACKER = jax.jit(_pack_chunk)   # trace cache shared across saves
-    packer = _PACKER
-    for chunk in chunks:
-        buf = np.asarray(packer([x for _, x in chunk]))   # ONE transfer
+    chunks = []
+    for group in groups:
+        buf = _PACKER([x for _, x in group])      # dispatch, no readback
+        members = [(i, x.shape, x.dtype, x.nbytes, x.size)
+                   for i, x in group]
+        chunks.append((members, buf))
+    return treedef, out, chunks
+
+
+def _fetch_chunks(treedef, out, chunks):
+    """Read the packed device buffers back (one bulk transfer each) and
+    rebuild the host-numpy tree."""
+    import numpy as np
+    for members, buf in chunks:
+        host = np.asarray(buf)                    # ONE transfer
         off = 0
-        for i, x in chunk:
-            n = x.nbytes
+        for i, shape, dtype, nbytes, size in members:
             out[i] = np.frombuffer(
-                buf, dtype=np.dtype(x.dtype), count=x.size,
-                offset=off).reshape(x.shape).copy()
-            off += n
+                host, dtype=np.dtype(dtype), count=size,
+                offset=off).reshape(shape).copy()
+            off += nbytes
+    import jax
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _snapshot_to_host(state):
+    """Synchronous bulk device->host snapshot (see _pack_on_device).
+    Single-process only: multi-host sharded arrays are left to orbax's
+    distributed path (a process can't fetch non-addressable shards)."""
+    import jax
+    if jax.process_count() > 1:
+        return state
+    return _fetch_chunks(*_pack_on_device(state))
 
 
 def _host_template(template):
@@ -104,13 +128,16 @@ def _host_template(template):
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3,
                  async_save: bool = False):
-        """``async_save=True`` moves the DISK WRITE off the training
-        path: ``save()`` still blocks until the state is copied out of
-        the device buffers (required — the train step donates them; orbax
-        guarantees exactly this split for async checkpointing), then the
-        serialization/write completes in the background. Call ``wait()``
+        """``async_save=True`` moves BOTH the device->host fetch and the
+        disk write off the training path: ``save()`` blocks only to
+        dispatch the on-device pack (an on-device copy — the train
+        step's donation of the state buffers cannot corrupt it, see
+        _pack_on_device), then a background thread fetches the packed
+        buffers and runs the orbax write. Device memory ≈ one extra
+        state copy is held until the fetch completes. Call ``wait()``
         (the Trainer does, at end of fit and before any restore) to
-        ensure the last save is durable."""
+        ensure the last save is durable; a failed background save
+        re-raises there."""
         self.directory = os.path.abspath(directory)
         self.async_save = async_save
         os.makedirs(self.directory, exist_ok=True)
@@ -118,9 +145,24 @@ class CheckpointManager:
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
         self._last_saved = -1
+        self._inflight: Optional[threading.Thread] = None
+        self._bg_error: Optional[BaseException] = None
 
     def wait(self):
-        """Block until any in-flight async save is durable on disk."""
+        """Block until any in-flight async save is durable on disk.
+        Re-raises an error from the background save, if any."""
+        t, self._inflight = self._inflight, None
+        if t is not None:
+            t.join()
+        self._mgr.wait_until_finished()
+        err, self._bg_error = self._bg_error, None
+        if err is not None:
+            raise err
+
+    def _do_save(self, step: int, host_state: Any):
+        if step in (self._mgr.all_steps() or []):
+            self._mgr.delete(step)
+        self._mgr.save(step, args=ocp.args.StandardSave(host_state))
         self._mgr.wait_until_finished()
 
     def save(self, step: int, state: Any, force: bool = False):
@@ -139,23 +181,35 @@ class CheckpointManager:
         # overwrite=True, which calls clear() once, explicitly) — save()
         # itself never infers destructive cleanup of another run's work.
         # serialize with any in-flight async save before touching steps
-        self._mgr.wait_until_finished()
-        if step in (self._mgr.all_steps() or []):
-            self._mgr.delete(step)
-        state = _snapshot_to_host(state)
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
-        if not self.async_save:
-            self._mgr.wait_until_finished()
+        self.wait()
+        import jax
+        if not self.async_save or jax.process_count() > 1:
+            self._do_save(step, _snapshot_to_host(state))
+            self._last_saved = step
+            return
+        packed = _pack_on_device(state)   # blocks only for dispatch
+
+        def run():
+            try:
+                self._do_save(step, _fetch_chunks(*packed))
+            except BaseException as e:   # surfaced on the next wait()
+                self._bg_error = e
+
+        t = threading.Thread(target=run, daemon=True,
+                             name="ckpt-async-save")
+        t.start()
+        self._inflight = t
         self._last_saved = step
 
     def clear(self):
         """Delete every stored step — the explicit, opt-in path for
         re-using a populated directory (Trainer ``overwrite=True``)."""
+        self.wait()
         for s in list(self._mgr.all_steps() or []):
             self._mgr.delete(s)
 
     def restore(self, step: Optional[int] = None, template: Any = None):
-        self._mgr.wait_until_finished()   # an in-flight async save first
+        self.wait()                       # an in-flight async save first
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
