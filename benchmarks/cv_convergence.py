@@ -70,9 +70,8 @@ def main():
     ap.add_argument("--eval_every", type=int, default=50)
     ap.add_argument("--margin", type=float, default=0.1)
     ap.add_argument("--margin_delta_per_epoch", type=float, default=0.04)
-    ap.add_argument("extra", nargs="*", default=[],
-                    help="extra flags for cli train cv")
-    args = ap.parse_args()
+    args, extra = ap.parse_known_args()   # unknown flags pass through
+    args.extra = extra                    # to `cli train cv` verbatim
 
     import jax
     if os.environ.get("JAX_PLATFORMS") == "cpu":
