@@ -467,11 +467,20 @@ def cmd_train_fasttext(args):
     from multimodalsimilar_tpu.data.datasets import read_table
     from multimodalsimilar_tpu.models.fasttext import train_supervised
     df = read_table(args.data)
+    K = getattr(args, "chain_steps", None)
+    if K is None:
+        # measured decision (PERF "fastText component", round 5): the
+        # TPU path is dispatch-bound at step-per-program — chaining 8
+        # steps per lax.scan program measured 2.0x (163k -> 320k
+        # tokens/s); on CPU dispatch is cheap and chaining is a wash
+        import jax
+        K = 8 if jax.default_backend() != "cpu" else 1
+        print(f"train fasttext: --chain_steps {K} "
+              f"({jax.default_backend()} default)", file=sys.stderr)
     model = train_supervised(df[args.text_col].astype(str).tolist(),
                              df[args.label_col].tolist(), dim=args.dim,
                              lr=args.lr, epochs=args.epochs,
-                             word_ngrams=2,
-                             chain_steps=getattr(args, "chain_steps", 1))
+                             word_ngrams=2, chain_steps=K)
     import pickle
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "fasttext.pkl"), "wb") as f:
