@@ -503,6 +503,10 @@ class DaodianService:
 
 class _DaodianHandler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
+    # TCP_NODELAY: without it, small keep-alive responses sit in Nagle /
+    # delayed-ACK interplay — the daemon benches measured a FLAT ~44 ms
+    # p50 on pure dict-lookup requests at every concurrency (round 5)
+    disable_nagle_algorithm = True
     timeout = 120
 
     def log_message(self, fmt, *args):

@@ -446,6 +446,11 @@ class _Handler(BaseHTTPRequestHandler):
     # CPU (benchmarks/serving_load.py http mode). _reply always sends
     # Content-Length, which HTTP/1.1 requires.
     protocol_version = "HTTP/1.1"
+    # TCP_NODELAY: without it, small keep-alive responses sit in Nagle /
+    # delayed-ACK interplay — the daodian daemon bench measured a FLAT
+    # ~44 ms p50 on pure dict-lookup requests at every concurrency
+    # (round 5; same handler pattern here)
+    disable_nagle_algorithm = True
     # idle keep-alive connections must not pin their server thread
     # forever (a silent or half-open client would leak one thread each);
     # on timeout the stdlib handler closes the connection.

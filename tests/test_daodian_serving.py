@@ -724,3 +724,15 @@ def test_daodian_warm_query_buckets():
                           max_batch=4)
     svc2.warm_query_buckets(image_size=16)
     svc2.close()
+
+
+def test_http_handlers_disable_nagle():
+    """Round 5: small keep-alive responses sat in Nagle/delayed-ACK
+    interplay — a FLAT ~44 ms p50 on pure dict-lookup requests at every
+    concurrency (misdiagnosed in round 4 as a client-side floor).
+    TCP_NODELAY on both daemon handlers: p50 0.3 ms, c=1 qps 125x."""
+    from multimodalsimilar_tpu.pipelines.daodian_serving import \
+        _DaodianHandler
+    from multimodalsimilar_tpu.pipelines.serving import _Handler
+    assert _DaodianHandler.disable_nagle_algorithm
+    assert _Handler.disable_nagle_algorithm
