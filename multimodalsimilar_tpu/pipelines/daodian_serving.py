@@ -249,6 +249,18 @@ class DaodianService:
             img = np.zeros((int(image_size), int(image_size), 3), np.uint8)
             for n in sizes:
                 self._run_image_batch([img] * n)
+        # per-request ad-hoc searches run at query-batch 1 — pre-compile
+        # that program per cached area engine (same-size areas share via
+        # the compile cache)
+        with self._lock:
+            indexes = list(self._index.values())
+        for idx in indexes:
+            for eng, k in ((idx.text_engine, idx.k_text),
+                           (idx.cv_engine, idx.k_cv)):
+                if eng is None:
+                    continue
+                d = eng._emb.shape[1]
+                eng.search(k, queries=np.zeros((1, d), np.float32))
 
     # -- ad-hoc embed micro-batching ---------------------------------------
 
@@ -287,6 +299,16 @@ class DaodianService:
             return out                      # type: ignore[return-value]
         return [np.asarray(self._embed_query_image(im), np.float32)
                 for im in images]
+
+    # NOTE (round 5, measured): routing ad-hoc searches through a shared
+    # micro-batcher (grouping by engine) was tried and measured WORSE —
+    # adhoc_text c=32 fell 97 -> 26 qps with multi-second p95. Concurrent
+    # per-request sync searches already overlap their round-trips in the
+    # relay's dispatch pipeline; funneling them through one worker thread
+    # serialized the device calls and added batch-window queuing. The
+    # EMBED batchers stay (embeds are where batching changes the device
+    # work itself); searches run per request, with their size-1 programs
+    # pre-compiled by warm_query_buckets.
 
     def close(self) -> None:
         """Stop the micro-batch worker threads (idempotent)."""
